@@ -1,0 +1,66 @@
+"""Render configuration.
+
+Mirrors the reference's two-tier config surface (argv flags + JSON scene
+header): width/height/spp/max_depth/background come from the scene JSON
+top level (gpu-version/parser.hpp:512-517), the rest are framework knobs
+the reference hard-codes (#defines, hardcoded if(true) switches).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (non-traced) render settings. Hashable: usable as a jit static arg."""
+
+    width: int = 400
+    height: int = 225
+    samples_per_pixel: int = 16
+    max_depth: int = 8
+
+    # Background on miss:
+    #   "constant" — scene background color (gpu-version/main.cu:63)
+    #   "gradient" — (1-t)*white + t*(0.5,0.7,1.0) sky
+    #                (cmake-cpu-version/main.cpp:35-38, taichi main.py:16-21)
+    background_mode: str = "constant"
+
+    # What a depth-exhausted ray contributes:
+    #   "black"      — zero (gpu-version/main.cu:68-69, normative)
+    #   "background" — throughput * background (taichi wavefront, main.py:194-196)
+    exhaust_mode: str = "black"
+
+    # Thin-lens defocus. The CUDA reference *disables* lens sampling
+    # (camera.cuh:33-34); the CPU/Taichi versions keep it. Default off to
+    # match the primary (GPU) implementation.
+    enable_defocus: bool = False
+
+    # Russian-roulette survival probability; 0 disables RR (GPU semantics).
+    # The naive tracer uses p_rr=0.9 (朴素光线追踪/4_0_path_tracing.py:43-46).
+    p_rr: float = 0.0
+
+    # RNG stream seed (reference pins seeds for run-to-run comparability:
+    # srand(7), curand_init(idx,0,0), random.seed(2023)).
+    seed: int = 0
+
+    # Execution knobs (not part of reference semantics).
+    engine: str = "xla"            # "xla" | "pallas"
+    loop: str = "while"            # "while" | "scan" (scan is differentiable)
+    traversal: str = "linear"      # "linear" | "bvh"
+    rays_per_batch: int = 1 << 17  # sample-batch size fed to one device step
+
+    @property
+    def aspect_ratio(self) -> float:
+        return self.width / self.height
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+    def background_tuple(self, scene_background: Tuple[float, float, float]):
+        return tuple(float(c) for c in scene_background)

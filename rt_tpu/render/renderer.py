@@ -1,0 +1,99 @@
+"""Top-level render driver: pixel tiling, sample batching, accumulation.
+
+Execution model (contrast with the reference):
+  - CUDA renders one thread per pixel with an spp loop inside the thread
+    (gpu-version/main.cu:72-105, 8x8 blocks at :277-279).
+  - Here a "tile" is a flat batch of pixels; each jit step traces
+    (tile x samples_per_launch) rays through the full bounce loop and adds
+    into a per-pixel accumulator that lives on device. Host<->device
+    traffic is one image download at the end.
+
+The accumulator is (pixel_sum, n_samples) — the progressive-accumulation
+shape of the Taichi versions (taichi main.py:195-201, 朴素
+4_0_path_tracing.py:141-143) — so renders are checkpointable and exactly
+resumable (counter-based RNG: sample indices already consumed are simply
+not re-drawn).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rt_tpu.config import RenderConfig
+from rt_tpu.ops.camera import generate_rays
+from rt_tpu.render.integrator import trace
+from rt_tpu.scene.types import SceneTables
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "width", "height", "n_samples"))
+def render_pixels(tables: SceneTables, cfg: RenderConfig, px, py,
+                  sample_start, n_samples: int, seed, width: int,
+                  height: int):
+    """Trace n_samples samples for the pixel batch (px, py) [B] and return
+    the radiance SUM [B,3] (not yet divided by spp — the reference also
+    accumulates raw sums and scales in write_color, color.cuh:54-57)."""
+
+    def body(i, acc):
+        s_idx = (sample_start + i).astype(jnp.uint32)
+        sample = jnp.full(px.shape, s_idx, jnp.uint32)
+        ro, rd = generate_rays(tables.camera, width, height, px, py, sample,
+                               seed, cfg.enable_defocus)
+        rgb = trace(tables, cfg, ro, rd,
+                    (py * width + px).astype(jnp.uint32), sample, seed)
+        return acc + rgb
+
+    acc0 = jnp.zeros((px.shape[0], 3), jnp.float32)
+    return jax.lax.fori_loop(0, n_samples, body, acc0)
+
+
+def render(tables: SceneTables, cfg: RenderConfig,
+           samples_per_launch: Optional[int] = None,
+           progress: bool = False) -> np.ndarray:
+    """Render the full frame. Returns the raw radiance sum [H,W,3] with
+    row 0 = BOTTOM scanline (the reference's j index; writers flip)."""
+    w, h = cfg.width, cfg.height
+    spp = cfg.samples_per_pixel
+    n_pix = w * h
+
+    pix = np.arange(n_pix, dtype=np.int32)
+    px_all = (pix % w).astype(np.int32)
+    py_all = (pix // w).astype(np.int32)
+
+    # pick tile size so tile*samples_per_launch ~ rays_per_batch
+    if samples_per_launch is None:
+        samples_per_launch = max(1, min(spp, cfg.rays_per_batch // max(n_pix, 1)))
+        if samples_per_launch == 0:
+            samples_per_launch = 1
+    tile = min(n_pix, max(1, cfg.rays_per_batch // samples_per_launch))
+    # pad pixel list to a multiple of tile for a single jit signature
+    n_tiles = -(-n_pix // tile)
+    pad = n_tiles * tile - n_pix
+    if pad:
+        px_all = np.concatenate([px_all, np.zeros(pad, np.int32)])
+        py_all = np.concatenate([py_all, np.zeros(pad, np.int32)])
+
+    acc = np.zeros((n_tiles * tile, 3), np.float32)
+    seed = np.uint32(cfg.seed)
+    for ti in range(n_tiles):
+        px = jnp.asarray(px_all[ti * tile:(ti + 1) * tile])
+        py = jnp.asarray(py_all[ti * tile:(ti + 1) * tile])
+        tile_acc = None
+        s = 0
+        while s < spp:
+            k = min(samples_per_launch, spp - s)
+            part = render_pixels(tables, cfg, px, py, np.uint32(s), int(k),
+                                 seed, w, h)
+            tile_acc = part if tile_acc is None else tile_acc + part
+            s += k
+        acc[ti * tile:(ti + 1) * tile] = np.asarray(tile_acc)
+        if progress:
+            print(f"\rtile {ti + 1}/{n_tiles}", end="", flush=True)
+    if progress:
+        print()
+    return acc[:n_pix].reshape(h, w, 3)

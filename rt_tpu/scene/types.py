@@ -1,0 +1,462 @@
+"""Scene representation: host-side builder objects + the device SoA pytree.
+
+The reference builds a pointer graph of virtual `hittable`/`material`/
+`mytexture` objects on the host, mirrors every node with cudaMalloc/Memcpy
+(gpu-version/parser.hpp:113-502) and then deep-re-news the whole graph on
+device to fix vtables (gpu-version/main.cu:374-446). All of that is
+deleted here: a scene *is* a pytree of flat arrays (`SceneTables`), which
+jit moves to device as-is — the single source of truth. The Taichi version
+already proves this SoA shape works (taichi-version/hittable.py:133-193,
+material.py:89-115).
+
+Primitive tables carry the original scene-file object index (`*_obj`) so
+closest-hit tie-breaking can reproduce the reference's linear-scan
+semantics exactly (object.cuh:23-37: a later object wins a t tie).
+
+Material type ids: 0=lambertian, 1=metal, 2=dielectric, 3=diffuse_light
+(mirroring the class_type tag dispatch of rtweekend.cuh:70-91 and the
+Taichi integer-switch of material.py:116-145).
+Texture type ids: 0=solid_color, 1=checker, 2=image.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+
+from rt_tpu.ops import geometry as geom
+
+MAT_LAMBERTIAN = 0
+MAT_METAL = 1
+MAT_DIELECTRIC = 2
+MAT_DIFFUSE_LIGHT = 3
+
+TEX_SOLID = 0
+TEX_CHECKER = 1
+TEX_IMAGE = 2
+
+# rect axis convention: the constant coordinate's axis index.
+# yz_rect -> 0 (x=k), xz_rect -> 1 (y=k), xy_rect -> 2 (z=k)
+RECT_YZ = 0
+RECT_XZ = 1
+RECT_XY = 2
+
+
+def _pad_size(n: int, minimum: int = 4) -> int:
+    """Next power of two >= max(n, minimum): stabilizes jit cache keys
+    across scenes of similar size. Always >= 1 even for empty tables so
+    every branch of the intersector has static nonzero shapes."""
+    m = max(n, minimum)
+    return 1 << (m - 1).bit_length()
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CameraDef:
+    """Precomputed thin-lens camera frame (gpu-version/camera.cuh:7-48).
+    All leaves are f32 arrays so camera parameters are differentiable."""
+
+    origin: jax.Array        # [3]
+    lower_left: jax.Array    # [3]
+    horizontal: jax.Array    # [3]
+    vertical: jax.Array      # [3]
+    u: jax.Array             # [3]
+    v: jax.Array             # [3]
+    lens_radius: jax.Array   # []
+
+
+def make_camera(
+    lookfrom: Sequence[float],
+    lookat: Sequence[float],
+    vup: Sequence[float],
+    vfov_deg: float,
+    aspect_ratio: float,
+    aperture: float,
+    focus_dist: Optional[float] = None,
+) -> CameraDef:
+    """Camera constructor per gpu-version/camera.cuh:9-28. The JSON parser
+    derives focus_dist = |lookfrom - lookat| (parser.hpp:124)."""
+    lookfrom = np.asarray(lookfrom, dtype=np.float32)
+    lookat = np.asarray(lookat, dtype=np.float32)
+    vup = np.asarray(vup, dtype=np.float32)
+    if focus_dist is None:
+        focus_dist = float(np.linalg.norm(lookfrom - lookat))
+    theta = geom.degrees_to_radians(float(vfov_deg))
+    h = np.tan(theta / 2.0)
+    viewport_height = 2.0 * h
+    viewport_width = aspect_ratio * viewport_height
+
+    w = lookfrom - lookat
+    w = w / np.linalg.norm(w)
+    u = np.cross(vup, w)
+    u = u / np.linalg.norm(u)
+    v = np.cross(w, u)
+
+    origin = lookfrom
+    horizontal = np.float32(focus_dist * viewport_width) * u
+    vertical = np.float32(focus_dist * viewport_height) * v
+    lower_left = origin - horizontal / 2 - vertical / 2 - np.float32(focus_dist) * w
+    return CameraDef(
+        origin=np.asarray(origin, np.float32),
+        lower_left=np.asarray(lower_left, np.float32),
+        horizontal=np.asarray(horizontal, np.float32),
+        vertical=np.asarray(vertical, np.float32),
+        u=np.asarray(u, np.float32),
+        v=np.asarray(v, np.float32),
+        lens_radius=np.float32(aperture / 2.0),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneTables:
+    """Device-ready SoA scene. Every table is padded to a power-of-two
+    length; pad rows have obj index -1 and never produce hits."""
+
+    # spheres (object.cuh:40-94)
+    sph_center: jax.Array   # [Ns,3]
+    sph_radius: jax.Array   # [Ns]
+    sph_mat: jax.Array      # [Ns] i32
+    sph_obj: jax.Array      # [Ns] i32, -1 = pad
+
+    # axis-aligned rects (object.cuh:96-197), unified across xy/xz/yz
+    rect_axis: jax.Array    # [Nr] i32 (constant axis)
+    rect_lo: jax.Array      # [Nr,2] (a0,b0) in the rect's free-axis order
+    rect_hi: jax.Array      # [Nr,2] (a1,b1)
+    rect_k: jax.Array       # [Nr]
+    rect_mat: jax.Array     # [Nr] i32
+    rect_obj: jax.Array     # [Nr] i32
+
+    # cylinders (object.cuh:216-297)
+    cyl_radius: jax.Array   # [Nc]
+    cyl_zmin: jax.Array     # [Nc]
+    cyl_zmax: jax.Array     # [Nc]
+    cyl_o2w: jax.Array      # [Nc,4,4]
+    cyl_w2o: jax.Array      # [Nc,4,4] cached inverse (vec3.cuh:300-320)
+    cyl_mat: jax.Array      # [Nc] i32
+    cyl_obj: jax.Array      # [Nc] i32
+
+    # triangles (taichi-version/hittable.py:38-71,92-114)
+    tri_v1: jax.Array       # [Nt,3]
+    tri_v2: jax.Array       # [Nt,3]
+    tri_v3: jax.Array       # [Nt,3]
+    tri_uv1: jax.Array      # [Nt,2]
+    tri_uv2: jax.Array      # [Nt,2]
+    tri_uv3: jax.Array      # [Nt,2]
+    tri_n: jax.Array        # [Nt,3] unit geometric normal
+    tri_mat: jax.Array      # [Nt] i32
+    tri_obj: jax.Array      # [Nt] i32
+
+    # materials (material.cuh:14-182)
+    mat_type: jax.Array     # [Nm] i32
+    mat_albedo: jax.Array   # [Nm,3] (metal albedo / fallback color)
+    mat_fuzz: jax.Array     # [Nm]
+    mat_ior: jax.Array      # [Nm]
+    mat_tex: jax.Array      # [Nm] i32 texture id; -1 -> use mat_albedo
+
+    # textures (texture.cuh:7-57 + taichi image textures)
+    tex_type: jax.Array     # [Nx] i32
+    tex_color: jax.Array    # [Nx,3] solid value / checker even
+    tex_color2: jax.Array   # [Nx,3] checker odd
+    tex_image: jax.Array    # [Nx] i32 index into images, -1 if none
+    images: jax.Array       # [Ni,TH,TW,3] f32 RGB in [0,1]
+
+    camera: CameraDef
+    background: jax.Array   # [3]
+
+
+@dataclasses.dataclass
+class SceneDef:
+    """Host-side mutable scene under construction. Mirrors the capability
+    of the JSON schema (parser.hpp:34-112) plus the Taichi World's
+    triangles/image textures. Call build_tables() to freeze."""
+
+    width: int = 400
+    height: int = 225
+    samples_per_pixel: int = 16
+    max_depth: int = 8
+    background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    output_file: str = "main.png"
+    camera: Optional[CameraDef] = None
+
+    objects: List[dict] = dataclasses.field(default_factory=list)
+    materials: List[dict] = dataclasses.field(default_factory=list)
+    textures: List[dict] = dataclasses.field(default_factory=list)
+    images: List[np.ndarray] = dataclasses.field(default_factory=list)
+
+    # --- object adders (each records the original object index) -----------
+
+    def add_sphere(self, center, radius, material: int) -> int:
+        self.objects.append(
+            {"type": "sphere", "center": list(map(float, center)),
+             "radius": float(radius), "material": int(material)}
+        )
+        return len(self.objects) - 1
+
+    def add_rect(self, kind: str, a0, a1, b0, b1, k, material: int) -> int:
+        assert kind in ("xy_rect", "xz_rect", "yz_rect")
+        names = {"xy_rect": ("x0", "x1", "y0", "y1"),
+                 "xz_rect": ("x0", "x1", "z0", "z1"),
+                 "yz_rect": ("y0", "y1", "z0", "z1")}[kind]
+        obj = {"type": kind, names[0]: float(a0), names[1]: float(a1),
+               names[2]: float(b0), names[3]: float(b1), "k": float(k),
+               "material": int(material)}
+        self.objects.append(obj)
+        return len(self.objects) - 1
+
+    def add_cylinder(self, radius, zmin, zmax, material: int,
+                     rotate=None, translate=None) -> int:
+        obj = {"type": "cylinder", "radius": float(radius),
+               "zmin": float(zmin), "zmax": float(zmax),
+               "material": int(material)}
+        if rotate is not None:
+            axis, angle_deg = rotate
+            obj["rotate"] = {"axis": list(map(float, axis)),
+                             "angle": float(angle_deg)}
+        if translate is not None:
+            obj["translate"] = list(map(float, translate))
+        self.objects.append(obj)
+        return len(self.objects) - 1
+
+    def add_triangle(self, v1, v2, v3, material: int,
+                     uv1=(0.0, 0.0), uv2=(0.0, 0.0), uv3=(0.0, 0.0)) -> int:
+        self.objects.append(
+            {"type": "triangle",
+             "v1": list(map(float, v1)), "v2": list(map(float, v2)),
+             "v3": list(map(float, v3)),
+             "uv1": list(map(float, uv1)), "uv2": list(map(float, uv2)),
+             "uv3": list(map(float, uv3)), "material": int(material)}
+        )
+        return len(self.objects) - 1
+
+    # --- material / texture adders ----------------------------------------
+
+    def add_lambertian(self, texture: int) -> int:
+        self.materials.append({"type": "lambertian", "texture": int(texture)})
+        return len(self.materials) - 1
+
+    def add_lambertian_color(self, color) -> int:
+        return self.add_lambertian(self.add_solid_color(color))
+
+    def add_metal(self, albedo, fuzz: float) -> int:
+        self.materials.append(
+            {"type": "metal", "albedo": list(map(float, albedo)),
+             "fuzz": float(fuzz)}
+        )
+        return len(self.materials) - 1
+
+    def add_dielectric(self, ior: float) -> int:
+        self.materials.append(
+            {"type": "dielectric", "index_of_refraction": float(ior)}
+        )
+        return len(self.materials) - 1
+
+    def add_diffuse_light(self, texture: int) -> int:
+        self.materials.append({"type": "diffuse_light", "texture": int(texture)})
+        return len(self.materials) - 1
+
+    def add_diffuse_light_color(self, color) -> int:
+        return self.add_diffuse_light(self.add_solid_color(color))
+
+    def add_solid_color(self, color) -> int:
+        self.textures.append(
+            {"type": "solid_color", "color": list(map(float, color))}
+        )
+        return len(self.textures) - 1
+
+    def add_checker(self, even, odd) -> int:
+        self.textures.append(
+            {"type": "checker", "even": list(map(float, even)),
+             "odd": list(map(float, odd))}
+        )
+        return len(self.textures) - 1
+
+    def add_image_texture(self, image_rgb: np.ndarray) -> int:
+        """image_rgb: [H,W,3] float RGB in [0,1] (taichi stores 100x100
+        u8 BGR and converts at sample time, material.py:137-144; we store
+        converted RGB floats once)."""
+        self.images.append(np.asarray(image_rgb, dtype=np.float32))
+        self.textures.append(
+            {"type": "image", "image": len(self.images) - 1}
+        )
+        return len(self.textures) - 1
+
+    def set_camera(self, lookfrom, lookat, vup, vfov_deg, aperture,
+                   focus_dist=None):
+        self.camera = make_camera(
+            lookfrom, lookat, vup, vfov_deg,
+            self.width / self.height, aperture, focus_dist,
+        )
+
+
+def _cylinder_o2w(obj: dict) -> Tuple[np.ndarray, np.ndarray]:
+    """o2w = translate * rotate * identity — the parser applies rotate
+    first, then translate (parser.hpp:423-440), each left-multiplied
+    (object.cuh:225-231)."""
+    t = geom.identity_transform()
+    if "rotate" in obj:
+        axis = obj["rotate"]["axis"]
+        rad = geom.degrees_to_radians(obj["rotate"]["angle"])
+        t = geom.compose(geom.rotate(axis, rad), t)
+    if "translate" in obj:
+        t = geom.compose(geom.translate(obj["translate"]), t)
+    return t
+
+
+def build_tables(s: SceneDef) -> SceneTables:
+    """Freeze a SceneDef into padded device tables."""
+    if s.camera is None:
+        raise ValueError("scene has no camera")
+
+    sph, rect, cyl, tri = [], [], [], []
+    for idx, obj in enumerate(s.objects):
+        kind = obj["type"]
+        if kind == "sphere":
+            sph.append((obj["center"], obj["radius"], obj["material"], idx))
+        elif kind in ("xy_rect", "xz_rect", "yz_rect"):
+            if kind == "xy_rect":
+                axis, lo, hi = RECT_XY, (obj["x0"], obj["y0"]), (obj["x1"], obj["y1"])
+            elif kind == "xz_rect":
+                axis, lo, hi = RECT_XZ, (obj["x0"], obj["z0"]), (obj["x1"], obj["z1"])
+            else:
+                axis, lo, hi = RECT_YZ, (obj["y0"], obj["z0"]), (obj["y1"], obj["z1"])
+            rect.append((axis, lo, hi, obj["k"], obj["material"], idx))
+        elif kind == "cylinder":
+            m, minv = _cylinder_o2w(obj)
+            cyl.append((obj["radius"], obj["zmin"], obj["zmax"], m, minv,
+                        obj["material"], idx))
+        elif kind == "triangle":
+            v1 = np.asarray(obj["v1"], np.float32)
+            v2 = np.asarray(obj["v2"], np.float32)
+            v3 = np.asarray(obj["v3"], np.float32)
+            n = np.cross(v2 - v1, v3 - v1)
+            n = (n / np.linalg.norm(n)).astype(np.float32)
+            tri.append((v1, v2, v3, obj["uv1"], obj["uv2"], obj["uv3"], n,
+                        obj["material"], idx))
+        else:
+            raise ValueError(f"unknown object type: {kind}")
+
+    f32, i32 = np.float32, np.int32
+
+    def padded(rows, builders):
+        n = _pad_size(len(rows))
+        outs = []
+        for build, shape, dtype, fill in builders:
+            arr = np.full((n,) + shape, fill, dtype=dtype)
+            for i, row in enumerate(rows):
+                arr[i] = build(row)
+            outs.append(arr)
+        return outs
+
+    sph_center, sph_radius, sph_mat, sph_obj = padded(sph, [
+        (lambda r: np.asarray(r[0], f32), (3,), f32, 0.0),
+        (lambda r: r[1], (), f32, 0.0),
+        (lambda r: r[2], (), i32, 0),
+        (lambda r: r[3], (), i32, -1),
+    ])
+    rect_axis, rect_lo, rect_hi, rect_k, rect_mat, rect_obj = padded(rect, [
+        (lambda r: r[0], (), i32, 0),
+        (lambda r: np.asarray(r[1], f32), (2,), f32, 0.0),
+        (lambda r: np.asarray(r[2], f32), (2,), f32, 0.0),
+        (lambda r: r[3], (), f32, 0.0),
+        (lambda r: r[4], (), i32, 0),
+        (lambda r: r[5], (), i32, -1),
+    ])
+    cyl_radius, cyl_zmin, cyl_zmax, cyl_o2w, cyl_w2o, cyl_mat, cyl_obj = padded(
+        cyl, [
+            (lambda r: r[0], (), f32, 0.0),
+            (lambda r: r[1], (), f32, 0.0),
+            (lambda r: r[2], (), f32, 0.0),
+            (lambda r: r[3], (4, 4), f32, np.eye(4, dtype=f32)),
+            (lambda r: r[4], (4, 4), f32, np.eye(4, dtype=f32)),
+            (lambda r: r[5], (), i32, 0),
+            (lambda r: r[6], (), i32, -1),
+        ])
+    (tri_v1, tri_v2, tri_v3, tri_uv1, tri_uv2, tri_uv3, tri_n, tri_mat,
+     tri_obj) = padded(tri, [
+        (lambda r: r[0], (3,), f32, 0.0),
+        (lambda r: r[1], (3,), f32, 0.0),
+        (lambda r: r[2], (3,), f32, 0.0),
+        (lambda r: np.asarray(r[3], f32), (2,), f32, 0.0),
+        (lambda r: np.asarray(r[4], f32), (2,), f32, 0.0),
+        (lambda r: np.asarray(r[5], f32), (2,), f32, 0.0),
+        (lambda r: r[6], (3,), f32, np.array([0, 0, 1], f32)),
+        (lambda r: r[7], (), i32, 0),
+        (lambda r: r[8], (), i32, -1),
+    ])
+
+    nm = _pad_size(len(s.materials))
+    mat_type = np.zeros(nm, i32)
+    mat_albedo = np.zeros((nm, 3), f32)
+    mat_fuzz = np.zeros(nm, f32)
+    mat_ior = np.ones(nm, f32)
+    mat_tex = np.full(nm, -1, i32)
+    for i, m in enumerate(s.materials):
+        kind = m["type"]
+        if kind == "lambertian":
+            mat_type[i] = MAT_LAMBERTIAN
+            mat_tex[i] = m["texture"]
+        elif kind == "metal":
+            mat_type[i] = MAT_METAL
+            mat_albedo[i] = m["albedo"]
+            # fuzz clamped to <=1 at construction (material.cuh:60-61)
+            mat_fuzz[i] = min(m["fuzz"], 1.0)
+        elif kind == "dielectric":
+            mat_type[i] = MAT_DIELECTRIC
+            mat_ior[i] = m["index_of_refraction"]
+            mat_albedo[i] = (1.0, 1.0, 1.0)
+        elif kind == "diffuse_light":
+            mat_type[i] = MAT_DIFFUSE_LIGHT
+            mat_tex[i] = m["texture"]
+        else:
+            raise ValueError(f"unknown material type: {kind}")
+
+    nx = _pad_size(len(s.textures))
+    tex_type = np.zeros(nx, i32)
+    tex_color = np.zeros((nx, 3), f32)
+    tex_color2 = np.zeros((nx, 3), f32)
+    tex_image = np.full(nx, -1, i32)
+    for i, t in enumerate(s.textures):
+        kind = t["type"]
+        if kind == "solid_color":
+            tex_type[i] = TEX_SOLID
+            tex_color[i] = t["color"]
+        elif kind == "checker":
+            tex_type[i] = TEX_CHECKER
+            tex_color[i] = t["even"]
+            tex_color2[i] = t["odd"]
+        elif kind == "image":
+            tex_type[i] = TEX_IMAGE
+            tex_image[i] = t["image"]
+        else:
+            raise ValueError(f"unknown texture type: {kind}")
+
+    if s.images:
+        th, tw = s.images[0].shape[:2]
+        for img in s.images:
+            if img.shape[:2] != (th, tw):
+                raise ValueError("all image textures must share one size")
+        images = np.stack(s.images).astype(f32)
+    else:
+        images = np.zeros((1, 1, 1, 3), f32)
+
+    return SceneTables(
+        sph_center=sph_center, sph_radius=sph_radius, sph_mat=sph_mat,
+        sph_obj=sph_obj,
+        rect_axis=rect_axis, rect_lo=rect_lo, rect_hi=rect_hi, rect_k=rect_k,
+        rect_mat=rect_mat, rect_obj=rect_obj,
+        cyl_radius=cyl_radius, cyl_zmin=cyl_zmin, cyl_zmax=cyl_zmax,
+        cyl_o2w=cyl_o2w, cyl_w2o=cyl_w2o, cyl_mat=cyl_mat, cyl_obj=cyl_obj,
+        tri_v1=tri_v1, tri_v2=tri_v2, tri_v3=tri_v3,
+        tri_uv1=tri_uv1, tri_uv2=tri_uv2, tri_uv3=tri_uv3, tri_n=tri_n,
+        tri_mat=tri_mat, tri_obj=tri_obj,
+        mat_type=mat_type, mat_albedo=mat_albedo, mat_fuzz=mat_fuzz,
+        mat_ior=mat_ior, mat_tex=mat_tex,
+        tex_type=tex_type, tex_color=tex_color, tex_color2=tex_color2,
+        tex_image=tex_image, images=images,
+        camera=s.camera,
+        background=np.asarray(s.background, f32),
+    )

@@ -1,0 +1,66 @@
+"""Film/output semantics vs the reference writers (color.cuh)."""
+
+import io
+import os
+
+import numpy as np
+
+from rt_tpu.render import film
+from rt_tpu.io.image import png_bytes, read_png, write_png, write_ppm
+
+
+def test_ppm_gamma_and_scale():
+    # one pixel, radiance sum 2.0 over spp=8 -> mean 0.25 -> sqrt 0.5 -> 128
+    img = np.full((1, 1, 3), 2.0, np.float32)
+    ppm = film.to_ppm(img, spp=8)
+    lines = ppm.strip().splitlines()
+    assert lines[0] == "P3"
+    assert lines[1] == "1 1"
+    assert lines[2] == "255"
+    assert lines[3] == "128 128 128"
+
+
+def test_ppm_clamp_at_999():
+    img = np.full((1, 1, 3), 100.0, np.float32)
+    ppm = film.to_ppm(img, spp=1)
+    assert ppm.strip().splitlines()[3] == "255 255 255"  # 256*0.999 -> 255
+
+
+def test_png_path_has_no_gamma():
+    """write_image applies NO sqrt (color.cuh:15-35) — quirk preserved."""
+    img = np.full((1, 1, 3), 0.25, np.float32)
+    u8 = film.to_png_u8(img, spp=1)
+    assert u8[0, 0, 0] == 64  # 256*0.25, not 256*0.5
+
+
+def test_row_flip_top_down():
+    """Row 0 of the output = highest-y scanline (main.cu:332-336)."""
+    img = np.zeros((2, 1, 3), np.float32)
+    img[0] = 0.1  # bottom scanline
+    img[1] = 0.9  # top scanline
+    u8 = film.finalize(img, spp=1, gamma=False)
+    assert u8[0, 0, 0] > u8[1, 0, 0]
+
+
+def test_negative_detection():
+    img = np.zeros((2, 2, 3), np.float32)
+    img[0, 0, 1] = -0.5
+    assert film.negative_pixels(img) == 1
+
+
+def test_png_roundtrip(tmp_path):
+    rs = np.random.RandomState(3)
+    u8 = (rs.rand(9, 13, 3) * 255).astype(np.uint8)
+    path = os.path.join(tmp_path, "t.png")
+    write_png(path, u8)
+    back = read_png(path)
+    np.testing.assert_array_equal(u8, back)
+
+
+def test_ppm_write(tmp_path):
+    u8 = np.array([[[255, 0, 0], [0, 255, 0]]], np.uint8)
+    path = os.path.join(tmp_path, "t.ppm")
+    write_ppm(path, u8)
+    text = open(path).read().split()
+    assert text[:4] == ["P3", "2", "1", "255"]
+    assert text[4:10] == ["255", "0", "0", "0", "255", "0"]

@@ -1,0 +1,115 @@
+"""Scene JSON schema compatibility: parse the reference's checked-in
+scenes verbatim (read from the reference checkout — never copied into
+this repo) and our own fixtures."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rt_tpu.config import RenderConfig
+from rt_tpu.render.renderer import render
+from rt_tpu.scene.parser import parse_scene, parse_scene_dict, scene_to_dict
+from rt_tpu.scene.types import build_tables
+
+FIXTURE = {
+    "output_file": "out.png",
+    "background": [0.1, 0.2, 0.3],
+    "max_depth": 7,
+    "samples_per_pixel": 5,
+    "width": 64,
+    "height": 36,
+    "camera": {"lookfrom": [0, 1, 3], "lookat": [0, 0, 0], "vup": [0, 1, 0],
+               "vfov": 30, "aperture": 0.2},
+    "object": {"data": [
+        {"type": "sphere", "center": [0, 0, -1], "radius": 0.5, "material": 0},
+        {"type": "xy_rect", "x0": -1, "x1": 1, "y0": -1, "y1": 1, "k": -3,
+         "material": 1},
+        {"type": "xz_rect", "x0": -1, "x1": 1, "z0": -1, "z1": 1, "k": -0.5,
+         "material": 2},
+        {"type": "yz_rect", "y0": -1, "y1": 1, "z0": -1, "z1": 1, "k": -2,
+         "material": 3},
+        {"type": "cylinder", "radius": 0.25, "zmin": -1, "zmax": 1,
+         "material": 2, "translate": [0, 0, 0],
+         "rotate": {"axis": [0, 1, 0], "angle": 90}},
+    ]},
+    "material": {"data": [
+        {"type": "lambertian", "texture": 0},
+        {"type": "metal", "albedo": [0.8, 0.6, 0.2], "fuzz": 0.1},
+        {"type": "dielectric", "index_of_refraction": 1.5},
+        {"type": "diffuse_light", "texture": 1},
+    ]},
+    "texture": {"data": [
+        {"type": "solid_color", "color": [0.1, 0.2, 0.5]},
+        {"type": "solid_color", "color": [4, 4, 4]},
+    ]},
+}
+
+
+def test_parse_fixture_counts_and_config():
+    sdef, cfg = parse_scene_dict(FIXTURE)
+    assert cfg == RenderConfig(width=64, height=36, samples_per_pixel=5,
+                               max_depth=7)
+    assert len(sdef.objects) == 5
+    assert len(sdef.materials) == 4
+    assert len(sdef.textures) == 2
+    assert sdef.output_file == "out.png"
+    assert sdef.background == (0.1, 0.2, 0.3)
+    t = build_tables(sdef)
+    # one sphere, three rects, one cylinder; padded tables
+    assert int(np.sum(np.asarray(t.sph_obj) >= 0)) == 1
+    assert int(np.sum(np.asarray(t.rect_obj) >= 0)) == 3
+    assert int(np.sum(np.asarray(t.cyl_obj) >= 0)) == 1
+
+
+def test_output_file_default():
+    data = dict(FIXTURE)
+    data.pop("output_file")
+    sdef, _ = parse_scene_dict(data)
+    assert sdef.output_file == "main.png"  # parser.hpp:567-568
+
+
+def test_parse_reference_scenes(reference_dir):
+    """Every scene JSON shipped with the reference must parse and build."""
+    gdir = os.path.join(reference_dir, "gpu-version")
+    found = 0
+    for name in sorted(os.listdir(gdir)):
+        if not name.endswith(".json") or name == "vcpkg.json":
+            continue
+        path = os.path.join(gdir, name)
+        with open(path) as f:
+            data = json.load(f)
+        if not data.get("object", {}).get("data"):
+            # basic_scene.json is an empty template
+            sdef, cfg = parse_scene_dict(data)
+            assert len(sdef.objects) == 0
+            found += 1
+            continue
+        sdef, cfg = parse_scene_dict(data)
+        tables = build_tables(sdef)
+        assert cfg.width == data["width"]
+        assert len(sdef.objects) == len(data["object"]["data"])
+        found += 1
+    assert found >= 4  # sample_scene, basic_scene, blue, blue2
+
+
+def test_render_reference_sample_scene_smoke(reference_dir):
+    """sample_scene.json renders at reduced size without NaNs/negatives."""
+    path = os.path.join(reference_dir, "gpu-version", "sample_scene.json")
+    sdef, cfg = parse_scene(path)
+    # shrink for test speed; keep aspect (camera was built for 16:9)
+    cfg = cfg.replace(width=32, height=18, samples_per_pixel=2, max_depth=6)
+    img = render(build_tables(sdef), cfg)
+    assert np.isfinite(img).all()
+    assert (img >= 0).all()
+    assert img.max() > 0
+
+
+def test_round_trip_through_dict():
+    sdef, _ = parse_scene_dict(FIXTURE)
+    data = scene_to_dict(sdef)
+    sdef2, cfg2 = parse_scene_dict(data)
+    assert sdef2.objects == sdef.objects
+    assert sdef2.materials == sdef.materials
+    assert sdef2.textures == sdef.textures
