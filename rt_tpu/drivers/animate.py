@@ -1,0 +1,132 @@
+"""Animation / video-synthesis drivers.
+
+Reference equivalents:
+  - "blue": mutate a base scene JSON, advancing every cylinder's rotation
+    angle by N degrees per frame (gpu-version/blue.py:14-22 does +1°/frame
+    for 360 frames, blue2.py +2° for 180).
+  - "dna": regenerate the procedural rotating-ring scene per frame
+    (gpu-version/dna.py:16-102).
+  - "points": per-frame point-cloud mesh animation
+    (taichi-version/main.py:152-216: reload asset/points/{i+1}.txt,
+    rebuild the world, render).
+
+The reference farms frames across 8 GPUs as independent processes
+(blue.py:24-32). Here each frame is itself rendered data-parallel over
+the whole device mesh (parallel/sharded.py), so frames run serially with
+full utilization; multi-host animation jobs can still partition frame
+ranges per host (--start/--frames) exactly like the reference's farm —
+idempotent per-frame outputs make crashed batches resumable from the
+last written frame (the reference's only recovery story, SURVEY.md §5.3).
+
+Each frame's scene JSON is written next to its PNG before rendering, like
+blue.py:20-22 — the on-disk scene is the checkpoint.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import os
+import time
+
+
+def _frame_cfg(args, cfg):
+    return cfg.replace(width=args.width, height=args.height,
+                       samples_per_pixel=args.spp, max_depth=args.max_depth)
+
+
+def _render_frame(tables, cfg, path, progress=False):
+    import jax
+
+    from rt_tpu.render import film
+    from rt_tpu.io.image import write_png
+
+    if len(jax.devices()) > 1:
+        from rt_tpu.parallel.sharded import render_sharded
+        img = render_sharded(tables, cfg)
+    else:
+        from rt_tpu.render.renderer import render
+        img = render(tables, cfg, progress=progress)
+    write_png(path, film.finalize(img, cfg.samples_per_pixel, gamma=True))
+
+
+def run_blue(args) -> int:
+    """Per-frame JSON mutation: cylinders' rotate.angle += deg_per_frame
+    (gpu-version/blue.py:17-19)."""
+    from rt_tpu.scene.parser import parse_scene_dict
+    from rt_tpu.scene.types import build_tables
+
+    if args.scene is None:
+        raise SystemExit("--scene required for blue mode")
+    with open(args.scene) as f:
+        base = json.load(f)
+    os.makedirs(args.outdir, exist_ok=True)
+
+    for i in range(args.start, args.start + args.frames):
+        data = copy.deepcopy(base)
+        objs = data.get("object", {})
+        rows = objs.get("data", objs if isinstance(objs, list) else [])
+        for obj in rows:
+            if obj.get("type") == "cylinder" and "rotate" in obj:
+                obj["rotate"]["angle"] = (
+                    obj["rotate"].get("angle", 0.0)
+                    + args.deg_per_frame * i)
+        scene_path = os.path.join(args.outdir, f"scene_{i:04d}.json")
+        with open(scene_path, "w") as f:
+            json.dump(data, f)
+        sdef, cfg = parse_scene_dict(
+            data, base_dir=os.path.dirname(args.scene) or ".")
+        cfg = _frame_cfg(args, cfg)
+        t0 = time.time()
+        _render_frame(build_tables(sdef), cfg,
+                      os.path.join(args.outdir, f"frame_{i:04d}.png"))
+        print(f"frame {i}: {time.time() - t0:.2f}s", flush=True)
+    return 0
+
+
+def run_dna(args) -> int:
+    """Procedural ring scene, one render per frame angle
+    (gpu-version/dna.py:103-113 renders frames serially and times them)."""
+    from rt_tpu.scene.builders import dna_scene
+    from rt_tpu.scene.types import build_tables
+
+    os.makedirs(args.outdir, exist_ok=True)
+    t_all = time.time()
+    for i in range(args.start, args.start + args.frames):
+        sdef, cfg = dna_scene(angle_deg=args.deg_per_frame * i,
+                              width=args.width, height=args.height,
+                              spp=args.spp, max_depth=args.max_depth)
+        cfg = _frame_cfg(args, cfg)
+        t0 = time.time()
+        _render_frame(build_tables(sdef), cfg,
+                      os.path.join(args.outdir, f"frame_{i:04d}.png"))
+        print(f"frame {i}: {time.time() - t0:.2f}s", flush=True)
+    print(f"total: {time.time() - t_all:.2f}s")
+    return 0
+
+
+def run_points(args) -> int:
+    """Taichi dynamic-mesh animation: frame i loads {points_dir}/{i+1}.txt
+    as the mesh vertex positions (taichi-version/main.py:205-216)."""
+    from rt_tpu.scene.assets import readdynamic
+    from rt_tpu.scene.builders import mesh_scene
+    from rt_tpu.scene.types import build_tables
+
+    if args.obj is None or args.points_dir is None:
+        raise SystemExit("--obj and --points-dir required for points mode")
+    os.makedirs(args.outdir, exist_ok=True)
+    for i in range(args.start, args.start + args.frames):
+        pts = readdynamic(os.path.join(args.points_dir, f"{i + 1}.txt"))
+        sdef, cfg = mesh_scene(args.obj, width=args.width,
+                               height=args.height, spp=args.spp,
+                               max_depth=args.max_depth, points=pts)
+        cfg = _frame_cfg(args, cfg)
+        t0 = time.time()
+        _render_frame(build_tables(sdef), cfg,
+                      os.path.join(args.outdir, f"out{i}.png"))
+        print(f"frame {i}: {time.time() - t0:.2f}s", flush=True)
+    return 0
+
+
+def run_animation(args) -> int:
+    return {"blue": run_blue, "dna": run_dna, "points": run_points}[args.kind](args)

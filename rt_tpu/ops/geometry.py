@@ -39,6 +39,31 @@ def unit(xp, v):
     return v / length(xp, v)[..., None]
 
 
+def safe_length(xp, v):
+    """|v| with a NaN-free gradient at v=0 (returns 0 there).
+
+    sqrt'(0) = inf, and reverse-mode's `0-cotangent x inf` products poison
+    gradients of everything upstream (the masked-lane NaN problem); every
+    length taken of possibly-degenerate data (pad rows, non-selected
+    primitive branches) must use this form.
+    """
+    l2 = length_squared(xp, v)
+    pos = l2 > 0.0
+    return xp.where(pos, xp.sqrt(xp.where(pos, l2, 1.0)), 0.0)
+
+
+def safe_sqrt(xp, x):
+    """sqrt(max(x,0)) whose gradient is 0 (not inf/NaN) for x <= 0."""
+    pos = x > 0.0
+    return xp.where(pos, xp.sqrt(xp.where(pos, x, 1.0)), 0.0)
+
+
+def safe_div(xp, num, den):
+    """num/den with gradient-safe zero when den == 0."""
+    ok = den != 0.0
+    return xp.where(ok, num / xp.where(ok, den, 1.0), 0.0)
+
+
 def cross(xp, a, b):
     ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
     bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
@@ -57,7 +82,8 @@ def refract(xp, uv, n, etai_over_etat):
     cos_theta = xp.minimum(dot(xp, -uv, n), 1.0)
     r_out_perp = etai_over_etat[..., None] * (uv + cos_theta[..., None] * n)
     r_out_parallel = (
-        -xp.sqrt(xp.abs(1.0 - length_squared(xp, r_out_perp)))[..., None] * n
+        -safe_sqrt(xp, xp.abs(1.0 - length_squared(xp, r_out_perp)))[..., None]
+        * n
     )
     return r_out_perp + r_out_parallel
 

@@ -72,7 +72,9 @@ def _sphere_t(tables: SceneTables, ro, rd, t_min):
               + (geom.length_squared(jnp, c) - r * r)[None, :])
 
     disc = hb * hb - a * c_term
-    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # safe_sqrt: sqrt(max(disc,0)) with grad 0 (not NaN) at disc<=0 —
+    # every missed lane otherwise poisons upstream gradients (0 x inf).
+    sqrtd = geom.safe_sqrt(jnp, disc)
     root1 = (-hb - sqrtd) / a
     root2 = (-hb + sqrtd) / a
     t = jnp.where(root1 >= t_min, root1, jnp.where(root2 >= t_min, root2, INF))
@@ -95,7 +97,7 @@ def _rect_t(tables: SceneTables, ro, rd, t_min):
 
     ro_k = geom.einsum(jnp, "bi,ni->bn", ro, onehot_k)
     rd_k = geom.einsum(jnp, "bi,ni->bn", rd, onehot_k)
-    t = (tables.rect_k[None, :] - ro_k) / rd_k
+    t = geom.safe_div(jnp, tables.rect_k[None, :] - ro_k, rd_k)
     x = (geom.einsum(jnp, "bi,ni->bn", ro, oh_f1)
          + t * geom.einsum(jnp, "bi,ni->bn", rd, oh_f1))
     y = (geom.einsum(jnp, "bi,ni->bn", ro, oh_f2)
@@ -105,7 +107,7 @@ def _rect_t(tables: SceneTables, ro, rd, t_min):
         & (x >= tables.rect_lo[None, :, 0]) & (x <= tables.rect_hi[None, :, 0])
         & (y >= tables.rect_lo[None, :, 1]) & (y <= tables.rect_hi[None, :, 1])
         & (tables.rect_obj >= 0)[None, :]
-        & jnp.isfinite(t)
+        & (rd_k != 0.0)
     )
     return jnp.where(valid, t, INF)
 
@@ -130,17 +132,17 @@ def _cylinder_t(tables: SceneTables, ro, rd, t_min):
     b = 2.0 * (od[..., 0] * oo[..., 0] + od[..., 1] * oo[..., 1])
     c = oo[..., 0] ** 2 + oo[..., 1] ** 2 - tables.cyl_radius[None, :] ** 2
     delta = b * b - 4.0 * a * c
-    sq = jnp.sqrt(jnp.maximum(delta, 0.0))
-    t0 = -0.5 * (b - sq) / a
-    t1 = -0.5 * (b + sq) / a
+    sq = geom.safe_sqrt(jnp, delta)
+    t0 = geom.safe_div(jnp, -0.5 * (b - sq), a)
+    t1 = geom.safe_div(jnp, -0.5 * (b + sq), a)
     t0, t1 = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
 
     def zok(t):
         pz = oo[..., 2] + t * od[..., 2]
         return (pz >= tables.cyl_zmin[None, :]) & (pz <= tables.cyl_zmax[None, :])
 
-    ok0 = (t0 >= t_min) & zok(t0) & jnp.isfinite(t0)
-    ok1 = (t1 >= t_min) & zok(t1) & jnp.isfinite(t1)
+    ok0 = (t0 >= t_min) & zok(t0) & (a != 0.0)
+    ok1 = (t1 >= t_min) & zok(t1) & (a != 0.0)
     t = jnp.where(ok0, t0, jnp.where(ok1, t1, INF))
     t = jnp.where((delta >= 0.0) & (tables.cyl_obj >= 0)[None, :], t, INF)
     return t
@@ -161,12 +163,12 @@ def _triangle_t(tables: SceneTables, ro, rd, t_min):
     oc_n = oc_n * sign
     a = geom.length(jnp, rd)[:, None]
     theta = d_n / a
-    root = -oc_n / (theta * a)
+    root = geom.safe_div(jnp, -oc_n, theta * a)
     # inside test at r = ro + root*rd, via edge cross-products against the
     # plane normal (sign-consistent with the reference's 4 cross-dot tests)
     r_pt = ro[:, None, :] + root[..., None] * rd[:, None, :]   # [B,N,3]
     e = _edge_inside(r_pt, v1, v2, v3, n0)
-    valid = (theta < 0.0) & e & (root >= t_min) & jnp.isfinite(root)
+    valid = (theta < 0.0) & e & (root >= t_min)
     valid &= (tables.tri_obj >= 0)[None, :]
     return jnp.where(valid, root, INF)
 
@@ -192,20 +194,59 @@ def _best_of(t, obj_table):
     return tb, pid.astype(jnp.int32), obj_table[pid]
 
 
-def intersect(tables: SceneTables, ro, rd, t_min=1e-3) -> Hit:
+def _sphere_best_pallas(tables: SceneTables, ro, rd, t_min):
+    """Sphere candidates via the VMEM-tiled Pallas kernel
+    (ops/pallas_intersect.py) — same (t, pid, obj) as
+    _best_of(_sphere_t(...)), O(B+N) HBM traffic instead of O(B*N)."""
+    import jax
+
+    from rt_tpu.ops.pallas_intersect import RAY_TILE, sphere_closest_hit
+
+    b = ro.shape[0]
+    pad = (-b) % RAY_TILE
+    if pad:
+        ro = jnp.concatenate([ro, jnp.zeros((pad, 3), ro.dtype)])
+        rd = jnp.concatenate(
+            [rd, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], rd.dtype),
+                                  (pad, 3))])
+    t, pid = sphere_closest_hit(
+        tables.sph_center, tables.sph_radius, tables.sph_obj >= 0, ro, rd,
+        t_min=float(t_min), interpret=jax.default_backend() != "tpu")
+    t, pid = t[:b], pid[:b]
+    return t, pid, tables.sph_obj[pid]
+
+
+def intersect(tables: SceneTables, ro, rd, t_min=1e-3,
+              engine: str = "xla") -> Hit:
     """Closest hit of rays (ro, rd) [B,3] against the whole scene.
 
     t_min defaults to the reference's shadow-acne epsilon 0.001
-    (gpu-version/main.cu:45)."""
+    (gpu-version/main.cu:45).
+
+    engine="pallas" routes the sphere pass through the VMEM-tiled Pallas
+    kernel (forward-only); "xla" is the differentiable default.
+
+    Primitive families the scene doesn't use (static tables.counts) are
+    skipped at trace time — a sphere-only scene compiles only the sphere
+    candidate pass."""
+    n_sph, n_rect, n_cyl, n_tri = tables.counts
     cands = []
-    t_s = _sphere_t(tables, ro, rd, t_min)
-    cands.append((PTYPE_SPHERE,) + _best_of(t_s, tables.sph_obj))
-    t_r = _rect_t(tables, ro, rd, t_min)
-    cands.append((PTYPE_RECT,) + _best_of(t_r, tables.rect_obj))
-    t_c = _cylinder_t(tables, ro, rd, t_min)
-    cands.append((PTYPE_CYLINDER,) + _best_of(t_c, tables.cyl_obj))
-    t_t = _triangle_t(tables, ro, rd, t_min)
-    cands.append((PTYPE_TRIANGLE,) + _best_of(t_t, tables.tri_obj))
+    if n_sph:
+        if engine == "pallas":
+            cands.append((PTYPE_SPHERE,)
+                         + _sphere_best_pallas(tables, ro, rd, t_min))
+        else:
+            t_s = _sphere_t(tables, ro, rd, t_min)
+            cands.append((PTYPE_SPHERE,) + _best_of(t_s, tables.sph_obj))
+    if n_rect:
+        t_r = _rect_t(tables, ro, rd, t_min)
+        cands.append((PTYPE_RECT,) + _best_of(t_r, tables.rect_obj))
+    if n_cyl:
+        t_c = _cylinder_t(tables, ro, rd, t_min)
+        cands.append((PTYPE_CYLINDER,) + _best_of(t_c, tables.cyl_obj))
+    if n_tri:
+        t_t = _triangle_t(tables, ro, rd, t_min)
+        cands.append((PTYPE_TRIANGLE,) + _best_of(t_t, tables.tri_obj))
 
     b = ro.shape[0]
     best_t = jnp.full((b,), INF)
@@ -225,82 +266,116 @@ def intersect(tables: SceneTables, ro, rd, t_min=1e-3) -> Hit:
 
 
 def _attributes(tables: SceneTables, ro, rd, hit, t, ptype, pid, obj) -> Hit:
-    """Recompute hit-record fields for each ray's winning primitive only."""
+    """Recompute hit-record fields for each ray's winning primitive only.
+    Families absent from the scene (static counts) are skipped."""
+    n_sph, n_rect, n_cyl, n_tri = tables.counts
     t_safe = jnp.where(hit, t, 1.0)
     p_lin = ro + t_safe[:, None] * rd  # default hit point (ray.at)
 
-    # --- sphere (object.cuh:67-73, UV at :87-93) ---
-    sc = tables.sph_center[pid]
-    sr = tables.sph_radius[pid]
-    s_out = (p_lin - sc) / jnp.where(sr == 0.0, 1.0, sr)[:, None]
-    s_theta = jnp.arccos(jnp.clip(-s_out[:, 1], -1.0, 1.0))
-    s_phi = jnp.arctan2(-s_out[:, 2], s_out[:, 0]) + np.pi
-    s_uv = jnp.stack([s_phi / (2 * np.pi), s_theta / np.pi], axis=-1)
-    s_mat = tables.sph_mat[pid]
+    branches = []  # (ptype, outward, p, uv, mat)
 
-    # --- rect (object.cuh:105-197) ---
-    ax = tables.rect_axis[pid]
-    free = _rect_free_axes(ax)
-    r_out = jnp.zeros_like(p_lin).at[jnp.arange(p_lin.shape[0]), ax].set(1.0)
-    x = jnp.take_along_axis(p_lin, free[:, :1], axis=1)[:, 0]
-    y = jnp.take_along_axis(p_lin, free[:, 1:], axis=1)[:, 0]
-    lo = tables.rect_lo[pid]
-    hi = tables.rect_hi[pid]
-    r_uv = jnp.stack(
-        [(x - lo[:, 0]) / (hi[:, 0] - lo[:, 0]),
-         (y - lo[:, 1]) / (hi[:, 1] - lo[:, 1])], axis=-1)
-    r_mat = tables.rect_mat[pid]
+    if n_sph:
+        # sphere (object.cuh:67-73, UV at :87-93)
+        sc = tables.sph_center[pid]
+        sr = tables.sph_radius[pid]
+        s_out = (p_lin - sc) / jnp.where(sr == 0.0, 1.0, sr)[:, None]
+        # pole/azimuth guards: arccos'(+-1) and arctan2 at (0,0) are
+        # inf/NaN; forward values unchanged, masked-lane grads zeroed.
+        cos_t = jnp.clip(-s_out[:, 1], -1.0, 1.0)
+        interior = jnp.abs(cos_t) < 1.0
+        s_theta = jnp.where(
+            interior,
+            jnp.arccos(jnp.where(interior, cos_t, 0.0)),
+            jnp.where(cos_t > 0.0, 0.0, np.pi))
+        az_deg = (s_out[:, 2] == 0.0) & (s_out[:, 0] == 0.0)
+        s_phi = jnp.arctan2(-s_out[:, 2],
+                            jnp.where(az_deg, 1.0, s_out[:, 0])) + np.pi
+        s_uv = jnp.stack([s_phi / (2 * np.pi), s_theta / np.pi], axis=-1)
+        branches.append((PTYPE_SPHERE, s_out, p_lin, s_uv,
+                         tables.sph_mat[pid]))
 
-    # --- cylinder (object.cuh:261-289) ---
-    w2o = tables.cyl_w2o[pid]
-    o2w = tables.cyl_o2w[pid]
-    c_oo = geom.apply_point(jnp, w2o, ro)
-    c_od = geom.apply_vec(jnp, w2o, rd)
-    op = c_oo + t_safe[:, None] * c_od
-    on = jnp.concatenate([op[:, :2], jnp.zeros_like(op[:, :1])], axis=-1)
-    on_len = geom.length(jnp, on)
-    on = on / jnp.where(on_len == 0.0, 1.0, on_len)[:, None]
-    c_p = geom.apply_point(jnp, o2w, op)
-    # o2w.apply_normal uses o2w's inverse (= w2o) transposed (vec3.cuh:376)
-    c_out = geom.apply_normal(jnp, w2o, on)
-    zmin = tables.cyl_zmin[pid]
-    zmax = tables.cyl_zmax[pid]
-    c_phi = jnp.arctan2(op[:, 1], op[:, 0]) + 2 * np.pi
-    c_uv = jnp.stack(
-        [c_phi / (4 * np.pi),
-         (op[:, 2] - zmin) / jnp.where(zmax == zmin, 1.0, zmax - zmin)],
-        axis=-1)
-    c_mat = tables.cyl_mat[pid]
+    if n_rect:
+        # rect (object.cuh:105-197)
+        ax = tables.rect_axis[pid]
+        free = _rect_free_axes(ax)
+        r_out = jnp.zeros_like(p_lin).at[
+            jnp.arange(p_lin.shape[0]), ax].set(1.0)
+        x = jnp.take_along_axis(p_lin, free[:, :1], axis=1)[:, 0]
+        y = jnp.take_along_axis(p_lin, free[:, 1:], axis=1)[:, 0]
+        lo = tables.rect_lo[pid]
+        hi = tables.rect_hi[pid]
+        r_uv = jnp.stack(
+            [(x - lo[:, 0]) / (hi[:, 0] - lo[:, 0]),
+             (y - lo[:, 1]) / (hi[:, 1] - lo[:, 1])], axis=-1)
+        branches.append((PTYPE_RECT, r_out, p_lin, r_uv,
+                         tables.rect_mat[pid]))
 
-    # --- triangle (hittable.py:258-262 normal; uv via barycentric interp;
-    # the reference's swapped-weight uv quirk at hittable.py:57-60 is NOT
-    # replicated — we interpolate with the standard barycentrics) ---
-    tv1 = tables.tri_v1[pid]
-    tv2 = tables.tri_v2[pid]
-    tv3 = tables.tri_v3[pid]
-    t_out = tables.tri_n[pid]
-    area2 = geom.length(jnp, geom.cross(jnp, tv2 - tv1, tv3 - tv1))
-    area2 = jnp.where(area2 == 0.0, 1.0, area2)
-    l1 = geom.length(jnp, geom.cross(jnp, tv2 - p_lin, tv3 - p_lin)) / area2
-    l2 = geom.length(jnp, geom.cross(jnp, tv3 - p_lin, tv1 - p_lin)) / area2
-    l3 = jnp.maximum(0.0, 1.0 - l1 - l2)
-    t_uv = (tables.tri_uv1[pid] * l1[:, None]
-            + tables.tri_uv2[pid] * l2[:, None]
-            + tables.tri_uv3[pid] * l3[:, None])
-    t_mat = tables.tri_mat[pid]
+    if n_cyl:
+        # cylinder (object.cuh:261-289)
+        w2o = tables.cyl_w2o[pid]
+        o2w = tables.cyl_o2w[pid]
+        c_oo = geom.apply_point(jnp, w2o, ro)
+        c_od = geom.apply_vec(jnp, w2o, rd)
+        op = c_oo + t_safe[:, None] * c_od
+        on = jnp.concatenate([op[:, :2], jnp.zeros_like(op[:, :1])], axis=-1)
+        on_len = geom.safe_length(jnp, on)
+        on = on / jnp.where(on_len == 0.0, 1.0, on_len)[:, None]
+        c_p = geom.apply_point(jnp, o2w, op)
+        # o2w.apply_normal uses o2w's inverse (= w2o) transposed
+        # (vec3.cuh:376)
+        c_out = geom.apply_normal(jnp, w2o, on)
+        zmin = tables.cyl_zmin[pid]
+        zmax = tables.cyl_zmax[pid]
+        cyl_deg = (op[:, 1] == 0.0) & (op[:, 0] == 0.0)
+        c_phi = jnp.arctan2(op[:, 1],
+                            jnp.where(cyl_deg, 1.0, op[:, 0])) + 2 * np.pi
+        c_uv = jnp.stack(
+            [c_phi / (4 * np.pi),
+             (op[:, 2] - zmin) / jnp.where(zmax == zmin, 1.0, zmax - zmin)],
+            axis=-1)
+        branches.append((PTYPE_CYLINDER, c_out, c_p, c_uv,
+                         tables.cyl_mat[pid]))
 
-    def sel(ss, rr, cc, tt):
-        return jnp.where(
-            (ptype == PTYPE_SPHERE)[..., None] if ss.ndim > 1 else (ptype == PTYPE_SPHERE), ss,
-            jnp.where(
-                (ptype == PTYPE_RECT)[..., None] if rr.ndim > 1 else (ptype == PTYPE_RECT), rr,
-                jnp.where(
-                    (ptype == PTYPE_CYLINDER)[..., None] if cc.ndim > 1 else (ptype == PTYPE_CYLINDER), cc, tt)))
+    if n_tri:
+        # triangle (hittable.py:258-262 normal; uv via barycentric
+        # interp; the reference's swapped-weight uv quirk at
+        # hittable.py:57-60 is NOT replicated — we interpolate with the
+        # standard barycentrics)
+        tv1 = tables.tri_v1[pid]
+        tv2 = tables.tri_v2[pid]
+        tv3 = tables.tri_v3[pid]
+        t_out = tables.tri_n[pid]
+        area2 = geom.safe_length(jnp, geom.cross(jnp, tv2 - tv1, tv3 - tv1))
+        area2 = jnp.where(area2 == 0.0, 1.0, area2)
+        l1 = geom.safe_length(
+            jnp, geom.cross(jnp, tv2 - p_lin, tv3 - p_lin)) / area2
+        l2 = geom.safe_length(
+            jnp, geom.cross(jnp, tv3 - p_lin, tv1 - p_lin)) / area2
+        l3 = jnp.maximum(0.0, 1.0 - l1 - l2)
+        t_uv = (tables.tri_uv1[pid] * l1[:, None]
+                + tables.tri_uv2[pid] * l2[:, None]
+                + tables.tri_uv3[pid] * l3[:, None])
+        branches.append((PTYPE_TRIANGLE, t_out, p_lin, t_uv,
+                         tables.tri_mat[pid]))
 
-    outward = sel(s_out, r_out, c_out, t_out)
-    p = sel(p_lin, p_lin, c_p, p_lin)
-    uv = sel(s_uv, r_uv, c_uv, t_uv)
-    mat = sel(s_mat, r_mat, c_mat, t_mat)
+    if not branches:
+        # empty scene: every ray misses
+        zeros3 = jnp.zeros_like(p_lin)
+        return Hit(hit=jnp.zeros_like(hit), t=t, ptype=ptype, pid=pid,
+                   obj=obj, p=p_lin, normal=zeros3.at[:, 2].set(1.0),
+                   front_face=jnp.ones_like(hit), u=jnp.zeros_like(t_safe),
+                   v=jnp.zeros_like(t_safe),
+                   mat=jnp.zeros_like(pid))
+
+    # fold the present branches: last one is the default, earlier ones
+    # selected by ptype match
+    pt_last, outward, p, uv, mat = branches[-1]
+    for pt, o_, p_, uv_, m_ in reversed(branches[:-1]):
+        is_pt = ptype == pt
+        outward = jnp.where(is_pt[:, None], o_, outward)
+        p = jnp.where(is_pt[:, None], p_, p)
+        uv = jnp.where(is_pt[:, None], uv_, uv)
+        mat = jnp.where(is_pt, m_, mat)
 
     # set_face_normal (hittable.cuh:16-23): flip toward the incoming ray
     front = geom.dot(jnp, rd, outward) < 0.0

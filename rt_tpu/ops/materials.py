@@ -135,7 +135,7 @@ def scatter(
     ir = tables.mat_ior[mat_id]
     ratio = jnp.where(front_face, 1.0 / ir, ir)
     cos_theta = jnp.minimum(geom.dot(jnp, -unit_in, normal), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    sin_theta = geom.safe_sqrt(jnp, 1.0 - cos_theta * cos_theta)
     cannot_refract = ratio * sin_theta > 1.0
     reflect_choice = cannot_refract | (schlick(cos_theta, ratio) > refl_u)
     die_dir = jnp.where(

@@ -1,0 +1,143 @@
+"""Sharded full-frame rendering over a device mesh.
+
+Replaces the reference's multi-GPU story (8 independent processes farmed
+over frames, gpu-version/blue.py:23-35) with in-program SPMD:
+
+  - the flat pixel list is sharded over the mesh "tile" axis (each device
+    traces its own slab of pixels — data parallelism over rays),
+  - the per-pixel sample range is sharded over the "sample" axis (device
+    k of S renders the contiguous block [k*spp/S, (k+1)*spp/S)); the
+    image is the psum of partial accumulators over that axis,
+  - scene tables are replicated (they are KBs; the ray state is the big
+    tensor).
+
+Rays are independent, so the ONLY communication in a forward render is
+the one psum over "sample" (none at all for a (N,1) mesh) — this is the
+shape the scaling-book recipe prescribes: collectives ride ICI, and
+scaling efficiency is ~1 by construction.
+
+The counter-based RNG (ops/rng.py) keys every draw on the absolute
+(pixel, sample) coordinate, so the rendered image is bit-identical no
+matter how the work is sharded — sharding is purely a layout decision,
+which is what makes the multi-chip path testable on a CPU mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from rt_tpu.config import RenderConfig
+from rt_tpu.render.renderer import render_block
+from rt_tpu.scene.types import SceneTables
+from rt_tpu.parallel.mesh import SAMPLE_AXIS, TILE_AXIS, default_mesh
+
+_LANE = 128  # pad pixel slabs to the TPU lane width
+
+
+def _padded_pixel_list(width: int, height: int, n_tile: int):
+    """Flat (px, py) arrays padded so each tile shard is lane-aligned.
+    Pad pixels re-trace pixel 0 (harmless; dropped on unpad)."""
+    n_pix = width * height
+    per = -(-n_pix // n_tile)
+    per = -(-per // _LANE) * _LANE
+    total = per * n_tile
+    pix = np.arange(total, dtype=np.int32)
+    pix = np.where(pix < n_pix, pix, 0)
+    return (pix % width).astype(np.int32), (pix // width).astype(np.int32), n_pix
+
+
+def render_sharded(
+    tables: SceneTables,
+    cfg: RenderConfig,
+    mesh: Optional[Mesh] = None,
+    samples_per_launch: Optional[int] = None,
+    progress: bool = False,
+) -> np.ndarray:
+    """Render the full frame on every device of `mesh` at once.
+
+    Returns raw radiance sums [H,W,3] (row 0 = bottom scanline), exactly
+    equal to render.renderer.render's output for the same scene/config.
+    spp is rounded UP to a multiple of the sample-axis size (the actual
+    spp used is returned alongside by render_sharded_ex)."""
+    img, _ = render_sharded_ex(tables, cfg, mesh, samples_per_launch,
+                               progress)
+    return img
+
+
+def render_sharded_ex(
+    tables: SceneTables,
+    cfg: RenderConfig,
+    mesh: Optional[Mesh] = None,
+    samples_per_launch: Optional[int] = None,
+    progress: bool = False,
+):
+    if mesh is None:
+        mesh = default_mesh()
+    w, h = cfg.width, cfg.height
+    n_tile = mesh.shape[TILE_AXIS]
+    n_sample = mesh.shape[SAMPLE_AXIS]
+
+    spp = -(-cfg.samples_per_pixel // n_sample) * n_sample
+    spp_local = spp // n_sample
+
+    px, py, n_pix = _padded_pixel_list(w, h, n_tile)
+    per_dev = px.shape[0] // n_tile
+
+    if samples_per_launch is None:
+        samples_per_launch = max(
+            1, min(spp_local, cfg.rays_per_batch // max(per_dev, 1)))
+
+    pix_sharding = NamedSharding(mesh, P(TILE_AXIS))
+    px_d = jax.device_put(jnp.asarray(px), pix_sharding)
+    py_d = jax.device_put(jnp.asarray(py), pix_sharding)
+    tables_d = jax.device_put(
+        tables, NamedSharding(mesh, P()))  # replicate scene
+
+    def make_step(n_samples: int):
+        @jax.jit
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(TILE_AXIS), P(TILE_AXIS), P()),
+            out_specs=P(TILE_AXIS),
+            check_vma=False,
+        )
+        def step(tbl, pxs, pys, sample_start):
+            # sample-axis offset: device k renders global sample indices
+            # sample_start + k*spp_local + [0, n_samples)
+            k = jax.lax.axis_index(SAMPLE_AXIS)
+            start = sample_start + k.astype(jnp.uint32) * jnp.uint32(spp_local)
+            acc = render_block(tbl, cfg, pxs, pys, start, n_samples,
+                               jnp.uint32(cfg.seed), w, h)
+            return jax.lax.psum(acc, SAMPLE_AXIS)
+
+        return step
+
+    steps = {}
+    acc = None
+    s = 0
+    while s < spp_local:
+        k = min(samples_per_launch, spp_local - s)
+        if k not in steps:
+            steps[k] = make_step(int(k))
+        part = steps[k](tables_d, px_d, py_d, jnp.uint32(s))
+        acc = part if acc is None else acc + part
+        s += k
+        if progress:
+            print(f"\rsample {s}/{spp_local} per shard", end="", flush=True)
+    if progress:
+        print()
+
+    out = np.asarray(jax.device_get(acc))[:n_pix]
+    return out.reshape(h, w, 3), spp
+
+
+# re-export for convenience
+__all__ = ["render_sharded", "render_sharded_ex", "render_block"]

@@ -65,7 +65,7 @@ def _bounce(tables: SceneTables, cfg: RenderConfig, state: RayState,
         u_rr = rng.uniform(jnp, seed, pixel, sample_idx, bounce_idx, rng.RR)
         survive = u_rr <= cfg.p_rr
 
-    hit = intersect(tables, o, d)
+    hit = intersect(tables, o, d, engine=cfg.engine)
     em = materials.emitted(tables, hit.mat, hit.u, hit.v, hit.p)
 
     ball = rng.in_unit_ball(jnp, seed, pixel, sample_idx, bounce_idx)

@@ -30,14 +30,16 @@ from rt_tpu.render.integrator import trace
 from rt_tpu.scene.types import SceneTables
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "width", "height", "n_samples"))
-def render_pixels(tables: SceneTables, cfg: RenderConfig, px, py,
-                  sample_start, n_samples: int, seed, width: int,
-                  height: int):
+def render_block(tables: SceneTables, cfg: RenderConfig, px, py,
+                 sample_start, n_samples: int, seed, width: int,
+                 height: int):
     """Trace n_samples samples for the pixel batch (px, py) [B] and return
     the radiance SUM [B,3] (not yet divided by spp — the reference also
-    accumulates raw sums and scales in write_color, color.cuh:54-57)."""
+    accumulates raw sums and scales in write_color, color.cuh:54-57).
+
+    Pure and un-jitted so it can be embedded in jit, shard_map, or grad
+    contexts (the sharded renderer and the inverse-rendering loss both
+    reuse it)."""
 
     def body(i, acc):
         s_idx = (sample_start + i).astype(jnp.uint32)
@@ -50,6 +52,10 @@ def render_pixels(tables: SceneTables, cfg: RenderConfig, px, py,
 
     acc0 = jnp.zeros((px.shape[0], 3), jnp.float32)
     return jax.lax.fori_loop(0, n_samples, body, acc0)
+
+
+render_pixels = jax.jit(
+    render_block, static_argnames=("cfg", "width", "height", "n_samples"))
 
 
 def render(tables: SceneTables, cfg: RenderConfig,

@@ -114,7 +114,12 @@ def make_camera(
 @dataclasses.dataclass(frozen=True)
 class SceneTables:
     """Device-ready SoA scene. Every table is padded to a power-of-two
-    length; pad rows have obj index -1 and never produce hits."""
+    length; pad rows have obj index -1 and never produce hits.
+
+    `counts` is STATIC metadata (not a traced leaf): the true number of
+    primitives of each type, letting the intersector skip entire
+    primitive families at trace time when a scene has none (a sphere-only
+    scene compiles no rect/cylinder/triangle code at all)."""
 
     # spheres (object.cuh:40-94)
     sph_center: jax.Array   # [Ns,3]
@@ -166,6 +171,10 @@ class SceneTables:
 
     camera: CameraDef
     background: jax.Array   # [3]
+
+    # (n_spheres, n_rects, n_cylinders, n_triangles) — static
+    counts: Tuple[int, int, int, int] = dataclasses.field(
+        default=(0, 0, 0, 0), metadata=dict(static=True))
 
 
 @dataclasses.dataclass
@@ -459,4 +468,5 @@ def build_tables(s: SceneDef) -> SceneTables:
         tex_image=tex_image, images=images,
         camera=s.camera,
         background=np.asarray(s.background, f32),
+        counts=(len(sph), len(rect), len(cyl), len(tri)),
     )

@@ -1,0 +1,126 @@
+"""Differentiable rendering: finite-difference gradient checks and
+inverse-rendering recovery (BASELINE.json configs #5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rt_tpu.config import RenderConfig
+from rt_tpu.render.renderer import render
+from rt_tpu.scene.builders import three_sphere_scene
+from rt_tpu.scene.types import SceneDef, build_tables
+from rt_tpu.diff.inverse import (
+    apply_params, extract_params, fit, make_loss_fn)
+from rt_tpu.parallel.mesh import make_mesh
+
+
+def _tiny_scene(albedo=(0.5, 0.3, 0.2)):
+    s = SceneDef(width=24, height=16, samples_per_pixel=2, max_depth=3,
+                 background=(0.7, 0.8, 1.0))
+    m = s.add_lambertian_color(albedo)
+    s.add_sphere((0, 0, -1), 0.5, m)
+    s.add_sphere((0, -100.5, -1), 100, s.add_lambertian_color((0.6, 0.6, 0.6)))
+    s.set_camera(lookfrom=(0, 0, 1), lookat=(0, 0, -1), vup=(0, 1, 0),
+                 vfov_deg=45.0, aperture=0.0)
+    cfg = RenderConfig(width=24, height=16, samples_per_pixel=2, max_depth=3,
+                       loop="scan")
+    return s, cfg
+
+
+def _pixel_list(cfg):
+    pix = np.arange(cfg.width * cfg.height, dtype=np.int32)
+    return (jnp.asarray(pix % cfg.width), jnp.asarray(pix // cfg.width))
+
+
+def test_albedo_gradient_matches_finite_difference():
+    sdef, cfg = _tiny_scene()
+    tables = build_tables(sdef)
+    px, py = _pixel_list(cfg)
+    target = jnp.zeros((px.shape[0], 3), jnp.float32)
+
+    loss_fn = make_loss_fn(tables, cfg, spp=2)
+    params = {"tex_color": jnp.asarray(tables.tex_color)}
+    grad = jax.grad(loss_fn)(params, px, py, target)["tex_color"]
+
+    # central differences on the sphere albedo's red channel
+    eps = 1e-3
+    for (i, c) in [(0, 0), (0, 2), (1, 1)]:
+        tp = jnp.asarray(tables.tex_color).at[i, c].add(eps)
+        tm = jnp.asarray(tables.tex_color).at[i, c].add(-eps)
+        lp = loss_fn({"tex_color": tp}, px, py, target)
+        lm = loss_fn({"tex_color": tm}, px, py, target)
+        fd = (float(lp) - float(lm)) / (2 * eps)
+        assert abs(float(grad[i, c]) - fd) <= max(2e-3, 0.05 * abs(fd)), (
+            f"grad[{i},{c}]={float(grad[i, c]):.6f} vs fd={fd:.6f}")
+
+
+def test_sphere_center_gradient_is_finite_and_nonzero():
+    # With flat albedos and a constant background the radiance is
+    # piecewise-constant in geometry (zero gradient a.e. — detached
+    # sampling has no edge term). The gradient sky makes radiance depend
+    # continuously on the scattered direction, hence on the normal and
+    # the sphere center.
+    sdef, cfg = _tiny_scene()
+    cfg = cfg.replace(background_mode="gradient")
+    tables = build_tables(sdef)
+    px, py = _pixel_list(cfg)
+    target = jnp.zeros((px.shape[0], 3), jnp.float32)
+
+    loss_fn = make_loss_fn(tables, cfg, spp=2)
+    params = {"sph_center": jnp.asarray(tables.sph_center)}
+    grad = jax.grad(loss_fn)(params, px, py, target)["sph_center"]
+    assert np.isfinite(np.asarray(grad)).all()
+    assert float(jnp.abs(grad[0]).sum()) > 0.0
+
+
+def test_inverse_render_recovers_albedo():
+    true_albedo = (0.7, 0.2, 0.4)
+    sdef, cfg = _tiny_scene(albedo=true_albedo)
+    tables = build_tables(sdef)
+    target = render(tables, cfg) / cfg.samples_per_pixel
+
+    # start from a wrong albedo; optimize tex_color only
+    wrong_sdef, _ = _tiny_scene(albedo=(0.3, 0.5, 0.1))
+    wrong_tables = build_tables(wrong_sdef)
+
+    recovered, history = fit(
+        wrong_tables, cfg, target, fields=("tex_color",), spp=2,
+        steps=60, learning_rate=5e-2)
+    assert history[-1] < history[0] * 0.1
+    got = recovered["tex_color"][0]
+    assert np.allclose(got, true_albedo, atol=0.08), got
+
+
+def test_inverse_render_sharded_matches_single():
+    """One SPMD train step == one single-device train step (same data)."""
+    import optax
+    from rt_tpu.diff.inverse import (
+        make_train_step, pixel_sharding, _padded_pixel_list)
+
+    sdef, cfg = _tiny_scene()
+    tables = build_tables(sdef)
+    mesh = make_mesh((4, 2), jax.devices())
+    opt = optax.sgd(1e-2)
+    params0 = extract_params(tables, ("tex_color",))
+    params0 = {k: jnp.asarray(v) for k, v in params0.items()}
+
+    px, py, n_pix = _padded_pixel_list(cfg.width, cfg.height, 8)
+    target = np.full((px.shape[0], 3), 0.25, np.float32)
+
+    step_1 = make_train_step(tables, cfg, 2, opt, mesh=None)
+    p1, _, loss1 = step_1(params0, opt.init(params0), jnp.asarray(px),
+                          jnp.asarray(py), jnp.asarray(target))
+
+    sh = pixel_sharding(mesh)
+    step_n = make_train_step(tables, cfg, 2, opt, mesh=mesh)
+    p_n, _, loss_n = step_n(
+        params0, opt.init(params0),
+        jax.device_put(jnp.asarray(px), sh),
+        jax.device_put(jnp.asarray(py), sh),
+        jax.device_put(jnp.asarray(target), sh))
+
+    assert abs(float(loss1) - float(loss_n)) < 1e-5
+    np.testing.assert_allclose(np.asarray(p1["tex_color"]),
+                               np.asarray(p_n["tex_color"]),
+                               rtol=1e-4, atol=1e-6)
