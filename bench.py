@@ -41,7 +41,7 @@ def main():
 
     sdef, cfg = cover_scene(width=width, height=height, spp=spp_timed,
                             max_depth=depth)
-    cfg = cfg.replace(rays_per_batch=1 << 19)
+    cfg = cfg.replace(rays_per_batch=1 << 19, engine="mega")
     tables = build_tables(sdef)
     mesh = make_mesh((len(jax.devices()), 1))
 

@@ -1,0 +1,164 @@
+"""BVH acceleration structure: host build, flat arrays, stackless walk.
+
+Reimplements the Taichi version's acceleration layer (SURVEY.md L3):
+median-split over the longest centroid axis, flattened pre-order with
+threaded escape ("next") links so GPU/TPU traversal needs ONE integer of
+state per ray (taichi-version/bvh.py:24-162; escape link at :93-105;
+slab test at :170-193; stackless walk in hittable.py:212-250).
+
+Build runs on the host — in C++ when the native library is available
+(rt_tpu/native/rt_native.cpp, ~100x the Python builder; rebuilt per
+frame for animated meshes exactly like world.update() re-commits in
+taichi-version/hittable.py:176-193) with a NumPy fallback.
+
+Traversal here is the vectorized XLA form: every ray carries its own
+`cur` node pointer through a lax.while_loop; inner nodes descend on a
+slab hit and take the escape link otherwise; leaves run the caller's
+primitive test. Divergence note (SURVEY.md §7 hard parts): lanes visit
+different node counts, so the loop runs until the LAST lane finishes —
+profitable once the primitive count is well past the brute-force
+crossover (hundreds for triangles).
+
+Tie semantics: the BVH accepts strictly-closer hits only (t <
+closest), matching the Taichi walk — on an exact t tie the FIRST hit in
+traversal order wins, which can differ from the linear scan's
+later-object-wins rule on measure-zero cases.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class BVH(NamedTuple):
+    """Flat threaded BVH; all arrays have 2n-1 rows (pre-order)."""
+
+    obj_id: np.ndarray   # [M] i32, primitive id at leaves, -1 inner
+    left_id: np.ndarray  # [M] i32 (== i+1 for inner nodes)
+    next_id: np.ndarray  # [M] i32 escape link, -1 = done
+    bmin: np.ndarray     # [M,3] f32
+    bmax: np.ndarray     # [M,3] f32
+
+
+def build_bvh(bmin: np.ndarray, bmax: np.ndarray) -> BVH:
+    """Build from primitive AABBs [n,3]; native C++ when available."""
+    bmin = np.asarray(bmin, np.float32)
+    bmax = np.asarray(bmax, np.float32)
+    from rt_tpu.io.native import native_build_bvh
+
+    res = native_build_bvh(bmin, bmax)
+    if res is None:
+        res = _python_build(bmin, bmax)
+    return BVH(obj_id=res["obj_id"], left_id=res["left_id"],
+               next_id=res["next_id"], bmin=res["bmin"], bmax=res["bmax"])
+
+
+def _python_build(bmin: np.ndarray, bmax: np.ndarray) -> dict:
+    """NumPy fallback, same layout/semantics as rt_native.cpp."""
+    n = bmin.shape[0]
+    m = 2 * n - 1
+    centers = 0.5 * (bmin + bmax)
+    obj_id = np.full(m, -1, np.int32)
+    left_id = np.full(m, -1, np.int32)
+    right_id = np.full(m, -1, np.int32)
+    next_id = np.full(m, -1, np.int32)
+    bmin_o = np.zeros((m, 3), np.float32)
+    bmax_o = np.zeros((m, 3), np.float32)
+
+    # (first, count, parent_next, slot) — iterative pre-order
+    stack = [(np.arange(n), -1, 0)]
+    while stack:
+        idx, parent_next, s = stack.pop()
+        bmin_o[s] = bmin[idx].min(0)
+        bmax_o[s] = bmax[idx].max(0)
+        next_id[s] = parent_next
+        if idx.size == 1:
+            obj_id[s] = idx[0]
+            continue
+        c = centers[idx]
+        axis = int(np.argmax(c.max(0) - c.min(0)))
+        half = idx.size // 2
+        part = idx[np.argpartition(c[:, axis], half)]
+        left_slot = s + 1
+        right_slot = s + 1 + (2 * half - 1)
+        left_id[s] = left_slot
+        right_id[s] = right_slot
+        stack.append((part[half:], parent_next, right_slot))
+        stack.append((part[:half], right_slot, left_slot))
+    return dict(obj_id=obj_id, left_id=left_id, right_id=right_id,
+                next_id=next_id, bmin=bmin_o, bmax=bmax_o)
+
+
+def traverse(bvh_arrays, ro, rd, t_min, leaf_test):
+    """Vectorized stackless walk.
+
+    bvh_arrays: dict/pytree of jnp arrays (obj_id, left_id, next_id,
+    bmin [M,3], bmax [M,3]).
+    leaf_test(prim_id [B] i32, ro, rd, t_min) -> t [B] (inf on miss):
+    candidate t of primitive prim_id for each ray.
+
+    Returns (t_best [B] f32 inf-on-miss, pid_best [B] i32).
+    """
+    b = ro.shape[0]
+    inv_d = 1.0 / rd  # +-inf where a component is 0: slab test still valid
+    obj_id = bvh_arrays["obj_id"]
+    left_id = bvh_arrays["left_id"]
+    next_id = bvh_arrays["next_id"]
+    bmin = bvh_arrays["bmin"]
+    bmax = bvh_arrays["bmax"]
+
+    def cond(state):
+        cur, t_best, pid = state
+        return jnp.any(cur >= 0)
+
+    def body(state):
+        cur, t_best, pid = state
+        node = jnp.maximum(cur, 0)
+        nb_min = bmin[node]
+        nb_max = bmax[node]
+        # slab test vs current best (bvh.py:170-193 uses the running
+        # closest as t_max)
+        t0 = (nb_min - ro) * inv_d
+        t1 = (nb_max - ro) * inv_d
+        tn = jnp.minimum(t0, t1).max(axis=-1)
+        tf = jnp.maximum(t0, t1).min(axis=-1)
+        box_hit = (tf >= jnp.maximum(tn, t_min)) & (tn <= t_best)
+
+        prim = obj_id[node]
+        is_leaf = prim >= 0
+        t_cand = leaf_test(jnp.maximum(prim, 0), ro, rd, t_min)
+        better = is_leaf & box_hit & (t_cand < t_best)
+        t_best = jnp.where(better, t_cand, t_best)
+        pid = jnp.where(better, jnp.maximum(prim, 0), pid)
+
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, left_id[node], next_id[node])
+        cur = jnp.where(cur >= 0, nxt, cur)
+        return cur, t_best, pid
+
+    cur0 = jnp.zeros((b,), jnp.int32)
+    t0 = jnp.full((b,), np.float32(np.inf))
+    pid0 = jnp.zeros((b,), jnp.int32)
+    _, t_best, pid = jax.lax.while_loop(cond, body, (cur0, t0, pid0))
+    return t_best, pid
+
+
+# ---------------------------------------------------------------------------
+# per-primitive-type AABBs (for building scene BVHs)
+# ---------------------------------------------------------------------------
+
+
+def sphere_aabbs(centers: np.ndarray, radii: np.ndarray):
+    r = np.abs(np.asarray(radii, np.float32))[:, None]
+    c = np.asarray(centers, np.float32)
+    return c - r, c + r
+
+
+def triangle_aabbs(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray):
+    vs = np.stack([v1, v2, v3], axis=0).astype(np.float32)
+    return vs.min(0), vs.max(0)

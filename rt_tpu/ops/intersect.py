@@ -216,8 +216,71 @@ def _sphere_best_pallas(tables: SceneTables, ro, rd, t_min):
     return t, pid, tables.sph_obj[pid]
 
 
+def _sphere_leaf_test(tables: SceneTables):
+    """Single-primitive sphere test for BVH leaves (object.cuh:47-75)."""
+    def leaf(pid, ro, rd, t_min):
+        c = jnp.asarray(tables.sph_center)[pid]
+        r = jnp.asarray(tables.sph_radius)[pid]
+        oc = ro - c
+        a = geom.length_squared(jnp, rd)
+        hb = geom.dot(jnp, oc, rd)
+        ct = geom.length_squared(jnp, oc) - r * r
+        disc = hb * hb - a * ct
+        sqrtd = geom.safe_sqrt(jnp, disc)
+        root1 = (-hb - sqrtd) / a
+        root2 = (-hb + sqrtd) / a
+        t = jnp.where(root1 >= t_min, root1,
+                      jnp.where(root2 >= t_min, root2, INF))
+        return jnp.where(disc >= 0.0, t, INF)
+
+    return leaf
+
+
+def _triangle_leaf_test(tables: SceneTables):
+    """Single-triangle test for BVH leaves (hittable.py:38-71)."""
+    def leaf(pid, ro, rd, t_min):
+        v1 = jnp.asarray(tables.tri_v1)[pid]
+        v2 = jnp.asarray(tables.tri_v2)[pid]
+        v3 = jnp.asarray(tables.tri_v3)[pid]
+        n0 = jnp.asarray(tables.tri_n)[pid]
+        oc_n = geom.dot(jnp, ro - v1, n0)
+        sign = jnp.where(oc_n < 0.0, -1.0, 1.0)
+        d_n = geom.dot(jnp, rd, n0) * sign
+        oc_n = oc_n * sign
+        a = geom.length(jnp, rd)
+        theta = d_n / a
+        root = geom.safe_div(jnp, -oc_n, theta * a)
+        r_pt = ro + root[:, None] * rd
+
+        def side(va, vb):
+            return geom.dot(jnp, geom.cross(jnp, vb - va, r_pt - va), n0)
+
+        s1, s2, s3 = side(v1, v2), side(v2, v3), side(v3, v1)
+        inside = (((s1 > 0) & (s2 > 0) & (s3 > 0))
+                  | ((s1 < 0) & (s2 < 0) & (s3 < 0)))
+        valid = (theta < 0.0) & inside & (root >= t_min)
+        return jnp.where(valid, root, INF)
+
+    return leaf
+
+
+def _best_bvh(tables: SceneTables, prefix: str, leaf_test, ro, rd, t_min,
+              obj_table):
+    from rt_tpu.accel.bvh import traverse
+
+    arrays = {
+        "obj_id": jnp.asarray(getattr(tables, f"{prefix}_bvh_obj")),
+        "left_id": jnp.asarray(getattr(tables, f"{prefix}_bvh_left")),
+        "next_id": jnp.asarray(getattr(tables, f"{prefix}_bvh_next")),
+        "bmin": jnp.asarray(getattr(tables, f"{prefix}_bvh_min")),
+        "bmax": jnp.asarray(getattr(tables, f"{prefix}_bvh_max")),
+    }
+    t, pid = traverse(arrays, ro, rd, t_min, leaf_test)
+    return t, pid, jnp.asarray(obj_table)[pid]
+
+
 def intersect(tables: SceneTables, ro, rd, t_min=1e-3,
-              engine: str = "xla") -> Hit:
+              engine: str = "xla", traversal: str = "linear") -> Hit:
     """Closest hit of rays (ro, rd) [B,3] against the whole scene.
 
     t_min defaults to the reference's shadow-acne epsilon 0.001
@@ -225,6 +288,8 @@ def intersect(tables: SceneTables, ro, rd, t_min=1e-3,
 
     engine="pallas" routes the sphere pass through the VMEM-tiled Pallas
     kernel (forward-only); "xla" is the differentiable default.
+    traversal="bvh" walks the threaded BVH for families that carry one
+    (tables.bvh_for) instead of testing every primitive.
 
     Primitive families the scene doesn't use (static tables.counts) are
     skipped at trace time — a sphere-only scene compiles only the sphere
@@ -232,7 +297,11 @@ def intersect(tables: SceneTables, ro, rd, t_min=1e-3,
     n_sph, n_rect, n_cyl, n_tri = tables.counts
     cands = []
     if n_sph:
-        if engine == "pallas":
+        if traversal == "bvh" and "sphere" in tables.bvh_for:
+            cands.append((PTYPE_SPHERE,) + _best_bvh(
+                tables, "sph", _sphere_leaf_test(tables), ro, rd, t_min,
+                tables.sph_obj))
+        elif engine == "pallas":
             cands.append((PTYPE_SPHERE,)
                          + _sphere_best_pallas(tables, ro, rd, t_min))
         else:
@@ -245,8 +314,13 @@ def intersect(tables: SceneTables, ro, rd, t_min=1e-3,
         t_c = _cylinder_t(tables, ro, rd, t_min)
         cands.append((PTYPE_CYLINDER,) + _best_of(t_c, tables.cyl_obj))
     if n_tri:
-        t_t = _triangle_t(tables, ro, rd, t_min)
-        cands.append((PTYPE_TRIANGLE,) + _best_of(t_t, tables.tri_obj))
+        if traversal == "bvh" and "triangle" in tables.bvh_for:
+            cands.append((PTYPE_TRIANGLE,) + _best_bvh(
+                tables, "tri", _triangle_leaf_test(tables), ro, rd, t_min,
+                tables.tri_obj))
+        else:
+            t_t = _triangle_t(tables, ro, rd, t_min)
+            cands.append((PTYPE_TRIANGLE,) + _best_of(t_t, tables.tri_obj))
 
     b = ro.shape[0]
     best_t = jnp.full((b,), INF)

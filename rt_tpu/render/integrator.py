@@ -65,7 +65,8 @@ def _bounce(tables: SceneTables, cfg: RenderConfig, state: RayState,
         u_rr = rng.uniform(jnp, seed, pixel, sample_idx, bounce_idx, rng.RR)
         survive = u_rr <= cfg.p_rr
 
-    hit = intersect(tables, o, d, engine=cfg.engine)
+    hit = intersect(tables, o, d, engine=cfg.engine,
+                    traversal=cfg.traversal)
     em = materials.emitted(tables, hit.mat, hit.u, hit.v, hit.p)
 
     ball = rng.in_unit_ball(jnp, seed, pixel, sample_idx, bounce_idx)
@@ -96,7 +97,21 @@ def _bounce(tables: SceneTables, cfg: RenderConfig, state: RayState,
 
 def trace(tables: SceneTables, cfg: RenderConfig, ro, rd, pixel, sample_idx,
           seed) -> jnp.ndarray:
-    """Trace a batch of primary rays to radiance [B,3]."""
+    """Trace a batch of primary rays to radiance [B,3].
+
+    engine="mega" routes supported scenes (spheres + solid/checker
+    textures) through the full-path Pallas megakernel
+    (ops/pallas_mega.py); unsupported scenes fall back to the hybrid
+    per-bounce loop with engine="pallas"."""
+    if cfg.engine == "mega":
+        from rt_tpu.ops.pallas_mega import mega_supported, mega_trace
+
+        if mega_supported(tables):
+            sample_scalar = jnp.asarray(sample_idx).reshape(-1)[0]
+            return mega_trace(tables, cfg, ro, rd, pixel, sample_scalar,
+                              seed)
+        cfg = cfg.replace(engine="pallas")
+
     b = ro.shape[0]
     state = RayState(
         o=ro, d=rd,

@@ -172,9 +172,36 @@ class SceneTables:
     camera: CameraDef
     background: jax.Array   # [3]
 
+    # threaded BVHs over the live rows of the sphere / triangle tables
+    # (rt_tpu/accel/bvh.py; dummy 1-node arrays when absent — the static
+    # `bvh_for` field says which are real)
+    sph_bvh_obj: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros(1, np.int32))
+    sph_bvh_left: jax.Array = dataclasses.field(
+        default_factory=lambda: np.full(1, -1, np.int32))
+    sph_bvh_next: jax.Array = dataclasses.field(
+        default_factory=lambda: np.full(1, -1, np.int32))
+    sph_bvh_min: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros((1, 3), np.float32))
+    sph_bvh_max: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros((1, 3), np.float32))
+    tri_bvh_obj: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros(1, np.int32))
+    tri_bvh_left: jax.Array = dataclasses.field(
+        default_factory=lambda: np.full(1, -1, np.int32))
+    tri_bvh_next: jax.Array = dataclasses.field(
+        default_factory=lambda: np.full(1, -1, np.int32))
+    tri_bvh_min: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros((1, 3), np.float32))
+    tri_bvh_max: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros((1, 3), np.float32))
+
     # (n_spheres, n_rects, n_cylinders, n_triangles) — static
     counts: Tuple[int, int, int, int] = dataclasses.field(
         default=(0, 0, 0, 0), metadata=dict(static=True))
+    # which primitive families carry a real BVH, e.g. ("triangle",)
+    bvh_for: Tuple[str, ...] = dataclasses.field(
+        default=(), metadata=dict(static=True))
 
 
 @dataclasses.dataclass
@@ -315,8 +342,12 @@ def _cylinder_o2w(obj: dict) -> Tuple[np.ndarray, np.ndarray]:
     return t
 
 
-def build_tables(s: SceneDef) -> SceneTables:
-    """Freeze a SceneDef into padded device tables."""
+def build_tables(s: SceneDef, bvh_types: Sequence[str] = ()) -> SceneTables:
+    """Freeze a SceneDef into padded device tables.
+
+    bvh_types: primitive families ("sphere", "triangle") to build a
+    threaded BVH over (rt_tpu/accel/bvh.py); traversal is enabled with
+    RenderConfig(traversal="bvh")."""
     if s.camera is None:
         raise ValueError("scene has no camera")
 
@@ -452,7 +483,31 @@ def build_tables(s: SceneDef) -> SceneTables:
     else:
         images = np.zeros((1, 1, 1, 3), f32)
 
+    bvh_fields = {}
+    bvh_built = []
+    if "sphere" in bvh_types and sph:
+        from rt_tpu.accel.bvh import build_bvh, sphere_aabbs
+
+        lo, hi = sphere_aabbs(sph_center[:len(sph)], sph_radius[:len(sph)])
+        bv = build_bvh(lo, hi)
+        bvh_fields.update(sph_bvh_obj=bv.obj_id, sph_bvh_left=bv.left_id,
+                          sph_bvh_next=bv.next_id, sph_bvh_min=bv.bmin,
+                          sph_bvh_max=bv.bmax)
+        bvh_built.append("sphere")
+    if "triangle" in bvh_types and tri:
+        from rt_tpu.accel.bvh import build_bvh, triangle_aabbs
+
+        lo, hi = triangle_aabbs(tri_v1[:len(tri)], tri_v2[:len(tri)],
+                                tri_v3[:len(tri)])
+        bv = build_bvh(lo, hi)
+        bvh_fields.update(tri_bvh_obj=bv.obj_id, tri_bvh_left=bv.left_id,
+                          tri_bvh_next=bv.next_id, tri_bvh_min=bv.bmin,
+                          tri_bvh_max=bv.bmax)
+        bvh_built.append("triangle")
+
     return SceneTables(
+        **bvh_fields,
+        bvh_for=tuple(bvh_built),
         sph_center=sph_center, sph_radius=sph_radius, sph_mat=sph_mat,
         sph_obj=sph_obj,
         rect_axis=rect_axis, rect_lo=rect_lo, rect_hi=rect_hi, rect_k=rect_k,
