@@ -48,6 +48,18 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                         "tiles) instead of single-device tiling")
     p.add_argument("--progress", action="store_true")
     p.add_argument("--log", default="rt_tpu-time.log")
+    p.add_argument("--engine", default=None,
+                   choices=["xla", "pallas", "mega"],
+                   help="compute engine (default: mega on TPU scenes that "
+                        "support it would be chosen by --auto-engine; "
+                        "unset keeps the config default)")
+    p.add_argument("--bvh", action="store_true",
+                   help="build + traverse a BVH for spheres/triangles")
+    p.add_argument("--checkpoint", default=None,
+                   help="progressive checkpoint file (.npz); resumes "
+                        "exactly if it exists")
+    p.add_argument("--checkpoint-every", type=int, default=32,
+                   help="samples between checkpoint writes")
 
 
 def _load(args):
@@ -100,10 +112,21 @@ def cmd_render(args) -> int:
     from rt_tpu.io.image import write_png, write_ppm
 
     sdef, cfg, out_path = _load(args)
-    tables = build_tables(sdef)
+    if args.engine:
+        cfg = cfg.replace(engine=args.engine)
+    tables = build_tables(
+        sdef, bvh_types=("sphere", "triangle") if args.bvh else ())
+    if args.bvh:
+        cfg = cfg.replace(traversal="bvh")
 
     t0 = time.time()
-    if args.sharded:
+    if args.checkpoint:
+        from rt_tpu.render.progressive import render_progressive
+        img, _ = render_progressive(
+            tables, cfg, checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
+            progress=args.progress)
+    elif args.sharded:
         from rt_tpu.parallel.sharded import render_sharded
         img = render_sharded(tables, cfg, progress=args.progress)
     else:

@@ -60,9 +60,13 @@ render_pixels = jax.jit(
 
 def render(tables: SceneTables, cfg: RenderConfig,
            samples_per_launch: Optional[int] = None,
-           progress: bool = False) -> np.ndarray:
+           progress: bool = False, sample_offset: int = 0) -> np.ndarray:
     """Render the full frame. Returns the raw radiance sum [H,W,3] with
-    row 0 = BOTTOM scanline (the reference's j index; writers flip)."""
+    row 0 = BOTTOM scanline (the reference's j index; writers flip).
+
+    sample_offset shifts the absolute sample indices (progressive /
+    resumed renders draw exactly the stream coordinates an uninterrupted
+    run would, ops/rng.py)."""
     w, h = cfg.width, cfg.height
     spp = cfg.samples_per_pixel
     n_pix = w * h
@@ -93,7 +97,8 @@ def render(tables: SceneTables, cfg: RenderConfig,
         s = 0
         while s < spp:
             k = min(samples_per_launch, spp - s)
-            part = render_pixels(tables, cfg, px, py, np.uint32(s), int(k),
+            part = render_pixels(tables, cfg, px, py,
+                                 np.uint32(sample_offset + s), int(k),
                                  seed, w, h)
             tile_acc = part if tile_acc is None else tile_acc + part
             s += k

@@ -1,0 +1,137 @@
+"""Metrics / tracing / observability.
+
+The reference's observability is a stderr `when()` stage-banner macro
+(gpu-version/rtweekend.cuh:40), scanline-countdown tickers
+(cpu-version/cpu-version/main.cpp:77) and append-only wall-clock .log
+files with the full run config (main.cu:338-345, main.cpp:93-96,
+cmake-cpu-version/main.cpp:110-114). This module is the structured
+equivalent:
+
+  - Phases: named spans with wall time (and optional device sync), the
+    `when()` replacement.
+  - RenderStats: paths/s, rays/s (paths x avg bounce depth when known),
+    per-launch history — the .log line, machine-readable.
+  - log_line(): the append-only text log, format-compatible in spirit
+    with the reference's "<tag>, width .. time: %lf s" lines.
+  - profile(): context manager around jax.profiler for deep TPU traces.
+
+NOTE (axon tunnel): `jax.block_until_ready` does NOT wait for device
+completion over the remote-TPU tunnel; Phase(sync=True) forces a D2H
+transfer of a scalar instead, which does.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import json
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def device_sync(x=None):
+    """Truly wait for device work (D2H of one scalar; see module note)."""
+    import jax
+    import jax.numpy as jnp
+
+    if x is None:
+        x = jnp.zeros(())
+    leaves = jax.tree_util.tree_leaves(x)
+    if leaves:
+        np.asarray(jnp.ravel(leaves[0])[0])
+
+
+@dataclasses.dataclass
+class Phase:
+    """One named span. Use via Metrics.phase("name")."""
+
+    name: str
+    start: float = 0.0
+    seconds: float = 0.0
+    count: int = 0
+
+
+class Metrics:
+    """Collects phase timings + counters for one render job."""
+
+    def __init__(self, sync: bool = False):
+        self.phases: Dict[str, Phase] = {}
+        self.counters: Dict[str, float] = {}
+        self.sync = sync
+
+    @contextlib.contextmanager
+    def phase(self, name: str, result=None):
+        ph = self.phases.setdefault(name, Phase(name))
+        t0 = time.perf_counter()
+        try:
+            yield ph
+        finally:
+            if self.sync:
+                device_sync(result)
+            ph.seconds += time.perf_counter() - t0
+            ph.count += 1
+
+    def add(self, name: str, value: float = 1.0):
+        self.counters[name] = self.counters.get(name, 0.0) + value
+
+    def summary(self) -> dict:
+        out = {f"phase.{p.name}.s": round(p.seconds, 4)
+               for p in self.phases.values()}
+        out.update({f"count.{k}": v for k, v in self.counters.items()})
+        return out
+
+    def __repr__(self):
+        return f"Metrics({json.dumps(self.summary())})"
+
+
+@dataclasses.dataclass
+class RenderStats:
+    """Throughput record for one frame (the .log regression line)."""
+
+    width: int
+    height: int
+    spp: int
+    max_depth: int
+    seconds: float
+    engine: str = "xla"
+    n_devices: int = 1
+
+    @property
+    def paths(self) -> int:
+        return self.width * self.height * self.spp
+
+    @property
+    def paths_per_s(self) -> float:
+        return self.paths / self.seconds if self.seconds > 0 else 0.0
+
+    def log_line(self, tag: str = "rt_tpu") -> str:
+        return (f"{tag}, width {self.width} height {self.height} "
+                f"spp {self.spp} depth {self.max_depth} engine {self.engine} "
+                f"devices {self.n_devices} "
+                f"paths/s {self.paths_per_s:.0f} time: {self.seconds:.6f} s")
+
+    def append_to(self, path: str, tag: str = "rt_tpu") -> None:
+        with open(path, "a") as f:
+            f.write(self.log_line(tag) + "\n")
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self)
+                          | {"paths_per_s": self.paths_per_s})
+
+
+@contextlib.contextmanager
+def profile(logdir: Optional[str] = None):
+    """jax.profiler trace around a block (TPU timeline in TensorBoard);
+    no-op when logdir is None."""
+    if logdir is None:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,78 @@
+"""Checkpoint/resume: a resumed render is bit-identical to an
+uninterrupted one (counter-based RNG -> exact resume, SURVEY.md §5.4)."""
+
+import numpy as np
+import pytest
+
+from rt_tpu.render.progressive import Checkpoint, render_progressive
+from rt_tpu.render.renderer import render
+from rt_tpu.scene.builders import three_sphere_scene
+from rt_tpu.scene.types import build_tables
+from rt_tpu.utils.metrics import Metrics, RenderStats
+
+
+@pytest.fixture(scope="module")
+def scene():
+    sdef, cfg = three_sphere_scene(width=32, height=18, spp=8, max_depth=4)
+    return build_tables(sdef), cfg
+
+
+def test_progressive_equals_oneshot(scene):
+    tables, cfg = scene
+    ref = render(tables, cfg)
+    acc, done = render_progressive(tables, cfg, samples_per_pass=3)
+    assert done == cfg.samples_per_pixel
+    np.testing.assert_allclose(acc, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_resume_from_checkpoint_is_exact(scene, tmp_path):
+    tables, cfg = scene
+    ck = str(tmp_path / "ck.npz")
+    ref = render(tables, cfg)
+
+    # "crash" after 4 samples
+    render_progressive(tables, cfg.replace(samples_per_pixel=4),
+                       checkpoint_path=ck, checkpoint_every=2)
+    saved = Checkpoint.load(ck)
+    assert saved.samples_done == 4
+
+    # resume to the full spp; fingerprint must match and result be exact
+    acc, done = render_progressive(tables, cfg, checkpoint_path=ck,
+                                   checkpoint_every=4)
+    assert done == cfg.samples_per_pixel
+    np.testing.assert_allclose(acc, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_checkpoint_rejects_mismatched_config(scene, tmp_path):
+    tables, cfg = scene
+    ck = str(tmp_path / "ck.npz")
+    render_progressive(tables, cfg.replace(samples_per_pixel=2),
+                       checkpoint_path=ck, checkpoint_every=2)
+    with pytest.raises(ValueError):
+        render_progressive(tables, cfg.replace(seed=123),
+                           checkpoint_path=ck)
+
+
+def test_callback_fires_per_pass(scene):
+    tables, cfg = scene
+    seen = []
+    render_progressive(tables, cfg, samples_per_pass=2,
+                       callback=lambda img, s: seen.append(s))
+    assert seen == [2, 4, 6, 8]
+
+
+def test_metrics_and_stats():
+    m = Metrics()
+    with m.phase("parse"):
+        pass
+    with m.phase("render"):
+        pass
+    m.add("launches", 3)
+    s = m.summary()
+    assert "phase.parse.s" in s and s["count.launches"] == 3
+
+    st = RenderStats(width=100, height=50, spp=4, max_depth=8, seconds=2.0,
+                     engine="mega")
+    assert st.paths == 100 * 50 * 4
+    assert st.paths_per_s == st.paths / 2.0
+    assert "engine mega" in st.log_line()
