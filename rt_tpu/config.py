@@ -46,10 +46,13 @@ class RenderConfig:
     seed: int = 0
 
     # Execution knobs (not part of reference semantics).
-    engine: str = "xla"            # "xla" | "pallas"
+    engine: str = "xla"            # "xla" | "pallas" | "mega"
     loop: str = "while"            # "while" | "scan" (scan is differentiable)
     traversal: str = "linear"      # "linear" | "bvh"
     rays_per_batch: int = 1 << 17  # sample-batch size fed to one device step
+    # megakernel stream compaction: split the bounce loop into segments
+    # of this many bounces and pack live rays between segments (0 = off)
+    compact_every: int = 0
 
     @property
     def aspect_ratio(self) -> float:

@@ -177,12 +177,16 @@ def _unit_ball(seed, pixel, sample, bounce):
 
 def _mega_kernel(scal_i_ref, scal_f_ref, sh_ref,
                  rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
-                 pix_ref,
-                 outr_ref, outg_ref, outb_ref, *,
+                 tpr_ref, tpg_ref, tpb_ref, cr_ref, cg_ref, cb_ref,
+                 alive_ref, pix_ref,
+                 oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
+                 otpr_ref, otpg_ref, otpb_ref, ocr_ref, ocg_ref, ocb_ref,
+                 oalive_ref, *,
                  n: int, chunk: int, max_depth: int, t_min: float,
                  p_rr: float, grad_bg: bool, exhaust_bg: bool):
     seed = scal_i_ref[0, 0]
     sample = scal_i_ref[0, 1]
+    start_bounce = scal_i_ref[0, 2]
     bg_r = scal_f_ref[0, 0]
     bg_g = scal_f_ref[0, 1]
     bg_b = scal_f_ref[0, 2]
@@ -199,7 +203,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sh_ref,
 
     def do_bounce(b, st):
         (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, cr, cg, cb, alive) = st
-        bounce = jnp.full_like(pix, b)
+        bounce = jnp.full_like(pix, start_bounce + b)
 
         live = alive > 0.0
         if p_rr > 0.0:
@@ -382,37 +386,44 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sh_ref,
         return jax.lax.cond(any_alive, lambda s: do_bounce(b, s),
                             lambda s: s, st)
 
-    shape = pix.shape
-    zeros = jnp.zeros(shape, jnp.float32)
-    ones = jnp.ones(shape, jnp.float32)
     st = (rox_ref[0], roy_ref[0], roz_ref[0],
           rdx_ref[0], rdy_ref[0], rdz_ref[0],
-          ones, ones, ones, zeros, zeros, zeros, ones)
+          tpr_ref[0], tpg_ref[0], tpb_ref[0],
+          cr_ref[0], cg_ref[0], cb_ref[0], alive_ref[0])
     st = jax.lax.fori_loop(0, max_depth, bounce_step, st)
-    (_, _, _, dx, dy, dz, tpr, tpg, tpb, cr, cg, cb, alive) = st
+    (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, cr, cg, cb, alive) = st
 
     if exhaust_bg:
+        # only applied by the FINAL segment of a chunked trace
         bgr, bgg, bgb = background(dx, dy, dz)
         live = alive > 0.0
         cr = cr + jnp.where(live, tpr * bgr, 0.0)
         cg = cg + jnp.where(live, tpg * bgg, 0.0)
         cb = cb + jnp.where(live, tpb * bgb, 0.0)
 
-    outr_ref[0] = cr
-    outg_ref[0] = cg
-    outb_ref[0] = cb
+    oox_ref[0], ooy_ref[0], ooz_ref[0] = ox, oy, oz
+    odx_ref[0], ody_ref[0], odz_ref[0] = dx, dy, dz
+    otpr_ref[0], otpg_ref[0], otpb_ref[0] = tpr, tpg, tpb
+    ocr_ref[0], ocg_ref[0], ocb_ref[0] = cr, cg, cb
+    oalive_ref[0] = alive
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("max_depth", "t_min", "p_rr", "grad_bg", "exhaust_bg",
                      "interpret"))
-def mega_trace_padded(shading, background, ro, rd, pixel, sample_idx, seed,
-                      max_depth: int, t_min: float = 1e-3,
-                      p_rr: float = 0.0, grad_bg: bool = False,
-                      exhaust_bg: bool = False, interpret: bool = False):
-    """Trace B rays (B % RAY_TILE == 0) to radiance [B,3]."""
-    b = ro.shape[0]
+def mega_segment(shading, background, state, pixel, sample_idx, seed,
+                 start_bounce, max_depth: int, t_min: float = 1e-3,
+                 p_rr: float = 0.0, grad_bg: bool = False,
+                 exhaust_bg: bool = False, interpret: bool = False):
+    """Advance B rays (B % RAY_TILE == 0) max_depth bounces.
+
+    state: tuple of 13 [B] f32 arrays
+    (ox,oy,oz, dx,dy,dz, tpr,tpg,tpb, cr,cg,cb, alive). Returns the
+    updated tuple. start_bounce offsets the RNG bounce coordinate so a
+    chunked trace draws exactly the same stream as a single-segment one.
+    """
+    b = state[0].shape[0]
     n = shading.shape[0]
     assert b % RAY_TILE == 0
     chunk = min(n, MAX_CHUNK)
@@ -423,8 +434,9 @@ def mega_trace_padded(shading, background, ro, rd, pixel, sample_idx, seed,
         return x.reshape(g, 8, LANES).astype(dtype)
 
     scal_i = jnp.stack([jnp.asarray(seed).astype(jnp.int32),
-                        jnp.asarray(sample_idx).astype(jnp.int32)]
-                       ).reshape(1, 2)
+                        jnp.asarray(sample_idx).astype(jnp.int32),
+                        jnp.asarray(start_bounce).astype(jnp.int32)]
+                       ).reshape(1, 3)
     scal_f = jnp.asarray(background, jnp.float32).reshape(1, 3)
 
     kernel = functools.partial(
@@ -441,22 +453,46 @@ def mega_trace_padded(shading, background, ro, rd, pixel, sample_idx, seed,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scal_i
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scal_f
             pl.BlockSpec(memory_space=pltpu.VMEM),   # shading table
-        ] + [ray_spec] * 7,
-        out_specs=(ray_spec, ray_spec, ray_spec),
+        ] + [ray_spec] * 14,
+        out_specs=(ray_spec,) * 13,
         out_shape=tuple(jax.ShapeDtypeStruct((g, 8, LANES), jnp.float32)
-                        for _ in range(3)),
+                        for _ in range(13)),
         interpret=interpret,
     )(
         scal_i, scal_f, shading,
-        lanes(ro[:, 0]), lanes(ro[:, 1]), lanes(ro[:, 2]),
-        lanes(rd[:, 0]), lanes(rd[:, 1]), lanes(rd[:, 2]),
+        *[lanes(s) for s in state],
         lanes(pixel, jnp.int32),
     )
-    return jnp.stack([o.reshape(b) for o in outs], axis=-1)
+    return tuple(o.reshape(b) for o in outs)
+
+
+def _fresh_state(ro, rd):
+    b = ro.shape[0]
+    z = jnp.zeros((b,), jnp.float32)
+    o = jnp.ones((b,), jnp.float32)
+    return (ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+            o, o, o, z, z, z, o)
+
+
+def _compact(state, pixel, orig):
+    """Reorder rays so live lanes come first (stable) — dead tiles are
+    then contiguous at the tail and short-circuit in the next segment.
+    orig carries each row's original ray index for the final unpermute."""
+    alive = state[-1] > 0.0
+    perm = jnp.argsort(~alive, stable=True)
+    state = tuple(s[perm] for s in state)
+    return state, pixel[perm], orig[perm]
 
 
 def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     """Full-path trace via the megakernel; pads to RAY_TILE internally.
+
+    cfg.compact_every > 0 splits the bounce loop into segments of that
+    many bounces with a live-ray compaction between segments — the
+    stream-compacted wavefront (SURVEY.md §7 north star): after a few
+    bounces most lanes are dead, compaction packs survivors into few
+    tiles, and the dead tiles cost one scalar test per remaining bounce.
+
     Pre-condition: mega_supported(tables)."""
     b = ro.shape[0]
     pad = (-b) % RAY_TILE
@@ -466,13 +502,39 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
             [rd, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
                                   (pad, 3))])
         pixel = jnp.concatenate([pixel, jnp.zeros((pad,), pixel.dtype)])
+    bp = b + pad
     sh = shading_table(tables)
-    rgb = mega_trace_padded(
-        sh, tables.background, ro, rd,
-        pixel.astype(jnp.int32), sample_idx, seed,
-        max_depth=cfg.max_depth,
-        p_rr=cfg.p_rr,
-        grad_bg=cfg.background_mode == "gradient",
-        exhaust_bg=cfg.exhaust_mode == "background",
-        interpret=jax.default_backend() != "tpu")
+    interpret = jax.default_backend() != "tpu"
+    kw = dict(p_rr=cfg.p_rr,
+              grad_bg=cfg.background_mode == "gradient",
+              interpret=interpret)
+    exhaust = cfg.exhaust_mode == "background"
+
+    ce = getattr(cfg, "compact_every", 0)
+    if ce <= 0 or ce >= cfg.max_depth:
+        schedule = [cfg.max_depth]
+    else:
+        schedule = [ce] * (cfg.max_depth // ce)
+        if cfg.max_depth % ce:
+            schedule.append(cfg.max_depth % ce)
+
+    state = _fresh_state(ro, rd)
+    pixel = pixel.astype(jnp.int32)
+    orig = jnp.arange(bp, dtype=jnp.int32)
+    done = 0
+    for i, seg in enumerate(schedule):
+        last = i == len(schedule) - 1
+        # pad rays are dead after segment 1, so compaction pushes them out
+        state = mega_segment(sh, tables.background, state, pixel,
+                             sample_idx, seed, jnp.int32(done),
+                             max_depth=seg,
+                             exhaust_bg=exhaust and last, **kw)
+        done += seg
+        if not last:
+            state, pixel, orig = _compact(state, pixel, orig)
+
+    cr, cg, cb = state[9], state[10], state[11]
+    rgb = jnp.stack([cr, cg, cb], axis=-1)
+    # undo the compaction permutations
+    rgb = jnp.zeros((bp, 3), jnp.float32).at[orig].set(rgb)
     return rgb[:b]

@@ -60,3 +60,14 @@ def test_mega_rng_matches_host_rng():
     dev = _uniform(jnp.int32(7), pix, jnp.int32(3), jnp.full_like(pix, 2),
                    jnp.full_like(pix, rng.SCAT_U1))
     np.testing.assert_array_equal(np.asarray(dev), host.astype(np.float32))
+
+
+@pytest.mark.parametrize("ce", [2, 3, 5])
+def test_mega_compaction_is_invisible(ce):
+    """Chunked trace + compaction == single-segment trace, bit for bit
+    (RNG keyed on absolute bounce index; permutations are undone)."""
+    sdef, cfg = cover_scene(width=48, height=27, spp=2, max_depth=6, grid=3)
+    tables = build_tables(sdef)
+    a = render(tables, cfg.replace(engine="mega"))
+    b = render(tables, cfg.replace(engine="mega", compact_every=ce))
+    np.testing.assert_array_equal(a, b)
