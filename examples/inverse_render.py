@@ -1,0 +1,86 @@
+"""Inverse rendering demo: recover material + geometry from a target.
+
+BASELINE.json config #5: render a target image with known scene
+parameters, perturb them, then recover via Adam through the
+differentiable renderer. Prints the loss curve and parameter errors and
+writes before/after/target PNGs.
+
+Run:  python examples/inverse_render.py [--steps 80] [--spp 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from rt_tpu.config import RenderConfig
+from rt_tpu.diff.inverse import fit
+from rt_tpu.render import film
+from rt_tpu.render.renderer import render
+from rt_tpu.io.image import write_png
+from rt_tpu.scene.types import SceneDef, build_tables
+
+
+def make_scene(albedo, center_x):
+    s = SceneDef(width=64, height=36, samples_per_pixel=4, max_depth=4,
+                 background=(0.7, 0.8, 1.0))
+    m = s.add_lambertian_color(albedo)
+    s.add_sphere((center_x, 0, -1), 0.5, m)
+    s.add_sphere((0, -100.5, -1), 100,
+                 s.add_lambertian_color((0.6, 0.6, 0.6)))
+    s.set_camera(lookfrom=(0, 0, 1), lookat=(0, 0, -1), vup=(0, 1, 0),
+                 vfov_deg=45.0, aperture=0.0)
+    cfg = RenderConfig(width=64, height=36, samples_per_pixel=4, max_depth=4,
+                       loop="scan", background_mode="gradient")
+    return s, cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=80)
+    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--outdir", default="inverse_out")
+    args = ap.parse_args()
+    os.makedirs(args.outdir, exist_ok=True)
+
+    true_albedo = (0.7, 0.2, 0.4)
+    sdef_true, cfg = make_scene(true_albedo, 0.0)
+    tables_true = build_tables(sdef_true)
+    target = render(tables_true, cfg) / cfg.samples_per_pixel
+    write_png(os.path.join(args.outdir, "target.png"),
+              film.finalize(target, 1, gamma=True))
+
+    sdef_wrong, _ = make_scene((0.3, 0.5, 0.1), 0.0)
+    tables_wrong = build_tables(sdef_wrong)
+    before = render(tables_wrong, cfg) / cfg.samples_per_pixel
+    write_png(os.path.join(args.outdir, "before.png"),
+              film.finalize(before, 1, gamma=True))
+
+    recovered, history = fit(tables_wrong, cfg, target,
+                             fields=("tex_color",), spp=args.spp,
+                             steps=args.steps, learning_rate=5e-2)
+    print(f"loss: {history[0]:.5f} -> {history[-1]:.6f}")
+    got = recovered["tex_color"][0]
+    print(f"albedo recovered: {np.round(got, 3)} (true {true_albedo})")
+
+    import dataclasses
+
+    tables_after = dataclasses.replace(
+        build_tables(sdef_wrong),
+        tex_color=recovered["tex_color"].astype(np.float32))
+    after = render(tables_after, cfg) / cfg.samples_per_pixel
+    write_png(os.path.join(args.outdir, "after.png"),
+              film.finalize(after, 1, gamma=True))
+    err = np.abs(np.asarray(got) - np.asarray(true_albedo)).max()
+    print(f"max albedo error: {err:.4f}")
+    print(f"wrote {args.outdir}/{{target,before,after}}.png")
+    return 0 if err < 0.1 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
