@@ -28,30 +28,47 @@ TAICHI_BASELINE_PATHS_PER_S = 400 * 225 * 50 / 9.25
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache: the depth-50 megakernel takes minutes to
+    # compile cold; cached recompiles are seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from rt_tpu.config import RenderConfig
     from rt_tpu.scene.builders import cover_scene
     from rt_tpu.scene.types import build_tables
     from rt_tpu.parallel.mesh import make_mesh
     from rt_tpu.parallel.sharded import render_sharded_ex
+    from rt_tpu.render.renderer import render
 
     width, height, depth = 1920, 1080, 50
     spp_timed = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 
     sdef, cfg = cover_scene(width=width, height=height, spp=spp_timed,
                             max_depth=depth)
-    cfg = cfg.replace(rays_per_batch=1 << 19, engine="mega")
+    # one launch covers the whole frame x all samples: device dispatch is
+    # fully amortized (the axon tunnel costs ~30ms per host->device call)
+    cfg = cfg.replace(rays_per_batch=1 << 25, engine="mega")
     tables = build_tables(sdef)
-    mesh = make_mesh((len(jax.devices()), 1))
+    n_dev = len(jax.devices())
 
-    # warm-up/compile
-    warm_cfg = cfg.replace(samples_per_pixel=1)
-    render_sharded_ex(tables, warm_cfg, mesh)
-
-    t0 = time.perf_counter()
-    img, spp_done = render_sharded_ex(tables, cfg, mesh)
-    dt = time.perf_counter() - t0
+    if n_dev == 1:
+        render(tables, cfg)  # compile (persistent-cached) + warm, same graph
+        t0 = time.perf_counter()
+        img = render(tables, cfg)
+        dt = time.perf_counter() - t0
+        spp_done = spp_timed
+    else:
+        mesh = make_mesh((n_dev, 1))
+        render_sharded_ex(tables, cfg.replace(samples_per_pixel=1), mesh)
+        t0 = time.perf_counter()
+        img, spp_done = render_sharded_ex(tables, cfg, mesh)
+        dt = time.perf_counter() - t0
 
     paths = width * height * spp_done
     paths_per_s = paths / dt

@@ -39,12 +39,15 @@ def test_mega_cornell_emissive_rr():
     _compare(sdef, cfg)
 
 
-def test_mega_unsupported_falls_back():
-    from rt_tpu.scene.builders import dna_scene
+def test_mega_unsupported_falls_back(tmp_path):
+    # triangle meshes are not mega-supported yet -> hybrid fallback
+    from rt_tpu.scene.builders import mesh_scene
 
-    sdef, cfg = dna_scene(width=32, height=18, spp=1, max_depth=3)
+    obj = tmp_path / "tri.obj"
+    obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    sdef, cfg = mesh_scene(str(obj), width=32, height=18, spp=1, max_depth=3)
     tables = build_tables(sdef)
-    assert not mega_supported(tables)  # has cylinders
+    assert not mega_supported(tables)  # has triangles
     img = render(tables, cfg.replace(engine="mega"))  # falls back, no crash
     assert np.isfinite(img).all()
 
@@ -71,3 +74,22 @@ def test_mega_compaction_is_invisible(ce):
     a = render(tables, cfg.replace(engine="mega"))
     b = render(tables, cfg.replace(engine="mega", compact_every=ce))
     np.testing.assert_array_equal(a, b)
+
+
+def test_mega_cylinder_and_rect_scene():
+    """Cylinders + rects now run in the megakernel (dna/blue parity)."""
+    from rt_tpu.scene.builders import dna_scene
+
+    sdef, cfg = dna_scene(width=48, height=27, spp=2, max_depth=4,
+                          num_object=2)
+    tables = build_tables(sdef)
+    assert mega_supported(tables)  # cylinders now supported
+    _compare(sdef, cfg)
+
+
+def test_mega_cover_lights_rect_cylinder():
+    sdef, cfg = cover_scene(width=48, height=27, spp=2, max_depth=5,
+                            grid=2, lights=True)
+    tables = build_tables(sdef)
+    assert mega_supported(tables)
+    _compare(sdef, cfg)
