@@ -195,10 +195,16 @@ def main(argv=None) -> int:
 
     anp = sub.add_parser("animate", help="render a frame sequence "
                          "(blue.py/dna.py-style video synthesis)")
-    anp.add_argument("--kind", choices=["blue", "dna", "points"],
+    anp.add_argument("--kind", choices=["blue", "dna", "points", "dolly"],
                      default="dna")
     anp.add_argument("--frames", type=int, default=3)
     anp.add_argument("--start", type=int, default=0)
+    anp.add_argument("--num-hosts", type=int, default=1,
+                     help="frame-farm size: partition the frame range "
+                          "across hosts (blue.py's per-GPU split)")
+    anp.add_argument("--host-index", type=int, default=0)
+    anp.add_argument("--retries", type=int, default=1,
+                     help="per-frame retry count (frames are idempotent)")
     anp.add_argument("--deg-per-frame", type=float, default=1.0)
     anp.add_argument("--outdir", default="frames")
     anp.add_argument("-w", "--width", type=int, default=400)

@@ -35,6 +35,30 @@ def _frame_cfg(args, cfg):
                        samples_per_pixel=args.spp, max_depth=args.max_depth)
 
 
+def _host_slice(args):
+    """This host's contiguous frame slice of the farm
+    (parallel/distributed.frame_range)."""
+    from rt_tpu.parallel.distributed import frame_range
+
+    n_hosts = getattr(args, "num_hosts", 1)
+    h_idx = getattr(args, "host_index", 0)
+    return frame_range(args.frames, n_hosts, h_idx, start=args.start)
+
+
+def _with_retries(args, fn, frame_idx):
+    """Per-frame retry (frames are idempotent: scene JSON + PNG outputs,
+    SURVEY.md §5.3 — the reference's whole recovery story is re-running
+    a frame)."""
+    retries = getattr(args, "retries", 1)
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception:
+            if attempt >= retries:
+                raise
+            print(f"frame {frame_idx}: retry {attempt + 1}", flush=True)
+
+
 def _render_frame(tables, cfg, path, progress=False):
     import jax
 
@@ -62,7 +86,8 @@ def run_blue(args) -> int:
         base = json.load(f)
     os.makedirs(args.outdir, exist_ok=True)
 
-    for i in range(args.start, args.start + args.frames):
+    lo, hi = _host_slice(args)
+    for i in range(lo, hi):
         data = copy.deepcopy(base)
         objs = data.get("object", {})
         rows = objs.get("data", objs if isinstance(objs, list) else [])
@@ -78,8 +103,9 @@ def run_blue(args) -> int:
             data, base_dir=os.path.dirname(args.scene) or ".")
         cfg = _frame_cfg(args, cfg)
         t0 = time.time()
-        _render_frame(build_tables(sdef), cfg,
-                      os.path.join(args.outdir, f"frame_{i:04d}.png"))
+        _with_retries(args, lambda: _render_frame(
+            build_tables(sdef), cfg,
+            os.path.join(args.outdir, f"frame_{i:04d}.png")), i)
         print(f"frame {i}: {time.time() - t0:.2f}s", flush=True)
     return 0
 
@@ -92,14 +118,16 @@ def run_dna(args) -> int:
 
     os.makedirs(args.outdir, exist_ok=True)
     t_all = time.time()
-    for i in range(args.start, args.start + args.frames):
+    lo, hi = _host_slice(args)
+    for i in range(lo, hi):
         sdef, cfg = dna_scene(angle_deg=args.deg_per_frame * i,
                               width=args.width, height=args.height,
                               spp=args.spp, max_depth=args.max_depth)
         cfg = _frame_cfg(args, cfg)
         t0 = time.time()
-        _render_frame(build_tables(sdef), cfg,
-                      os.path.join(args.outdir, f"frame_{i:04d}.png"))
+        _with_retries(args, lambda: _render_frame(
+            build_tables(sdef), cfg,
+            os.path.join(args.outdir, f"frame_{i:04d}.png")), i)
         print(f"frame {i}: {time.time() - t0:.2f}s", flush=True)
     print(f"total: {time.time() - t_all:.2f}s")
     return 0
@@ -115,7 +143,8 @@ def run_points(args) -> int:
     if args.obj is None or args.points_dir is None:
         raise SystemExit("--obj and --points-dir required for points mode")
     os.makedirs(args.outdir, exist_ok=True)
-    for i in range(args.start, args.start + args.frames):
+    lo, hi = _host_slice(args)
+    for i in range(lo, hi):
         pts = readdynamic(os.path.join(args.points_dir, f"{i + 1}.txt"))
         sdef, cfg = mesh_scene(args.obj, width=args.width,
                                height=args.height, spp=args.spp,
@@ -128,5 +157,34 @@ def run_points(args) -> int:
     return 0
 
 
+def run_dolly(args) -> int:
+    """Camera-dolly animation: the naive tracer moves its camera along a
+    parabola z -> (x, -0.2 + 0.0375*(z-4)^2, z) between progressive
+    renders (朴素光线追踪/4_0_path_tracing.py:135-150). Per frame the
+    camera is rebuilt and the cornell-spheres scene re-rendered."""
+    from rt_tpu.scene.builders import cornell_spheres_scene
+    from rt_tpu.scene.types import build_tables
+
+    os.makedirs(args.outdir, exist_ok=True)
+    lo, hi = _host_slice(args)
+    for i in range(lo, hi):
+        z = -5.0 + 0.5 * i * args.deg_per_frame
+        y = -0.2 + 0.0375 * (z - 4.0) ** 2
+        sdef, cfg = cornell_spheres_scene(width=args.width,
+                                          height=args.height,
+                                          spp=args.spp,
+                                          max_depth=args.max_depth)
+        sdef.set_camera(lookfrom=(0, y, z), lookat=(0, 0.6, 0),
+                        vup=(0, 1, 0), vfov_deg=60.0, aperture=0.0)
+        cfg = _frame_cfg(args, cfg)
+        t0 = time.time()
+        _with_retries(args, lambda: _render_frame(
+            build_tables(sdef), cfg,
+            os.path.join(args.outdir, f"dolly_{i:04d}.png")), i)
+        print(f"frame {i}: {time.time() - t0:.2f}s", flush=True)
+    return 0
+
+
 def run_animation(args) -> int:
-    return {"blue": run_blue, "dna": run_dna, "points": run_points}[args.kind](args)
+    return {"blue": run_blue, "dna": run_dna, "points": run_points,
+            "dolly": run_dolly}[args.kind](args)

@@ -90,8 +90,12 @@ def cover_scene(width=400, height=225, spp=50, max_depth=50, seed=7,
         s.add_sphere((4, 1, 0), 1.0, m_metal)
         s.set_camera(lookfrom=(13, 2, 3), lookat=(0, 0, 0), vup=(0, 1, 0),
                      vfov_deg=20.0, aperture=0.1, focus_dist=10.0)
+        # the CPU reference keeps lens sampling active (camera.h:34); the
+        # CUDA version pins it off (camera.cuh:33-34) — this builder
+        # mirrors the CPU/cmake cover scene, so defocus is on
         cfg = RenderConfig(width=width, height=height, samples_per_pixel=spp,
-                           max_depth=max_depth, background_mode="gradient")
+                           max_depth=max_depth, background_mode="gradient",
+                           enable_defocus=True)
     return s, cfg
 
 
