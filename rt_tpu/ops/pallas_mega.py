@@ -28,9 +28,9 @@ Key structures:
 
 Radiometric semantics are gpu-version/main.cu:17-70 exactly (see
 render/integrator.py). Supported scene shape (`mega_supported`, static):
-sphere/rect/cylinder primitives, all four materials, solid + checker
-textures. Triangle meshes and image textures fall back to the hybrid
-engine.
+sphere/rect/cylinder/triangle primitives, all four materials, solid +
+checker textures. Image textures (per-lane atlas gathers) fall back to
+the hybrid engine.
 
 Forward-only (the diff path pins engine="xla").
 """
@@ -87,6 +87,16 @@ _Y_RAD2, _Y_ZMIN, _Y_ZMAX, _Y_VALID = 12, 13, 14, 15
 _Y_MB = 16
 _Y_COLS = 32
 
+# triangle table: v1, edges (v2-v1, v3-v2, v1-v3), unit normal, valid
+_T_V1 = 0   # 0,1,2
+_T_E1 = 3   # 3,4,5
+_T_E2 = 6   # 6,7,8
+_T_E3 = 9   # 9,10,11
+_T_N = 12   # 12,13,14
+_T_VALID = 15
+_T_MB = 16
+_T_COLS = 32
+
 _GOLD = np.int32(np.uint32(0x9E3779B9).astype(np.int64) - (1 << 32))
 _M1 = np.int32(np.uint32(0xED5AD4BB).astype(np.int64) - (1 << 32))
 _M2 = np.int32(np.uint32(0xAC4C1B51).astype(np.int64) - (1 << 32))
@@ -94,10 +104,12 @@ _M3 = np.int32(np.uint32(0x31848BAB).astype(np.int64) - (1 << 32))
 
 
 def mega_supported(tables: SceneTables) -> bool:
-    """Static scene-shape check (counts + image-atlas shape only)."""
+    """Static scene-shape check (counts + image-atlas shape only).
+    Image textures are the one unsupported feature (in-kernel per-lane
+    atlas gathers) — those scenes use the hybrid engine."""
     n_sph, n_rect, n_cyl, n_tri = tables.counts
     no_images = tables.images.shape[:3] == (1, 1, 1)
-    return (n_sph + n_rect + n_cyl) > 0 and n_tri == 0 and no_images
+    return (n_sph + n_rect + n_cyl + n_tri) > 0 and no_images
 
 
 def _mat_block(tables: SceneTables, mat_ids):
@@ -188,6 +200,22 @@ def cylinder_table(tables: SceneTables) -> jnp.ndarray:
     return cols
 
 
+def triangle_table(tables: SceneTables) -> jnp.ndarray:
+    n = tables.tri_v1.shape[0]
+    v1, v2, v3 = tables.tri_v1, tables.tri_v2, tables.tri_v3
+    cols = jnp.zeros((n, _T_COLS), jnp.float32)
+    cols = cols.at[:, _T_V1:_T_V1 + 3].set(v1)
+    cols = cols.at[:, _T_E1:_T_E1 + 3].set(v2 - v1)
+    cols = cols.at[:, _T_E2:_T_E2 + 3].set(v3 - v2)
+    cols = cols.at[:, _T_E3:_T_E3 + 3].set(v1 - v3)
+    cols = cols.at[:, _T_N:_T_N + 3].set(tables.tri_n)
+    cols = cols.at[:, _T_VALID].set(
+        (tables.tri_obj >= 0).astype(jnp.float32))
+    cols = cols.at[:, _T_MB:_T_MB + _MB_COLS].set(
+        _mat_block(tables, tables.tri_mat))
+    return cols
+
+
 # ---------------------------------------------------------------------------
 # in-kernel RNG: bit-identical to ops/rng.py (int32 with logical shifts)
 # ---------------------------------------------------------------------------
@@ -274,14 +302,15 @@ def _merge_chunk(carry, t, cand_attrs, shape3):
 
 
 def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
+                 tri_ref,
                  rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                  tpr_ref, tpg_ref, tpb_ref, cr_ref, cg_ref, cb_ref,
                  alive_ref, pix_ref,
                  oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
                  otpr_ref, otpg_ref, otpb_ref, ocr_ref, ocg_ref, ocb_ref,
                  oalive_ref, *,
-                 ns: int, nr: int, ny_: int,
-                 s_chunk: int, r_chunk: int, y_chunk: int,
+                 ns: int, nr: int, ny_: int, nt: int,
+                 s_chunk: int, r_chunk: int, y_chunk: int, t_chunk: int,
                  max_depth: int, t_min: float,
                  p_rr: float, grad_bg: bool, exhaust_bg: bool):
     seed = scal_i_ref[0, 0]
@@ -446,6 +475,56 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                     col(_Y_MB + _MB_ALB2 + 2))
             return _merge_chunk(carry, t, cand, (y_chunk, s, l))
 
+        def tri_body(k, carry):
+            sl = pl.ds(k * t_chunk, t_chunk)
+
+            def col(j):
+                return tri_ref[sl, j:j + 1].reshape(t_chunk, 1, 1)
+
+            n0x, n0y, n0z = col(_T_N), col(_T_N + 1), col(_T_N + 2)
+            v1x, v1y, v1z = col(_T_V1), col(_T_V1 + 1), col(_T_V1 + 2)
+            # plane hit with origin-side flip (hittable.py:38-55)
+            oc_n = ((ox - v1x) * n0x + (oy - v1y) * n0y
+                    + (oz - v1z) * n0z)
+            sign = jnp.where(oc_n < 0.0, -1.0, 1.0)
+            d_n = (dx * n0x + dy * n0y + dz * n0z) * sign
+            oc_ns = oc_n * sign
+            t = -oc_ns / jnp.where(d_n != 0.0, d_n, 1.0)
+            # inside test via edge cross-dots (hittable.py:56-71)
+            rx = ox + t * dx - v1x
+            ry = oy + t * dy - v1y
+            rz = oz + t * dz - v1z
+            e1x, e1y, e1z = col(_T_E1), col(_T_E1 + 1), col(_T_E1 + 2)
+            e2x, e2y, e2z = col(_T_E2), col(_T_E2 + 1), col(_T_E2 + 2)
+            e3x, e3y, e3z = col(_T_E3), col(_T_E3 + 1), col(_T_E3 + 2)
+
+            def edge_dot(ex, ey, ez, wx, wy, wz):
+                cxp = ey * wz - ez * wy
+                cyp = ez * wx - ex * wz
+                czp = ex * wy - ey * wx
+                return cxp * n0x + cyp * n0y + czp * n0z
+
+            s1 = edge_dot(e1x, e1y, e1z, rx, ry, rz)
+            # w2 = r - v2 = (r - v1) - e1 ; w3 = r - v3 = (r - v1) + e3
+            s2 = edge_dot(e2x, e2y, e2z, rx - e1x, ry - e1y, rz - e1z)
+            s3 = edge_dot(e3x, e3y, e3z, rx + e3x, ry + e3y, rz + e3z)
+            inside = (((s1 > 0) & (s2 > 0) & (s3 > 0))
+                      | ((s1 < 0) & (s2 < 0) & (s3 < 0)))
+            valid = ((d_n < 0.0) & inside & (t >= t_min)
+                     & (col(_T_VALID) > 0.0))
+            t = jnp.where(valid, t, INF)
+
+            # candidate normal = STORED geometric normal (the XLA path
+            # also reports tri_n unflipped; set_face_normal flips later)
+            cand = (n0x, n0y, n0z,
+                    col(_T_MB + _MB_MTYPE), col(_T_MB + _MB_CHECKER),
+                    col(_T_MB + _MB_PARAM),
+                    col(_T_MB + _MB_ALB), col(_T_MB + _MB_ALB + 1),
+                    col(_T_MB + _MB_ALB + 2),
+                    col(_T_MB + _MB_ALB2), col(_T_MB + _MB_ALB2 + 1),
+                    col(_T_MB + _MB_ALB2 + 2))
+            return _merge_chunk(carry, t, cand, (t_chunk, s, l))
+
         t0 = jnp.full((s, l), INF, jnp.float32)
         attrs0 = tuple(jnp.zeros((s, l), jnp.float32)
                        for _ in range(_N_ATTRS))
@@ -456,6 +535,8 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
             carry = jax.lax.fori_loop(0, nr // r_chunk, rect_body, carry)
         if ny_:
             carry = jax.lax.fori_loop(0, ny_ // y_chunk, cyl_body, carry)
+        if nt:
+            carry = jax.lax.fori_loop(0, nt // t_chunk, tri_body, carry)
         t_best, attrs = carry
         (nx, ny2, nz, w_mtype, w_checker, w_param,
          w_ar, w_ag, w_ab, w_a2r, w_a2g, w_a2b) = attrs
@@ -599,8 +680,9 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
     jax.jit,
     static_argnames=("counts", "max_depth", "t_min", "p_rr", "grad_bg",
                      "exhaust_bg", "interpret"))
-def mega_segment(sph_tab, rect_tab, cyl_tab, counts, background, state,
-                 pixel, sample_idx, seed, start_bounce, max_depth: int,
+def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, counts, background,
+                 state, pixel, sample_idx, seed, start_bounce,
+                 max_depth: int,
                  t_min: float = 1e-3, p_rr: float = 0.0,
                  grad_bg: bool = False, exhaust_bg: bool = False,
                  interpret: bool = False):
@@ -613,7 +695,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, counts, background, state,
     counts = (padded sphere rows or 0, rect rows or 0, cyl rows or 0):
     zero disables that family's chunk loop at trace time."""
     b = state[0].shape[0]
-    ns, nr, ny_ = counts
+    ns, nr, ny_, nt = counts
     assert b % RAY_TILE == 0
     g = b // RAY_TILE
 
@@ -627,10 +709,11 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, counts, background, state,
     scal_f = jnp.asarray(background, jnp.float32).reshape(1, 3)
 
     kernel = functools.partial(
-        _mega_kernel, ns=ns, nr=nr, ny_=ny_,
+        _mega_kernel, ns=ns, nr=nr, ny_=ny_, nt=nt,
         s_chunk=min(max(ns, 1), SPH_CHUNK),
         r_chunk=min(max(nr, 1), AUX_CHUNK),
         y_chunk=min(max(ny_, 1), AUX_CHUNK),
+        t_chunk=min(max(nt, 1), SPH_CHUNK),
         max_depth=int(max_depth),
         t_min=float(t_min), p_rr=float(p_rr), grad_bg=bool(grad_bg),
         exhaust_bg=bool(exhaust_bg))
@@ -646,13 +729,14 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, counts, background, state,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere table
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rect table
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cylinder table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle table
         ] + [ray_spec] * 14,
         out_specs=(ray_spec,) * 13,
         out_shape=tuple(jax.ShapeDtypeStruct((g, 8, LANES), jnp.float32)
                         for _ in range(13)),
         interpret=interpret,
     )(
-        scal_i, scal_f, sph_tab, rect_tab, cyl_tab,
+        scal_i, scal_f, sph_tab, rect_tab, cyl_tab, tri_tab,
         *[lanes(s) for s in state],
         lanes(pixel, jnp.int32),
     )
@@ -707,7 +791,7 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
         pixel = jnp.concatenate([pixel, jnp.zeros((pad,), pixel.dtype)])
     bp = b + pad
 
-    n_sph, n_rect, n_cyl, _ = tables.counts
+    n_sph, n_rect, n_cyl, n_tri = tables.counts
     tbl = jax.tree_util.tree_map(jnp.asarray, tables)
     sph_tab = _pad_rows(sphere_table(tbl) if n_sph
                         else jnp.zeros((1, _S_COLS), jnp.float32),
@@ -718,9 +802,13 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     cyl_tab = _pad_rows(cylinder_table(tbl) if n_cyl
                         else jnp.zeros((1, _Y_COLS), jnp.float32),
                         min(max(n_cyl, 1), AUX_CHUNK))
+    tri_tab = _pad_rows(triangle_table(tbl) if n_tri
+                        else jnp.zeros((1, _T_COLS), jnp.float32),
+                        min(max(n_tri, 1), SPH_CHUNK))
     counts = (sph_tab.shape[0] if n_sph else 0,
               rect_tab.shape[0] if n_rect else 0,
-              cyl_tab.shape[0] if n_cyl else 0)
+              cyl_tab.shape[0] if n_cyl else 0,
+              tri_tab.shape[0] if n_tri else 0)
 
     interpret = jax.default_backend() != "tpu"
     kw = dict(p_rr=cfg.p_rr,
@@ -742,7 +830,7 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     done = 0
     for i, seg in enumerate(schedule):
         last = i == len(schedule) - 1
-        state = mega_segment(sph_tab, rect_tab, cyl_tab, counts,
+        state = mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, counts,
                              tbl.background, state, pixel,
                              sample_idx, seed, jnp.int32(done),
                              max_depth=seg,

@@ -40,16 +40,34 @@ def test_mega_cornell_emissive_rr():
 
 
 def test_mega_unsupported_falls_back(tmp_path):
-    # triangle meshes are not mega-supported yet -> hybrid fallback
+    # image textures are not mega-supported -> hybrid fallback
+    from rt_tpu.io.image import write_png
     from rt_tpu.scene.builders import mesh_scene
 
     obj = tmp_path / "tri.obj"
     obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
-    sdef, cfg = mesh_scene(str(obj), width=32, height=18, spp=1, max_depth=3)
+    tex = tmp_path / "tex.png"
+    write_png(str(tex), np.full((4, 4, 3), 128, np.uint8))
+    sdef, cfg = mesh_scene(str(obj), width=32, height=18, spp=1, max_depth=3,
+                           texture_path=str(tex))
     tables = build_tables(sdef)
-    assert not mega_supported(tables)  # has triangles
+    assert not mega_supported(tables)  # image texture
     img = render(tables, cfg.replace(engine="mega"))  # falls back, no crash
     assert np.isfinite(img).all()
+
+
+def test_mega_triangle_scene(tmp_path):
+    """Triangle meshes run in the megakernel (solid-color materials)."""
+    from rt_tpu.scene.builders import mesh_scene
+
+    obj = tmp_path / "quad.obj"
+    obj.write_text(
+        "v 0 0 0\nv 2 0 0\nv 0 2 0\nv 2 2 0\n"
+        "f 1 2 3\nf 2 4 3\n")
+    sdef, cfg = mesh_scene(str(obj), width=40, height=24, spp=2, max_depth=4)
+    tables = build_tables(sdef)
+    assert mega_supported(tables)
+    _compare(sdef, cfg)
 
 
 def test_mega_rng_matches_host_rng():
