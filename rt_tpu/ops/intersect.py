@@ -216,6 +216,18 @@ def _sphere_best_pallas(tables: SceneTables, ro, rd, t_min):
     return t, pid, tables.sph_obj[pid]
 
 
+def occluded(tables: SceneTables, ro, rd, t_max, t_min=1e-3,
+             engine: str = "xla"):
+    """Any-hit query: is there ANY hit with t in (t_min, t_max)?
+
+    The shadow-ray classifier of the naive tracer (hit_shadow,
+    朴素光线追踪/ray_tracing_models.py:118-143 — it scans all objects for
+    an occluder closer than the light). Returns [B] bool. rd need not be
+    normalized; t_max is in units of |rd| like every other t here."""
+    h = intersect(tables, ro, rd, t_min=t_min, engine=engine)
+    return h.hit & (h.t < t_max)
+
+
 def _sphere_leaf_test(tables: SceneTables):
     """Single-primitive sphere test for BVH leaves (object.cuh:47-75)."""
     def leaf(pid, ro, rd, t_min):

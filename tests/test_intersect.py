@@ -195,3 +195,27 @@ def test_pad_rows_never_hit():
     ro = np.zeros((64, 3), np.float32)
     h = intersect(t, jnp.asarray(ro), jnp.asarray(rd))
     assert np.all(np.asarray(h.obj[np.asarray(h.hit)]) == 0)
+
+
+def test_occluded_shadow_query():
+    """Any-hit shadow classifier (the naive tracer's hit_shadow)."""
+    import jax.numpy as jnp
+
+    from rt_tpu.ops.intersect import occluded
+    from rt_tpu.scene.types import SceneDef, build_tables
+
+    s = SceneDef()
+    m = s.add_lambertian_color((0.5, 0.5, 0.5))
+    s.add_sphere((0, 0, -2), 0.5, m)
+    s.set_camera(lookfrom=(0, 0, 1), lookat=(0, 0, -1), vup=(0, 1, 0),
+                 vfov_deg=45.0, aperture=0.0)
+    tables = build_tables(s)
+
+    ro = jnp.zeros((3, 3))
+    rd = jnp.asarray([[0.0, 0.0, -1.0],   # toward the sphere
+                      [0.0, 0.0, -1.0],   # toward, but light closer
+                      [0.0, 1.0, 0.0]])   # away
+    occ = occluded(tables, ro, rd, t_max=jnp.asarray([10.0, 1.0, 10.0]))
+    assert bool(occ[0])       # sphere at t=1.5 < 10
+    assert not bool(occ[1])   # light at t=1.0 before the sphere
+    assert not bool(occ[2])   # nothing that way
