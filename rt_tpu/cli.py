@@ -48,11 +48,11 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                         "tiles) instead of single-device tiling")
     p.add_argument("--progress", action="store_true")
     p.add_argument("--log", default="rt_tpu-time.log")
-    p.add_argument("--engine", default=None,
+    p.add_argument("--engine", default="mega",
                    choices=["xla", "pallas", "mega"],
-                   help="compute engine (default: mega on TPU scenes that "
-                        "support it would be chosen by --auto-engine; "
-                        "unset keeps the config default)")
+                   help="compute engine (default mega: full-path Pallas "
+                        "megakernel with automatic fallback to the hybrid "
+                        "engine for unsupported scenes)")
     p.add_argument("--bvh", action="store_true",
                    help="build + traverse a BVH for spheres/triangles")
     p.add_argument("--checkpoint", default=None,

@@ -58,7 +58,7 @@ from rt_tpu.scene.types import (
 INF = np.float32(np.inf)
 RAY_TILE = 2048
 LANES = RAY_TILE // 8
-SPH_CHUNK = 64   # spheres per inner iteration (leading broadcast axis)
+SPH_CHUNK = 128  # spheres per inner iteration (leading broadcast axis)
 AUX_CHUNK = 16   # rects / cylinders per inner iteration
 
 # material block layout (appended to every table's geometry columns)
