@@ -75,6 +75,16 @@ def render(tables: SceneTables, cfg: RenderConfig,
     px_all = (pix % w).astype(np.int32)
     py_all = (pix // w).astype(np.int32)
 
+    # order pixels in 64x32 screen blocks (= one 2048-ray megakernel
+    # tile) instead of scanlines: path termination is spatially coherent
+    # in 2D, so square tiles die together and the kernel's dead-tile
+    # short-circuit fires far more often. The counter RNG keys on the
+    # absolute pixel id, so ordering cannot change the image.
+    bx, by = 64, 32
+    block = (py_all // by) * ((w + bx - 1) // bx) + (px_all // bx)
+    order = np.argsort(block, kind="stable")
+    px_all, py_all, pix = px_all[order], py_all[order], pix[order]
+
     # pick tile size so tile*samples_per_launch ~ rays_per_batch
     if samples_per_launch is None:
         samples_per_launch = max(1, min(spp, cfg.rays_per_batch // max(n_pix, 1)))
@@ -89,6 +99,7 @@ def render(tables: SceneTables, cfg: RenderConfig,
         py_all = np.concatenate([py_all, np.zeros(pad, np.int32)])
 
     acc = np.zeros((n_tiles * tile, 3), np.float32)
+    out = np.zeros((n_pix, 3), np.float32)
     seed = np.uint32(cfg.seed)
     for ti in range(n_tiles):
         px = jnp.asarray(px_all[ti * tile:(ti + 1) * tile])
@@ -107,4 +118,5 @@ def render(tables: SceneTables, cfg: RenderConfig,
             print(f"\rtile {ti + 1}/{n_tiles}", end="", flush=True)
     if progress:
         print()
-    return acc[:n_pix].reshape(h, w, 3)
+    out[pix] = acc[:n_pix]  # undo the block ordering
+    return out.reshape(h, w, 3)
