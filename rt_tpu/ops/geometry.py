@@ -39,6 +39,23 @@ def unit(xp, v):
     return v / length(xp, v)[..., None]
 
 
+def onehot_gather(xp, table, idx):
+    """Row gather table[idx] as a one-hot matmul.
+
+    On TPU, vector gathers are slow scalar-unit operations (~0.6 ms per
+    [131k] gather) while the MXU sits idle; a {0,1} one-hot times the
+    table is ~2x faster AND bit-exact under precision=HIGHEST (the
+    bf16x3 decomposition represents every f32 input exactly, and each
+    output row is 1.0 x one row + zeros). table [N,K] f32, idx [B] i32
+    -> [B,K]. NumPy path stays a plain gather."""
+    if xp is np:
+        return table[idx]
+    n = table.shape[0]
+    oh = (idx[:, None] == xp.arange(n, dtype=idx.dtype)[None, :]).astype(
+        xp.float32)
+    return einsum(xp, "bn,nk->bk", oh, table.astype(xp.float32))
+
+
 def safe_length(xp, v):
     """|v| with a NaN-free gradient at v=0 (returns 0 there).
 

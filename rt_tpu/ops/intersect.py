@@ -360,10 +360,19 @@ def _attributes(tables: SceneTables, ro, rd, hit, t, ptype, pid, obj) -> Hit:
 
     branches = []  # (ptype, outward, p, uv, mat)
 
+    def packed(*cols):
+        """Concat f32 column views [N,k_i] -> one one-hot gather [B,K]
+        (geom.onehot_gather: MXU instead of slow vector gathers)."""
+        tab = jnp.concatenate(
+            [jnp.asarray(c, jnp.float32).reshape(c.shape[0], -1)
+             for c in cols], axis=-1)
+        return geom.onehot_gather(jnp, tab, pid)
+
     if n_sph:
         # sphere (object.cuh:67-73, UV at :87-93)
-        sc = tables.sph_center[pid]
-        sr = tables.sph_radius[pid]
+        sp = packed(tables.sph_center, tables.sph_radius, tables.sph_mat)
+        sc = sp[:, 0:3]
+        sr = sp[:, 3]
         s_out = (p_lin - sc) / jnp.where(sr == 0.0, 1.0, sr)[:, None]
         # pole/azimuth guards: arccos'(+-1) and arctan2 at (0,0) are
         # inf/NaN; forward values unchanged, masked-lane grads zeroed.
@@ -378,28 +387,37 @@ def _attributes(tables: SceneTables, ro, rd, hit, t, ptype, pid, obj) -> Hit:
                             jnp.where(az_deg, 1.0, s_out[:, 0])) + np.pi
         s_uv = jnp.stack([s_phi / (2 * np.pi), s_theta / np.pi], axis=-1)
         branches.append((PTYPE_SPHERE, s_out, p_lin, s_uv,
-                         tables.sph_mat[pid]))
+                         sp[:, 4].astype(jnp.int32)))
 
     if n_rect:
-        # rect (object.cuh:105-197)
-        ax = tables.rect_axis[pid]
-        free = _rect_free_axes(ax)
-        r_out = jnp.zeros_like(p_lin).at[
-            jnp.arange(p_lin.shape[0]), ax].set(1.0)
-        x = jnp.take_along_axis(p_lin, free[:, :1], axis=1)[:, 0]
-        y = jnp.take_along_axis(p_lin, free[:, 1:], axis=1)[:, 0]
-        lo = tables.rect_lo[pid]
-        hi = tables.rect_hi[pid]
+        # rect (object.cuh:105-197) — axis selection via one-hot rows
+        n_r = tables.rect_axis.shape[0]
+        rows = np.arange(n_r)
+        axis_np = tables.rect_axis
+        oh_k = jnp.zeros((n_r, 3), jnp.float32).at[rows, axis_np].set(1.0)
+        free = _rect_free_axes(jnp.asarray(axis_np))
+        oh1 = jnp.zeros((n_r, 3), jnp.float32).at[rows, free[:, 0]].set(1.0)
+        oh2 = jnp.zeros((n_r, 3), jnp.float32).at[rows, free[:, 1]].set(1.0)
+        rp = packed(oh_k, oh1, oh2, tables.rect_lo, tables.rect_hi,
+                    tables.rect_mat)
+        r_out = rp[:, 0:3]
+        x = (p_lin * rp[:, 3:6]).sum(-1)
+        y = (p_lin * rp[:, 6:9]).sum(-1)
+        lo = rp[:, 9:11]
+        hi = rp[:, 11:13]
         r_uv = jnp.stack(
             [(x - lo[:, 0]) / (hi[:, 0] - lo[:, 0]),
              (y - lo[:, 1]) / (hi[:, 1] - lo[:, 1])], axis=-1)
         branches.append((PTYPE_RECT, r_out, p_lin, r_uv,
-                         tables.rect_mat[pid]))
+                         rp[:, 13].astype(jnp.int32)))
 
     if n_cyl:
-        # cylinder (object.cuh:261-289)
-        w2o = tables.cyl_w2o[pid]
-        o2w = tables.cyl_o2w[pid]
+        # cylinder (object.cuh:261-289) — packed [B,3,4] affine rows
+        cp = packed(tables.cyl_w2o[:, :3, :].reshape(-1, 12),
+                    tables.cyl_o2w[:, :3, :].reshape(-1, 12),
+                    tables.cyl_zmin, tables.cyl_zmax, tables.cyl_mat)
+        w2o = cp[:, 0:12].reshape(-1, 3, 4)
+        o2w = cp[:, 12:24].reshape(-1, 3, 4)
         c_oo = geom.apply_point(jnp, w2o, ro)
         c_od = geom.apply_vec(jnp, w2o, rd)
         op = c_oo + t_safe[:, None] * c_od
@@ -410,8 +428,8 @@ def _attributes(tables: SceneTables, ro, rd, hit, t, ptype, pid, obj) -> Hit:
         # o2w.apply_normal uses o2w's inverse (= w2o) transposed
         # (vec3.cuh:376)
         c_out = geom.apply_normal(jnp, w2o, on)
-        zmin = tables.cyl_zmin[pid]
-        zmax = tables.cyl_zmax[pid]
+        zmin = cp[:, 24]
+        zmax = cp[:, 25]
         cyl_deg = (op[:, 1] == 0.0) & (op[:, 0] == 0.0)
         c_phi = jnp.arctan2(op[:, 1],
                             jnp.where(cyl_deg, 1.0, op[:, 0])) + 2 * np.pi
@@ -420,17 +438,20 @@ def _attributes(tables: SceneTables, ro, rd, hit, t, ptype, pid, obj) -> Hit:
              (op[:, 2] - zmin) / jnp.where(zmax == zmin, 1.0, zmax - zmin)],
             axis=-1)
         branches.append((PTYPE_CYLINDER, c_out, c_p, c_uv,
-                         tables.cyl_mat[pid]))
+                         cp[:, 26].astype(jnp.int32)))
 
     if n_tri:
         # triangle (hittable.py:258-262 normal; uv via barycentric
         # interp; the reference's swapped-weight uv quirk at
         # hittable.py:57-60 is NOT replicated — we interpolate with the
         # standard barycentrics)
-        tv1 = tables.tri_v1[pid]
-        tv2 = tables.tri_v2[pid]
-        tv3 = tables.tri_v3[pid]
-        t_out = tables.tri_n[pid]
+        tp2 = packed(tables.tri_v1, tables.tri_v2, tables.tri_v3,
+                     tables.tri_n, tables.tri_uv1, tables.tri_uv2,
+                     tables.tri_uv3, tables.tri_mat)
+        tv1 = tp2[:, 0:3]
+        tv2 = tp2[:, 3:6]
+        tv3 = tp2[:, 6:9]
+        t_out = tp2[:, 9:12]
         area2 = geom.safe_length(jnp, geom.cross(jnp, tv2 - tv1, tv3 - tv1))
         area2 = jnp.where(area2 == 0.0, 1.0, area2)
         l1 = geom.safe_length(
@@ -438,11 +459,11 @@ def _attributes(tables: SceneTables, ro, rd, hit, t, ptype, pid, obj) -> Hit:
         l2 = geom.safe_length(
             jnp, geom.cross(jnp, tv3 - p_lin, tv1 - p_lin)) / area2
         l3 = jnp.maximum(0.0, 1.0 - l1 - l2)
-        t_uv = (tables.tri_uv1[pid] * l1[:, None]
-                + tables.tri_uv2[pid] * l2[:, None]
-                + tables.tri_uv3[pid] * l3[:, None])
+        t_uv = (tp2[:, 12:14] * l1[:, None]
+                + tp2[:, 14:16] * l2[:, None]
+                + tp2[:, 16:18] * l3[:, None])
         branches.append((PTYPE_TRIANGLE, t_out, p_lin, t_uv,
-                         tables.tri_mat[pid]))
+                         tp2[:, 18].astype(jnp.int32)))
 
     if not branches:
         # empty scene: every ray misses

@@ -67,13 +67,12 @@ def _bounce(tables: SceneTables, cfg: RenderConfig, state: RayState,
 
     hit = intersect(tables, o, d, engine=cfg.engine,
                     traversal=cfg.traversal)
-    em = materials.emitted(tables, hit.mat, hit.u, hit.v, hit.p)
 
     ball = rng.in_unit_ball(jnp, seed, pixel, sample_idx, bounce_idx)
     refl_u = rng.uniform(jnp, seed, pixel, sample_idx, bounce_idx,
                          rng.DIEL_REFL)
-    sc = materials.scatter(tables, hit.mat, d, hit.normal, hit.front_face,
-                           hit.u, hit.v, hit.p, ball, refl_u)
+    sc, em = materials.shade(tables, hit.mat, d, hit.normal, hit.front_face,
+                             hit.u, hit.v, hit.p, ball, refl_u)
 
     bg = background_color(tables, cfg, d)
 
