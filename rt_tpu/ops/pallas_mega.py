@@ -61,40 +61,43 @@ LANES = RAY_TILE // 8
 SPH_CHUNK = 128  # spheres per inner iteration (leading broadcast axis)
 AUX_CHUNK = 16   # rects / cylinders per inner iteration
 
-# material block layout (appended to every table's geometry columns)
-_MB_MTYPE, _MB_CHECKER, _MB_PARAM = 0, 1, 2
-_MB_ALB = 3    # 3,4,5
-_MB_ALB2 = 6   # 6,7,8
-_MB_COLS = 9
+# Unified extraction block — cols 0..13 of EVERY table, pulled for the
+# winning candidate by one [14,C]x[C,R] MXU matmul against the one-hot
+# winner mask (bit-exact: bf16x3 decomposition is lossless for f32):
+#   0..2  v0,v1,v2 (sphere: center; rect: k-axis onehot = normal;
+#                   triangle: geometric normal; cylinder: zeros,
+#                   overwritten with the per-candidate world normal)
+#   3     v3       (sphere: radius — sign included, hollow-glass flips)
+#   4     direct   (0: normal = (p - v)/v3 [sphere]; 1: normal = v)
+#   5..7  mtype, checker, param (metal fuzz / dielectric IOR)
+#   8..10 albedo   11..13 albedo2 (checker odd color)
+_X_V = 0
+_X_RAD = 3
+_X_DIRECT = 4
+_X_MTYPE, _X_CHECKER, _X_PARAM = 5, 6, 7
+_X_ALB = 8
+_X_ALB2 = 11
+_X_COLS = 14
 
-# sphere table: geometry cols then the material block
-_S_CX, _S_CY, _S_CZ, _S_RAD, _S_C2R, _S_VALID = 0, 1, 2, 3, 4, 5
-_S_MB = 6
+# per-family geometry extras (cols >= 14)
+_S_C2R, _S_VALID = 14, 15
 _S_COLS = 16
 
-# rect table: k-axis onehot, free-axis onehots, k, lo/hi bounds, valid
-_R_KX, _R_KY, _R_KZ = 0, 1, 2
-_R_F1 = 3   # 3,4,5
-_R_F2 = 6   # 6,7,8
-_R_K, _R_LO0, _R_LO1, _R_HI0, _R_HI1, _R_VALID = 9, 10, 11, 12, 13, 14
-_R_MB = 16
+_R_K, _R_LO0, _R_LO1, _R_HI0, _R_HI1, _R_VALID = 14, 15, 16, 17, 18, 19
+_R_F1 = 20  # 20..22 free-axis-1 onehot
+_R_F2 = 23  # 23..25 free-axis-2 onehot
 _R_COLS = 32
 
-# cylinder table: w2o rotation rows, translation, radius^2, z-slab, valid
-_Y_R = 0    # 0..8 row-major 3x3
-_Y_TX, _Y_TY, _Y_TZ = 9, 10, 11
-_Y_RAD2, _Y_ZMIN, _Y_ZMAX, _Y_VALID = 12, 13, 14, 15
-_Y_MB = 16
+_Y_R = 14   # 14..22 w2o rotation rows (row-major 3x3)
+_Y_T = 23   # 23..25 w2o translation
+_Y_RAD2, _Y_ZMIN, _Y_ZMAX, _Y_VALID = 26, 27, 28, 29
 _Y_COLS = 32
 
-# triangle table: v1, edges (v2-v1, v3-v2, v1-v3), unit normal, valid
-_T_V1 = 0   # 0,1,2
-_T_E1 = 3   # 3,4,5
-_T_E2 = 6   # 6,7,8
-_T_E3 = 9   # 9,10,11
-_T_N = 12   # 12,13,14
-_T_VALID = 15
-_T_MB = 16
+_T_V1 = 14  # 14..16
+_T_E1 = 17  # 17..19 v2-v1
+_T_E2 = 20  # 20..22 v3-v2
+_T_E3 = 23  # 23..25 v1-v3
+_T_D0, _T_VALID = 26, 27   # d0 = dot(v1, n)
 _T_COLS = 32
 
 _GOLD = np.int32(np.uint32(0x9E3779B9).astype(np.int64) - (1 << 32))
@@ -112,8 +115,9 @@ def mega_supported(tables: SceneTables) -> bool:
     return (n_sph + n_rect + n_cyl + n_tri) > 0 and no_images
 
 
-def _mat_block(tables: SceneTables, mat_ids):
-    """[N, 9] material block for primitive rows with material mat_ids."""
+def _ext_block(tables: SceneTables, mat_ids, v=None, rad=None,
+               direct=1.0):
+    """[N, 14] extraction block (see _X_* layout)."""
     mtype = tables.mat_type[mat_ids]
     tex = tables.mat_tex[mat_ids]
     tex_safe = jnp.maximum(tex, 0)
@@ -130,13 +134,18 @@ def _mat_block(tables: SceneTables, mat_ids):
                       jnp.where(mtype == MAT_DIELECTRIC,
                                 tables.mat_ior[mat_ids], 0.0))
     n = mat_ids.shape[0]
-    mb = jnp.zeros((n, _MB_COLS), jnp.float32)
-    mb = mb.at[:, _MB_MTYPE].set(mtype.astype(jnp.float32))
-    mb = mb.at[:, _MB_CHECKER].set(is_checker.astype(jnp.float32))
-    mb = mb.at[:, _MB_PARAM].set(param)
-    mb = mb.at[:, _MB_ALB:_MB_ALB + 3].set(base)
-    mb = mb.at[:, _MB_ALB2:_MB_ALB2 + 3].set(alb2)
-    return mb
+    blk = jnp.zeros((n, _X_COLS), jnp.float32)
+    if v is not None:
+        blk = blk.at[:, _X_V:_X_V + 3].set(v)
+    if rad is not None:
+        blk = blk.at[:, _X_RAD].set(rad)
+    blk = blk.at[:, _X_DIRECT].set(direct)
+    blk = blk.at[:, _X_MTYPE].set(mtype.astype(jnp.float32))
+    blk = blk.at[:, _X_CHECKER].set(is_checker.astype(jnp.float32))
+    blk = blk.at[:, _X_PARAM].set(param)
+    blk = blk.at[:, _X_ALB:_X_ALB + 3].set(base)
+    blk = blk.at[:, _X_ALB2:_X_ALB2 + 3].set(alb2)
+    return blk
 
 
 def sphere_table(tables: SceneTables) -> jnp.ndarray:
@@ -144,15 +153,11 @@ def sphere_table(tables: SceneTables) -> jnp.ndarray:
     c = tables.sph_center
     r = tables.sph_radius
     cols = jnp.zeros((n, _S_COLS), jnp.float32)
-    cols = cols.at[:, _S_CX].set(c[:, 0])
-    cols = cols.at[:, _S_CY].set(c[:, 1])
-    cols = cols.at[:, _S_CZ].set(c[:, 2])
-    cols = cols.at[:, _S_RAD].set(r)
+    cols = cols.at[:, :_X_COLS].set(
+        _ext_block(tables, tables.sph_mat, v=c, rad=r, direct=0.0))
     cols = cols.at[:, _S_C2R].set((c * c).sum(-1) - r * r)
     cols = cols.at[:, _S_VALID].set(
         (tables.sph_obj >= 0).astype(jnp.float32))
-    cols = cols.at[:, _S_MB:_S_MB + _MB_COLS].set(
-        _mat_block(tables, tables.sph_mat))
     return cols
 
 
@@ -166,9 +171,8 @@ def rect_table(tables: SceneTables) -> jnp.ndarray:
     oh1 = jnp.zeros((n, 3), jnp.float32).at[rows, f1].set(1.0)
     oh2 = jnp.zeros((n, 3), jnp.float32).at[rows, f2].set(1.0)
     cols = jnp.zeros((n, _R_COLS), jnp.float32)
-    cols = cols.at[:, _R_KX:_R_KZ + 1].set(onehot_k)
-    cols = cols.at[:, _R_F1:_R_F1 + 3].set(oh1)
-    cols = cols.at[:, _R_F2:_R_F2 + 3].set(oh2)
+    cols = cols.at[:, :_X_COLS].set(
+        _ext_block(tables, tables.rect_mat, v=onehot_k))
     cols = cols.at[:, _R_K].set(tables.rect_k)
     cols = cols.at[:, _R_LO0].set(tables.rect_lo[:, 0])
     cols = cols.at[:, _R_LO1].set(tables.rect_lo[:, 1])
@@ -176,8 +180,8 @@ def rect_table(tables: SceneTables) -> jnp.ndarray:
     cols = cols.at[:, _R_HI1].set(tables.rect_hi[:, 1])
     cols = cols.at[:, _R_VALID].set(
         (tables.rect_obj >= 0).astype(jnp.float32))
-    cols = cols.at[:, _R_MB:_R_MB + _MB_COLS].set(
-        _mat_block(tables, tables.rect_mat))
+    cols = cols.at[:, _R_F1:_R_F1 + 3].set(oh1)
+    cols = cols.at[:, _R_F2:_R_F2 + 3].set(oh2)
     return cols
 
 
@@ -185,34 +189,31 @@ def cylinder_table(tables: SceneTables) -> jnp.ndarray:
     n = tables.cyl_radius.shape[0]
     w2o = tables.cyl_w2o
     cols = jnp.zeros((n, _Y_COLS), jnp.float32)
-    cols = cols.at[:, _Y_R:_Y_R + 9].set(
-        w2o[:, :3, :3].reshape(n, 9))
-    cols = cols.at[:, _Y_TX].set(w2o[:, 0, 3])
-    cols = cols.at[:, _Y_TY].set(w2o[:, 1, 3])
-    cols = cols.at[:, _Y_TZ].set(w2o[:, 2, 3])
+    cols = cols.at[:, :_X_COLS].set(_ext_block(tables, tables.cyl_mat))
+    cols = cols.at[:, _Y_R:_Y_R + 9].set(w2o[:, :3, :3].reshape(n, 9))
+    cols = cols.at[:, _Y_T:_Y_T + 3].set(w2o[:, :3, 3])
     cols = cols.at[:, _Y_RAD2].set(tables.cyl_radius ** 2)
     cols = cols.at[:, _Y_ZMIN].set(tables.cyl_zmin)
     cols = cols.at[:, _Y_ZMAX].set(tables.cyl_zmax)
     cols = cols.at[:, _Y_VALID].set(
         (tables.cyl_obj >= 0).astype(jnp.float32))
-    cols = cols.at[:, _Y_MB:_Y_MB + _MB_COLS].set(
-        _mat_block(tables, tables.cyl_mat))
     return cols
 
 
 def triangle_table(tables: SceneTables) -> jnp.ndarray:
     n = tables.tri_v1.shape[0]
     v1, v2, v3 = tables.tri_v1, tables.tri_v2, tables.tri_v3
+    n0 = tables.tri_n
     cols = jnp.zeros((n, _T_COLS), jnp.float32)
+    cols = cols.at[:, :_X_COLS].set(
+        _ext_block(tables, tables.tri_mat, v=n0))
     cols = cols.at[:, _T_V1:_T_V1 + 3].set(v1)
     cols = cols.at[:, _T_E1:_T_E1 + 3].set(v2 - v1)
     cols = cols.at[:, _T_E2:_T_E2 + 3].set(v3 - v2)
     cols = cols.at[:, _T_E3:_T_E3 + 3].set(v1 - v3)
-    cols = cols.at[:, _T_N:_T_N + 3].set(tables.tri_n)
+    cols = cols.at[:, _T_D0].set((v1 * n0).sum(-1))
     cols = cols.at[:, _T_VALID].set(
         (tables.tri_obj >= 0).astype(jnp.float32))
-    cols = cols.at[:, _T_MB:_T_MB + _MB_COLS].set(
-        _mat_block(tables, tables.tri_mat))
     return cols
 
 
@@ -276,29 +277,45 @@ def _unit_ball(seed, pixel, sample, bounce):
 # kernel
 # ---------------------------------------------------------------------------
 
-# carry attribute order: nx, ny, nz, mtype, checker, param, alb*3, alb2*3
-_N_ATTRS = 12
+def _dotg(a, b):
+    """Contract the leading (chunk) dim: a [C,X] x b [C,...] -> [X,...],
+    or a [K,3]-style [C,k] x cube [k,S,L] -> [C,S,L] via _dotk. MXU at
+    HIGHEST precision (bf16x3 is lossless for f32 — extraction stays
+    bit-exact)."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
 
 
-def _merge_chunk(carry, t, cand_attrs, shape3):
-    """Fold one chunk's candidates into the running (t_best, attrs).
+def _dotk(a, cube):
+    """a [C,3] x cube [3,S,L] -> [C,S,L]: the ray-x-primitive bilinear
+    terms on the MXU instead of broadcast VPU multiplies."""
+    return jax.lax.dot_general(
+        a, cube, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
 
-    t: [C,s,l] candidate distances (INF = miss). cand_attrs: 12 arrays
-    broadcastable to [C,s,l]. Ties: later chunk/table wins (matching the
-    linear scan's `t <= closest` acceptance, object.cuh:23-37)."""
+
+def _merge(carry, t, ext):
+    """Fold one chunk's winner into the carry.
+
+    t [C,S,L] candidates; ext [14,S,L] the chunk winner's extraction
+    block. Ties: later chunk/table wins, matching the linear scan's
+    `t <= closest` acceptance (object.cuh:23-37)."""
     t_best, attrs = carry
-    c, s, l = shape3
+    tmin = jnp.min(t, axis=0)                             # [S,L]
+    take = (tmin < t_best) | (jnp.isfinite(tmin) & (tmin == t_best))
+    return (jnp.where(take, tmin, t_best), jnp.where(take, ext, attrs))
+
+
+def _chunk_winner(t, c, s, l):
+    """One-hot f32 mask [C,S,L] of each ray's within-chunk winner (last
+    row on exact ties — matching _last_argmin semantics)."""
     tmin = jnp.min(t, axis=0)
     rows = jax.lax.broadcasted_iota(jnp.int32, (c, s, l), 0)
     idx = jnp.max(jnp.where(t == tmin, rows, -1), axis=0)
-    exact = rows == idx                       # single winner row
-    take = (tmin < t_best) | (jnp.isfinite(tmin) & (tmin == t_best))
-
-    new_attrs = []
-    for old, cand in zip(attrs, cand_attrs):
-        ext = jnp.sum(jnp.where(exact, cand, 0.0), axis=0)
-        new_attrs.append(jnp.where(take, ext, old))
-    return jnp.where(take, tmin, t_best), tuple(new_attrs)
+    return (rows == idx).astype(jnp.float32)
 
 
 def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
@@ -340,103 +357,81 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                             jnp.full_like(pix, rng_mod.RR))
             live = live & (u_rr <= p_rr)
 
+        # ---- closest hit: ray x primitive bilinear terms as
+        # [C,3]x[3,S,L] MXU contractions; the winner's 14-col attribute
+        # block extracted by one [14,C]x[C,S,L] contraction against the
+        # one-hot winner mask ----
         a = dx * dx + dy * dy + dz * dz
         rd_dot_ro = dx * ox + dy * oy + dz * oz
         ro_sq = ox * ox + oy * oy + oz * oz
         inv_a = 1.0 / a
 
-        # ---- closest hit: per-family chunk loops share one carry of
-        # (t_best, [normal, material-block]) ----
+        def col3(blk, j):
+            return blk[:, j:j + 1].reshape(-1, 1, 1)
 
         def sph_body(k, carry):
             sl = pl.ds(k * s_chunk, s_chunk)
-
-            def col(j):
-                return sph_ref[sl, j:j + 1].reshape(s_chunk, 1, 1)
-
-            cx, cy, cz = col(_S_CX), col(_S_CY), col(_S_CZ)
-            rad = col(_S_RAD)
-            c2r, valid = col(_S_C2R), col(_S_VALID)
-
+            blk = sph_ref[sl, :]                           # [C, 16]
+            cx = col3(blk, _X_V)
+            cy = col3(blk, _X_V + 1)
+            cz = col3(blk, _X_V + 2)
             hb = rd_dot_ro - (cx * dx + cy * dy + cz * dz)
-            c_term = ro_sq - 2.0 * (cx * ox + cy * oy + cz * oz) + c2r
+            c_term = (ro_sq - 2.0 * (cx * ox + cy * oy + cz * oz)
+                      + col3(blk, _S_C2R))
             disc = hb * hb - a * c_term
             sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
             root1 = (-hb - sqrtd) * inv_a
             root2 = (-hb + sqrtd) * inv_a
             t = jnp.where(root1 >= t_min, root1,
                           jnp.where(root2 >= t_min, root2, INF))
-            t = jnp.where((disc >= 0.0) & (valid > 0.0), t, INF)
-
-            # candidate outward normal (p - c)/rad; NEGATIVE radii flip
-            # it inward — the hollow-glass trick (main.cu:149-150)
-            t_c = jnp.where(jnp.isfinite(t), t, 0.0)
-            inv_rad = 1.0 / jnp.where(rad == 0.0, 1.0, rad)
-            nx = (ox + t_c * dx - cx) * inv_rad
-            nyv = (oy + t_c * dy - cy) * inv_rad
-            nz = (oz + t_c * dz - cz) * inv_rad
-
-            cand = (nx, nyv, nz,
-                    col(_S_MB + _MB_MTYPE), col(_S_MB + _MB_CHECKER),
-                    col(_S_MB + _MB_PARAM),
-                    col(_S_MB + _MB_ALB), col(_S_MB + _MB_ALB + 1),
-                    col(_S_MB + _MB_ALB + 2),
-                    col(_S_MB + _MB_ALB2), col(_S_MB + _MB_ALB2 + 1),
-                    col(_S_MB + _MB_ALB2 + 2))
-            return _merge_chunk(carry, t, cand, (s_chunk, s, l))
+            t = jnp.where((disc >= 0.0)
+                          & (col3(blk, _S_VALID) > 0.0), t, INF)
+            exact = _chunk_winner(t, s_chunk, s, l)
+            ext = _dotg(blk[:, :_X_COLS], exact)           # [14,S,L] MXU
+            return _merge(carry, t, ext)
 
         def rect_body(k, carry):
             sl = pl.ds(k * r_chunk, r_chunk)
+            blk = rect_ref[sl, :]
 
-            def col(j):
-                return rect_ref[sl, j:j + 1].reshape(r_chunk, 1, 1)
+            def odot(j, vx, vy, vz):
+                return (col3(blk, j) * vx + col3(blk, j + 1) * vy
+                        + col3(blk, j + 2) * vz)
 
-            kx, ky, kz = col(_R_KX), col(_R_KY), col(_R_KZ)
-            ro_k = kx * ox + ky * oy + kz * oz
-            rd_k = kx * dx + ky * dy + kz * dz
+            ro_k = odot(_X_V, ox, oy, oz)
+            rd_k = odot(_X_V, dx, dy, dz)
             rd_ok = rd_k != 0.0
-            t = (col(_R_K) - ro_k) / jnp.where(rd_ok, rd_k, 1.0)
-            f1x, f1y, f1z = col(_R_F1), col(_R_F1 + 1), col(_R_F1 + 2)
-            f2x, f2y, f2z = col(_R_F2), col(_R_F2 + 1), col(_R_F2 + 2)
-            x = (f1x * ox + f1y * oy + f1z * oz
-                 + t * (f1x * dx + f1y * dy + f1z * dz))
-            y = (f2x * ox + f2y * oy + f2z * oz
-                 + t * (f2x * dx + f2y * dy + f2z * dz))
+            t = (col3(blk, _R_K) - ro_k) / jnp.where(rd_ok, rd_k, 1.0)
+            x = odot(_R_F1, ox, oy, oz) + t * odot(_R_F1, dx, dy, dz)
+            y = odot(_R_F2, ox, oy, oz) + t * odot(_R_F2, dx, dy, dz)
             valid = (rd_ok & (t >= t_min)
-                     & (x >= col(_R_LO0)) & (x <= col(_R_HI0))
-                     & (y >= col(_R_LO1)) & (y <= col(_R_HI1))
-                     & (col(_R_VALID) > 0.0))
+                     & (x >= col3(blk, _R_LO0)) & (x <= col3(blk, _R_HI0))
+                     & (y >= col3(blk, _R_LO1)) & (y <= col3(blk, _R_HI1))
+                     & (col3(blk, _R_VALID) > 0.0))
             t = jnp.where(valid, t, INF)
-
-            cand = (kx, ky, kz,
-                    col(_R_MB + _MB_MTYPE), col(_R_MB + _MB_CHECKER),
-                    col(_R_MB + _MB_PARAM),
-                    col(_R_MB + _MB_ALB), col(_R_MB + _MB_ALB + 1),
-                    col(_R_MB + _MB_ALB + 2),
-                    col(_R_MB + _MB_ALB2), col(_R_MB + _MB_ALB2 + 1),
-                    col(_R_MB + _MB_ALB2 + 2))
-            return _merge_chunk(carry, t, cand, (r_chunk, s, l))
+            exact = _chunk_winner(t, r_chunk, s, l)
+            ext = _dotg(blk[:, :_X_COLS], exact)
+            return _merge(carry, t, ext)
 
         def cyl_body(k, carry):
             sl = pl.ds(k * y_chunk, y_chunk)
+            blk = cyl_ref[sl, :]
 
-            def col(j):
-                return cyl_ref[sl, j:j + 1].reshape(y_chunk, 1, 1)
+            def odot(j, vx, vy, vz):
+                return (col3(blk, j) * vx + col3(blk, j + 1) * vy
+                        + col3(blk, j + 2) * vz)
 
-            r00, r01, r02 = col(_Y_R), col(_Y_R + 1), col(_Y_R + 2)
-            r10, r11, r12 = col(_Y_R + 3), col(_Y_R + 4), col(_Y_R + 5)
-            r20, r21, r22 = col(_Y_R + 6), col(_Y_R + 7), col(_Y_R + 8)
-            # object-space ray (object.cuh:235-238 via the w2o transform)
-            ox_o = r00 * ox + r01 * oy + r02 * oz + col(_Y_TX)
-            oy_o = r10 * ox + r11 * oy + r12 * oz + col(_Y_TY)
-            oz_o = r20 * ox + r21 * oy + r22 * oz + col(_Y_TZ)
-            dx_o = r00 * dx + r01 * dy + r02 * dz
-            dy_o = r10 * dx + r11 * dy + r12 * dz
-            dz_o = r20 * dx + r21 * dy + r22 * dz
+            # object-space ray via the w2o rows (object.cuh:235-238)
+            oox = odot(_Y_R, ox, oy, oz) + col3(blk, _Y_T)
+            ooy = odot(_Y_R + 3, ox, oy, oz) + col3(blk, _Y_T + 1)
+            ooz = odot(_Y_R + 6, ox, oy, oz) + col3(blk, _Y_T + 2)
+            odx = odot(_Y_R, dx, dy, dz)
+            ody = odot(_Y_R + 3, dx, dy, dz)
+            odz = odot(_Y_R + 6, dx, dy, dz)
 
-            ac = dx_o * dx_o + dy_o * dy_o
-            bc = 2.0 * (dx_o * ox_o + dy_o * oy_o)
-            cc = ox_o * ox_o + oy_o * oy_o - col(_Y_RAD2)
+            ac = odx * odx + ody * ody
+            bc = 2.0 * (odx * oox + ody * ooy)
+            cc = oox * oox + ooy * ooy - col3(blk, _Y_RAD2)
             delta = bc * bc - 4.0 * ac * cc
             sq = jnp.sqrt(jnp.maximum(delta, 0.0))
             a_ok = ac != 0.0
@@ -444,91 +439,84 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
             t0 = -(bc - sq) * inv2a
             t1 = -(bc + sq) * inv2a
             t0, t1 = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
-            zmin, zmax = col(_Y_ZMIN), col(_Y_ZMAX)
-
-            z0 = oz_o + t0 * dz_o
-            z1 = oz_o + t1 * dz_o
+            zmin = col3(blk, _Y_ZMIN)
+            zmax = col3(blk, _Y_ZMAX)
+            z0 = ooz + t0 * odz
+            z1 = ooz + t1 * odz
             ok0 = (t0 >= t_min) & (z0 >= zmin) & (z0 <= zmax) & a_ok
             ok1 = (t1 >= t_min) & (z1 >= zmin) & (z1 <= zmax) & a_ok
             t = jnp.where(ok0, t0, jnp.where(ok1, t1, INF))
-            t = jnp.where((delta >= 0.0) & (col(_Y_VALID) > 0.0), t, INF)
+            t = jnp.where((delta >= 0.0)
+                          & (col3(blk, _Y_VALID) > 0.0), t, INF)
 
-            # candidate normal: object-space radial, to world via R^T
+            # per-candidate world normal: object radial through R^T
             # (apply_normal with minv = w2o, vec3.cuh:376-381)
             t_c = jnp.where(jnp.isfinite(t), t, 0.0)
-            opx = ox_o + t_c * dx_o
-            opy = oy_o + t_c * dy_o
+            opx = oox + t_c * odx
+            opy = ooy + t_c * ody
             ln2 = opx * opx + opy * opy
             inv_ln = jax.lax.rsqrt(jnp.where(ln2 > 0.0, ln2, 1.0))
             nox = opx * inv_ln
             noy = opy * inv_ln
-            nx = r00 * nox + r10 * noy
-            nyv = r01 * nox + r11 * noy
-            nz = r02 * nox + r12 * noy
+            nx = (col3(blk, _Y_R) * nox + col3(blk, _Y_R + 3) * noy)
+            nyv = (col3(blk, _Y_R + 1) * nox + col3(blk, _Y_R + 4) * noy)
+            nz = (col3(blk, _Y_R + 2) * nox + col3(blk, _Y_R + 5) * noy)
 
-            cand = (nx, nyv, nz,
-                    col(_Y_MB + _MB_MTYPE), col(_Y_MB + _MB_CHECKER),
-                    col(_Y_MB + _MB_PARAM),
-                    col(_Y_MB + _MB_ALB), col(_Y_MB + _MB_ALB + 1),
-                    col(_Y_MB + _MB_ALB + 2),
-                    col(_Y_MB + _MB_ALB2), col(_Y_MB + _MB_ALB2 + 1),
-                    col(_Y_MB + _MB_ALB2 + 2))
-            return _merge_chunk(carry, t, cand, (y_chunk, s, l))
+            exact = _chunk_winner(t, y_chunk, s, l)
+            ext = _dotg(blk[:, :_X_COLS], exact)
+            # overwrite v0..v2 rows with the masked-reduced normal
+            nw = jnp.stack([jnp.sum(exact * nx, axis=0),
+                            jnp.sum(exact * nyv, axis=0),
+                            jnp.sum(exact * nz, axis=0)])
+            ext = jnp.concatenate([nw, ext[3:]], axis=0)
+            return _merge(carry, t, ext)
 
         def tri_body(k, carry):
             sl = pl.ds(k * t_chunk, t_chunk)
+            blk = tri_ref[sl, :]
 
-            def col(j):
-                return tri_ref[sl, j:j + 1].reshape(t_chunk, 1, 1)
+            def odot(j, vx, vy, vz):
+                return (col3(blk, j) * vx + col3(blk, j + 1) * vy
+                        + col3(blk, j + 2) * vz)
 
-            n0x, n0y, n0z = col(_T_N), col(_T_N + 1), col(_T_N + 2)
-            v1x, v1y, v1z = col(_T_V1), col(_T_V1 + 1), col(_T_V1 + 2)
-            # plane hit with origin-side flip (hittable.py:38-55)
-            oc_n = ((ox - v1x) * n0x + (oy - v1y) * n0y
-                    + (oz - v1z) * n0z)
+            oc_n = odot(_X_V, ox, oy, oz) - col3(blk, _T_D0)
             sign = jnp.where(oc_n < 0.0, -1.0, 1.0)
-            d_n = (dx * n0x + dy * n0y + dz * n0z) * sign
+            d_n = odot(_X_V, dx, dy, dz) * sign
             oc_ns = oc_n * sign
             t = -oc_ns / jnp.where(d_n != 0.0, d_n, 1.0)
-            # inside test via edge cross-dots (hittable.py:56-71)
-            rx = ox + t * dx - v1x
-            ry = oy + t * dy - v1y
-            rz = oz + t * dz - v1z
-            e1x, e1y, e1z = col(_T_E1), col(_T_E1 + 1), col(_T_E1 + 2)
-            e2x, e2y, e2z = col(_T_E2), col(_T_E2 + 1), col(_T_E2 + 2)
-            e3x, e3y, e3z = col(_T_E3), col(_T_E3 + 1), col(_T_E3 + 2)
+            # r - v1, with r = o + t*d (hittable.py:56-71 inside test)
+            rx = ox + t * dx - col3(blk, _T_V1)
+            ry = oy + t * dy - col3(blk, _T_V1 + 1)
+            rz = oz + t * dz - col3(blk, _T_V1 + 2)
 
-            def edge_dot(ex, ey, ez, wx, wy, wz):
+            def edge_dot(j, wx, wy, wz):
+                ex = col3(blk, j)
+                ey = col3(blk, j + 1)
+                ez = col3(blk, j + 2)
                 cxp = ey * wz - ez * wy
                 cyp = ez * wx - ex * wz
                 czp = ex * wy - ey * wx
-                return cxp * n0x + cyp * n0y + czp * n0z
+                return (cxp * col3(blk, _X_V) + cyp * col3(blk, _X_V + 1)
+                        + czp * col3(blk, _X_V + 2))
 
-            s1 = edge_dot(e1x, e1y, e1z, rx, ry, rz)
-            # w2 = r - v2 = (r - v1) - e1 ; w3 = r - v3 = (r - v1) + e3
-            s2 = edge_dot(e2x, e2y, e2z, rx - e1x, ry - e1y, rz - e1z)
-            s3 = edge_dot(e3x, e3y, e3z, rx + e3x, ry + e3y, rz + e3z)
+            s1 = edge_dot(_T_E1, rx, ry, rz)
+            s2 = edge_dot(_T_E2, rx - col3(blk, _T_E1),
+                          ry - col3(blk, _T_E1 + 1),
+                          rz - col3(blk, _T_E1 + 2))
+            s3 = edge_dot(_T_E3, rx + col3(blk, _T_E3),
+                          ry + col3(blk, _T_E3 + 1),
+                          rz + col3(blk, _T_E3 + 2))
             inside = (((s1 > 0) & (s2 > 0) & (s3 > 0))
                       | ((s1 < 0) & (s2 < 0) & (s3 < 0)))
             valid = ((d_n < 0.0) & inside & (t >= t_min)
-                     & (col(_T_VALID) > 0.0))
+                     & (col3(blk, _T_VALID) > 0.0))
             t = jnp.where(valid, t, INF)
+            exact = _chunk_winner(t, t_chunk, s, l)
+            ext = _dotg(blk[:, :_X_COLS], exact)
+            return _merge(carry, t, ext)
 
-            # candidate normal = STORED geometric normal (the XLA path
-            # also reports tri_n unflipped; set_face_normal flips later)
-            cand = (n0x, n0y, n0z,
-                    col(_T_MB + _MB_MTYPE), col(_T_MB + _MB_CHECKER),
-                    col(_T_MB + _MB_PARAM),
-                    col(_T_MB + _MB_ALB), col(_T_MB + _MB_ALB + 1),
-                    col(_T_MB + _MB_ALB + 2),
-                    col(_T_MB + _MB_ALB2), col(_T_MB + _MB_ALB2 + 1),
-                    col(_T_MB + _MB_ALB2 + 2))
-            return _merge_chunk(carry, t, cand, (t_chunk, s, l))
-
-        t0 = jnp.full((s, l), INF, jnp.float32)
-        attrs0 = tuple(jnp.zeros((s, l), jnp.float32)
-                       for _ in range(_N_ATTRS))
-        carry = (t0, attrs0)
+        carry = (jnp.full((s, l), INF, jnp.float32),
+                 jnp.zeros((_X_COLS, s, l), jnp.float32))
         if ns:
             carry = jax.lax.fori_loop(0, ns // s_chunk, sph_body, carry)
         if nr:
@@ -538,14 +526,29 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
         if nt:
             carry = jax.lax.fori_loop(0, nt // t_chunk, tri_body, carry)
         t_best, attrs = carry
-        (nx, ny2, nz, w_mtype, w_checker, w_param,
-         w_ar, w_ag, w_ab, w_a2r, w_a2g, w_a2b) = attrs
+
+        v0, v1_, v2, v3 = attrs[0], attrs[1], attrs[2], attrs[3]
+        direct = attrs[_X_DIRECT] > 0.0
+        w_mtype = attrs[_X_MTYPE]
+        w_checker = attrs[_X_CHECKER]
+        w_param = attrs[_X_PARAM]
+        w_ar, w_ag, w_ab = attrs[_X_ALB], attrs[_X_ALB + 1], attrs[_X_ALB + 2]
+        w_a2r, w_a2g, w_a2b = (attrs[_X_ALB2], attrs[_X_ALB2 + 1],
+                               attrs[_X_ALB2 + 2])
 
         hit = jnp.isfinite(t_best)
         t_safe = jnp.where(hit, t_best, 1.0)
         px_ = ox + t_safe * dx
         py_ = oy + t_safe * dy
         pz_ = oz + t_safe * dz
+
+        # outward normal: direct (rect/cyl/tri) or (p - center)/radius
+        # (sphere; NEGATIVE radii flip inward — hollow glass,
+        # main.cu:149-150)
+        inv_rad = 1.0 / jnp.where(v3 == 0.0, 1.0, v3)
+        nx = jnp.where(direct, v0, (px_ - v0) * inv_rad)
+        ny2 = jnp.where(direct, v1_, (py_ - v1_) * inv_rad)
+        nz = jnp.where(direct, v2, (pz_ - v2) * inv_rad)
 
         # set_face_normal (hittable.cuh:16-23)
         d_dot_n = dx * nx + dy * ny2 + dz * nz

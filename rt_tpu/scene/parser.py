@@ -150,15 +150,15 @@ def scene_to_dict(s: SceneDef) -> dict:
 
 
 def _camera_to_dict(s: SceneDef) -> dict:
-    # SceneDef doesn't retain raw camera params; builders that need exact
-    # round-tripping should keep their own dict. Provide best effort.
-    raise_if = s.camera is None
-    if raise_if:
+    if s.camera_params is not None:
+        return dict(s.camera_params)
+    if s.camera is None:
         raise ValueError("scene has no camera")
+    # legacy best-effort (cameras constructed without set_camera)
     c = s.camera
-    lookfrom = np.asarray(c.origin).tolist()
-    return {"lookfrom": lookfrom, "lookat": [0, 0, 0], "vup": [0, 1, 0],
-            "vfov": 20, "aperture": float(c.lens_radius) * 2.0}
+    return {"lookfrom": np.asarray(c.origin).tolist(), "lookat": [0, 0, 0],
+            "vup": [0, 1, 0], "vfov": 20,
+            "aperture": float(c.lens_radius) * 2.0}
 
 
 def tables_from_file(path: str) -> Tuple[SceneTables, RenderConfig, str]:

@@ -222,6 +222,7 @@ class SceneDef:
     materials: List[dict] = dataclasses.field(default_factory=list)
     textures: List[dict] = dataclasses.field(default_factory=list)
     images: List[np.ndarray] = dataclasses.field(default_factory=list)
+    camera_params: Optional[dict] = None
 
     # --- object adders (each records the original object index) -----------
 
@@ -322,6 +323,15 @@ class SceneDef:
 
     def set_camera(self, lookfrom, lookat, vup, vfov_deg, aperture,
                    focus_dist=None):
+        # retain the raw parameters for exact JSON round-tripping
+        # (scene_to_dict — the animation drivers mutate scene dicts)
+        self.camera_params = {
+            "lookfrom": list(map(float, lookfrom)),
+            "lookat": list(map(float, lookat)),
+            "vup": list(map(float, vup)),
+            "vfov": float(vfov_deg),
+            "aperture": float(aperture),
+        }
         self.camera = make_camera(
             lookfrom, lookat, vup, vfov_deg,
             self.width / self.height, aperture, focus_dist,

@@ -113,3 +113,22 @@ def test_round_trip_through_dict():
     assert sdef2.objects == sdef.objects
     assert sdef2.materials == sdef.materials
     assert sdef2.textures == sdef.textures
+
+
+def test_scene_round_trip_camera():
+    """scene_to_dict -> parse_scene_dict reproduces the exact camera
+    (the animation drivers depend on faithful round-trips)."""
+    import numpy as np
+
+    from rt_tpu.scene.parser import parse_scene_dict, scene_to_dict
+    from rt_tpu.scene.builders import cornell_spheres_scene
+
+    # (three_sphere_scene pins a custom focus_dist the JSON schema cannot
+    # express — the reference's parser derives focus from lookfrom/lookat)
+    sdef, _ = cornell_spheres_scene(width=64, height=64, spp=2)
+    d = scene_to_dict(sdef)
+    sdef2, _ = parse_scene_dict(d)
+    np.testing.assert_allclose(np.asarray(sdef.camera.origin),
+                               np.asarray(sdef2.camera.origin), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sdef.camera.horizontal),
+                               np.asarray(sdef2.camera.horizontal), atol=1e-5)
