@@ -175,3 +175,81 @@ def fit(
         params, opt_state, loss = step(params, opt_state, px_j, py_j, tgt_j)
         history.append(float(loss))
     return {k: np.asarray(v) for k, v in params.items()}, history
+
+
+def make_forward_loss(tables: SceneTables, cfg: RenderConfig, spp: int):
+    """Jitted forward-only MSE (any engine, incl. the megakernel) —
+    used by the finite-difference estimator below."""
+    tables = _device_tables(tables)
+
+    @jax.jit
+    def loss_fn(params, px, py, target):
+        tbl = apply_params(tables, params)
+        acc = render_block(tbl, cfg, px, py, jnp.uint32(0), spp,
+                           jnp.uint32(cfg.seed), cfg.width, cfg.height)
+        img = acc / jnp.float32(spp)
+        return jnp.mean((img - target) ** 2)
+
+    return loss_fn
+
+
+def fit_fd(
+    tables: SceneTables,
+    cfg: RenderConfig,
+    target_image: np.ndarray,
+    fd_params,
+    spp: int = 8,
+    steps: int = 60,
+    learning_rate: float = 2e-2,
+    eps: float = 2e-2,
+):
+    """Geometry recovery via central differences with COMMON RANDOM
+    NUMBERS + Adam.
+
+    Detached-sampling reverse-mode cannot see the silhouette term of
+    geometry parameters (moving a sphere mostly changes WHICH pixels it
+    covers — a boundary integral with no interior gradient), so pure AD
+    fails to recover positions. Central differences capture it, and
+    because every sample is a pure function of (pixel, sample, bounce)
+    coordinates (ops/rng.py), the +eps and -eps probes consume IDENTICAL
+    random streams: the Monte-Carlo noise cancels exactly in the
+    difference and the estimate is clean at low spp. This is the
+    classic common-random-numbers estimator, practical here only
+    because the RNG is counter-based.
+
+    fd_params: {field: [component_index, ...]} — e.g.
+    {"sph_center": [(0, 0), (0, 2)]} optimizes sphere 0's x and z.
+    Each step costs 2 renders per listed component (use the megakernel
+    engine: forward renders are cheap).
+
+    Returns (params dict with optimized arrays, loss history)."""
+    import optax
+
+    loss_fn = make_forward_loss(tables, cfg, spp)
+    n_pix = cfg.width * cfg.height
+    pix = np.arange(n_pix, dtype=np.int32)
+    px = jnp.asarray(pix % cfg.width)
+    py = jnp.asarray(pix // cfg.width)
+    tgt = jnp.asarray(np.asarray(target_image, np.float32).reshape(-1, 3))
+
+    params = {f: jnp.asarray(getattr(tables, f), jnp.float32)
+              for f in fd_params}
+    flat_idx = [(f, idx) for f, idxs in fd_params.items() for idx in idxs]
+
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+    history = []
+    for _ in range(steps):
+        grads = {f: jnp.zeros_like(v) for f, v in params.items()}
+        base = float(loss_fn(params, px, py, tgt))
+        for f, idx in flat_idx:
+            pp = dict(params)
+            pp[f] = params[f].at[idx].add(eps)
+            lp = float(loss_fn(pp, px, py, tgt))
+            pp[f] = params[f].at[idx].add(-eps)
+            lm = float(loss_fn(pp, px, py, tgt))
+            grads[f] = grads[f].at[idx].set((lp - lm) / (2 * eps))
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        history.append(base)
+    return {k: np.asarray(v) for k, v in params.items()}, history

@@ -124,3 +124,32 @@ def test_inverse_render_sharded_matches_single():
     np.testing.assert_allclose(np.asarray(p1["tex_color"]),
                                np.asarray(p_n["tex_color"]),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_fd_position_recovery():
+    """Sphere-position recovery via central differences with common
+    random numbers (detached-sampling AD cannot see the silhouette
+    term; the counter RNG makes FD noise-free — diff/inverse.fit_fd)."""
+    from rt_tpu.diff.inverse import fit_fd
+
+    def make(center_x):
+        s = SceneDef(width=48, height=27, samples_per_pixel=8, max_depth=3,
+                     background=(0.7, 0.8, 1.0))
+        m = s.add_lambertian_color((0.7, 0.2, 0.2))
+        s.add_sphere((center_x, 0, -1), 0.5, m)
+        s.add_sphere((0, -100.5, -1), 100,
+                     s.add_lambertian_color((0.6, 0.6, 0.6)))
+        s.set_camera((0, 0.3, 1), (0, 0, -1), (0, 1, 0), 50, 0.0)
+        cfg = RenderConfig(width=48, height=27, samples_per_pixel=8,
+                           max_depth=3, background_mode="gradient")
+        return s, cfg
+
+    true_x = 0.15
+    sdef_t, cfg = make(true_x)
+    target = render(build_tables(sdef_t), cfg) / cfg.samples_per_pixel
+    sdef_w, _ = make(-0.1)
+    rec, hist = fit_fd(build_tables(sdef_w), cfg, target,
+                       fd_params={"sph_center": [(0, 0)]},
+                       spp=8, steps=50, learning_rate=3e-2)
+    assert hist[-1] < hist[0] * 0.05
+    assert abs(rec["sph_center"][0, 0] - true_x) < 0.03
