@@ -95,10 +95,11 @@ def render_sharded_ex(
             1, min(spp_local, cfg.rays_per_batch // max(per_dev, 1)))
 
     pix_sharding = NamedSharding(mesh, P(TILE_AXIS))
-    px_d = jax.device_put(jnp.asarray(px), pix_sharding)
-    py_d = jax.device_put(jnp.asarray(py), pix_sharding)
-    tables_d = jax.device_put(
-        tables, NamedSharding(mesh, P()))  # replicate scene
+    px_d = _global_put(np.asarray(px), pix_sharding)
+    py_d = _global_put(np.asarray(py), pix_sharding)
+    tables_d = jax.tree_util.tree_map(
+        lambda a: _global_put(np.asarray(a), NamedSharding(mesh, P())),
+        tables)  # replicate scene
 
     def make_step(n_samples: int):
         @jax.jit
@@ -135,8 +136,25 @@ def render_sharded_ex(
     if progress:
         print()
 
-    out = np.asarray(jax.device_get(acc))[:n_pix]
+    if jax.process_count() > 1:
+        # multi-host: gather the tile-sharded accumulator to every host
+        from jax.experimental import multihost_utils
+
+        out = np.asarray(
+            multihost_utils.process_allgather(acc, tiled=True))[:n_pix]
+    else:
+        out = np.asarray(jax.device_get(acc))[:n_pix]
     return out.reshape(h, w, 3), spp
+
+
+def _global_put(arr: np.ndarray, sharding) -> jax.Array:
+    """device_put that also works across processes: each host fills only
+    its addressable shards (multi-host pods; the reference's analogue is
+    8 independent processes that never share arrays at all)."""
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx])
 
 
 # re-export for convenience
