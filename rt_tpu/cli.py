@@ -205,6 +205,8 @@ def main(argv=None) -> int:
     anp.add_argument("--host-index", type=int, default=0)
     anp.add_argument("--retries", type=int, default=1,
                      help="per-frame retry count (frames are idempotent)")
+    anp.add_argument("--engine", default="mega",
+                     choices=["xla", "pallas", "mega"])
     anp.add_argument("--deg-per-frame", type=float, default=1.0)
     anp.add_argument("--outdir", default="frames")
     anp.add_argument("-w", "--width", type=int, default=400)

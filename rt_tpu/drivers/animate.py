@@ -32,7 +32,8 @@ import time
 
 def _frame_cfg(args, cfg):
     return cfg.replace(width=args.width, height=args.height,
-                       samples_per_pixel=args.spp, max_depth=args.max_depth)
+                       samples_per_pixel=args.spp, max_depth=args.max_depth,
+                       engine=getattr(args, "engine", "mega"))
 
 
 def _host_slice(args):
