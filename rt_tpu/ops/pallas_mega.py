@@ -53,6 +53,7 @@ from rt_tpu.scene.types import (
     MAT_METAL,
     SceneTables,
     TEX_CHECKER,
+    TEX_IMAGE,
 )
 
 INF = np.float32(np.inf)
@@ -71,34 +72,40 @@ AUX_CHUNK = 16   # rects / cylinders per inner iteration
 #   4     direct   (0: normal = (p - v)/v3 [sphere]; 1: normal = v)
 #   5..7  mtype, checker, param (metal fuzz / dielectric IOR)
 #   8..10 albedo   11..13 albedo2 (checker odd color)
+#   14    img      (image-texture id, -1 none — triangles only)
 _X_V = 0
 _X_RAD = 3
 _X_DIRECT = 4
 _X_MTYPE, _X_CHECKER, _X_PARAM = 5, 6, 7
 _X_ALB = 8
 _X_ALB2 = 11
-_X_COLS = 14
+_X_IMG = 14
+_X_COLS = 15
 
 # per-family geometry extras (cols >= 14)
-_S_C2R, _S_VALID = 14, 15
-_S_COLS = 16
+_S_C2R, _S_VALID = 15, 16
+_S_COLS = 32
 
-_R_K, _R_LO0, _R_LO1, _R_HI0, _R_HI1, _R_VALID = 14, 15, 16, 17, 18, 19
-_R_F1 = 20  # 20..22 free-axis-1 onehot
-_R_F2 = 23  # 23..25 free-axis-2 onehot
+_R_K, _R_LO0, _R_LO1, _R_HI0, _R_HI1, _R_VALID = 15, 16, 17, 18, 19, 20
+_R_F1 = 21  # free-axis-1 onehot
+_R_F2 = 24  # free-axis-2 onehot
 _R_COLS = 32
 
-_Y_R = 14   # 14..22 w2o rotation rows (row-major 3x3)
-_Y_T = 23   # 23..25 w2o translation
-_Y_RAD2, _Y_ZMIN, _Y_ZMAX, _Y_VALID = 26, 27, 28, 29
+_Y_R = 15   # w2o rotation rows (row-major 3x3)
+_Y_T = 24   # w2o translation
+_Y_RAD2, _Y_ZMIN, _Y_ZMAX, _Y_VALID = 27, 28, 29, 30
 _Y_COLS = 32
 
-_T_V1 = 14  # 14..16
-_T_E1 = 17  # 17..19 v2-v1
-_T_E2 = 20  # 20..22 v3-v2
-_T_E3 = 23  # 23..25 v1-v3
-_T_D0, _T_VALID = 26, 27   # d0 = dot(v1, n)
-_T_COLS = 32
+_T_V1 = 15  # 15..17
+_T_E1 = 18  # v2-v1
+_T_E2 = 21  # v3-v2
+_T_E3 = 24  # v1-v3
+_T_D0, _T_VALID = 27, 28   # d0 = dot(v1, n)
+_T_UV1 = 29  # 29,30
+_T_UV2 = 31
+_T_UV3 = 33
+_T_INVA2 = 35  # 1/|cross(e1, v3-v1)| (barycentric normalizer)
+_T_COLS = 64
 
 _GOLD = np.int32(np.uint32(0x9E3779B9).astype(np.int64) - (1 << 32))
 _M1 = np.int32(np.uint32(0xED5AD4BB).astype(np.int64) - (1 << 32))
@@ -107,12 +114,16 @@ _M3 = np.int32(np.uint32(0x31848BAB).astype(np.int64) - (1 << 32))
 
 
 def mega_supported(tables: SceneTables) -> bool:
-    """Static scene-shape check (counts + image-atlas shape only).
-    Image textures are the one unsupported feature (in-kernel per-lane
-    atlas gathers) — those scenes use the hybrid engine."""
+    """Static scene-shape check.
+
+    Image textures are supported when only TRIANGLES use them (the
+    reference's sole image-texture user is the Taichi textured mesh,
+    material.py:137-144) — sampled in-kernel by a double one-hot
+    contraction. Image textures on curved primitives would need
+    in-kernel arccos/arctan2 UVs; those scenes use the hybrid engine."""
     n_sph, n_rect, n_cyl, n_tri = tables.counts
-    no_images = tables.images.shape[:3] == (1, 1, 1)
-    return (n_sph + n_rect + n_cyl + n_tri) > 0 and no_images
+    img_ok = set(tables.img_on) <= {"triangle"}
+    return (n_sph + n_rect + n_cyl + n_tri) > 0 and img_ok
 
 
 def _ext_block(tables: SceneTables, mat_ids, v=None, rad=None,
@@ -123,6 +134,8 @@ def _ext_block(tables: SceneTables, mat_ids, v=None, rad=None,
     tex_safe = jnp.maximum(tex, 0)
     ttype = tables.tex_type[tex_safe]
     is_checker = (tex >= 0) & (ttype == TEX_CHECKER)
+    img = jnp.where((tex >= 0) & (ttype == TEX_IMAGE),
+                    tables.tex_image[tex_safe], -1)
     from_tex = tables.tex_color[tex_safe]
     base = jnp.where((tex >= 0)[:, None], from_tex,
                      tables.mat_albedo[mat_ids])
@@ -145,6 +158,7 @@ def _ext_block(tables: SceneTables, mat_ids, v=None, rad=None,
     blk = blk.at[:, _X_PARAM].set(param)
     blk = blk.at[:, _X_ALB:_X_ALB + 3].set(base)
     blk = blk.at[:, _X_ALB2:_X_ALB2 + 3].set(alb2)
+    blk = blk.at[:, _X_IMG].set(img.astype(jnp.float32))
     return blk
 
 
@@ -214,7 +228,29 @@ def triangle_table(tables: SceneTables) -> jnp.ndarray:
     cols = cols.at[:, _T_D0].set((v1 * n0).sum(-1))
     cols = cols.at[:, _T_VALID].set(
         (tables.tri_obj >= 0).astype(jnp.float32))
+    cols = cols.at[:, _T_UV1:_T_UV1 + 2].set(tables.tri_uv1)
+    cols = cols.at[:, _T_UV2:_T_UV2 + 2].set(tables.tri_uv2)
+    cols = cols.at[:, _T_UV3:_T_UV3 + 2].set(tables.tri_uv3)
+    area2 = jnp.linalg.norm(jnp.cross(v2 - v1, v3 - v1), axis=-1)
+    cols = cols.at[:, _T_INVA2].set(
+        1.0 / jnp.where(area2 > 0.0, area2, 1.0))
     return cols
+
+
+def image_atlas_rows(tables: SceneTables):
+    """Flatten the [Ni,TH,TW,3] atlas to 3 channel planes [Ni*TH, TWp]
+    (rows = img*TH + xi; lanes padded to a 128 multiple) for the
+    double-one-hot sampler."""
+    ni, th, tw = tables.images.shape[:3]
+    r = ni * th
+    twp = -(-tw // 128) * 128
+    rp = -(-r // 8) * 8
+    planes = []
+    for c in range(3):
+        p = tables.images[..., c].reshape(r, tw)
+        p = jnp.pad(p, ((0, rp - r), (0, twp - tw)))
+        planes.append(p.astype(jnp.float32))
+    return planes
 
 
 # ---------------------------------------------------------------------------
@@ -300,9 +336,9 @@ def _dotk(a, cube):
 def _merge(carry, t, ext):
     """Fold one chunk's winner into the carry.
 
-    t [C,S,L] candidates; ext [14,S,L] the chunk winner's extraction
-    block. Ties: later chunk/table wins, matching the linear scan's
-    `t <= closest` acceptance (object.cuh:23-37)."""
+    t [C,S,L] candidates; ext [N_ATTR,S,L] the chunk winner's extraction
+    block (+uv rows). Ties: later chunk/table wins, matching the linear
+    scan's `t <= closest` acceptance (object.cuh:23-37)."""
     t_best, attrs = carry
     tmin = jnp.min(t, axis=0)                             # [S,L]
     take = (tmin < t_best) | (jnp.isfinite(tmin) & (tmin == t_best))
@@ -319,7 +355,7 @@ def _chunk_winner(t, c, s, l):
 
 
 def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
-                 tri_ref,
+                 tri_ref, atr_ref, atg_ref, atb_ref,
                  rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                  tpr_ref, tpg_ref, tpb_ref, cr_ref, cg_ref, cb_ref,
                  alive_ref, pix_ref,
@@ -329,7 +365,8 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                  ns: int, nr: int, ny_: int, nt: int,
                  s_chunk: int, r_chunk: int, y_chunk: int, t_chunk: int,
                  max_depth: int, t_min: float,
-                 p_rr: float, grad_bg: bool, exhaust_bg: bool):
+                 p_rr: float, grad_bg: bool, exhaust_bg: bool,
+                 has_img: bool, img_th: int, img_tw: int):
     seed = scal_i_ref[0, 0]
     sample = scal_i_ref[0, 1]
     start_bounce = scal_i_ref[0, 2]
@@ -369,6 +406,14 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
         def col3(blk, j):
             return blk[:, j:j + 1].reshape(-1, 1, 1)
 
+        n_uv = 2 if has_img else 0
+
+        def pad_uv(ext):
+            if not n_uv:
+                return ext
+            z = jnp.zeros((n_uv,) + ext.shape[1:], jnp.float32)
+            return jnp.concatenate([ext, z], axis=0)
+
         def sph_body(k, carry):
             sl = pl.ds(k * s_chunk, s_chunk)
             blk = sph_ref[sl, :]                           # [C, 16]
@@ -387,8 +432,8 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
             t = jnp.where((disc >= 0.0)
                           & (col3(blk, _S_VALID) > 0.0), t, INF)
             exact = _chunk_winner(t, s_chunk, s, l)
-            ext = _dotg(blk[:, :_X_COLS], exact)           # [14,S,L] MXU
-            return _merge(carry, t, ext)
+            ext = _dotg(blk[:, :_X_COLS], exact)           # [15,S,L] MXU
+            return _merge(carry, t, pad_uv(ext))
 
         def rect_body(k, carry):
             sl = pl.ds(k * r_chunk, r_chunk)
@@ -411,7 +456,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
             t = jnp.where(valid, t, INF)
             exact = _chunk_winner(t, r_chunk, s, l)
             ext = _dotg(blk[:, :_X_COLS], exact)
-            return _merge(carry, t, ext)
+            return _merge(carry, t, pad_uv(ext))
 
         def cyl_body(k, carry):
             sl = pl.ds(k * y_chunk, y_chunk)
@@ -469,7 +514,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                             jnp.sum(exact * nyv, axis=0),
                             jnp.sum(exact * nz, axis=0)])
             ext = jnp.concatenate([nw, ext[3:]], axis=0)
-            return _merge(carry, t, ext)
+            return _merge(carry, t, pad_uv(ext))
 
         def tri_body(k, carry):
             sl = pl.ds(k * t_chunk, t_chunk)
@@ -513,10 +558,41 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
             t = jnp.where(valid, t, INF)
             exact = _chunk_winner(t, t_chunk, s, l)
             ext = _dotg(blk[:, :_X_COLS], exact)
+            if has_img:
+                # per-candidate barycentric uv (matches the XLA
+                # _attributes barycentrics; hittable.py uv interp)
+                e1x, e1y, e1z = (col3(blk, _T_E1), col3(blk, _T_E1 + 1),
+                                 col3(blk, _T_E1 + 2))
+                e2x, e2y, e2z = (col3(blk, _T_E2), col3(blk, _T_E2 + 1),
+                                 col3(blk, _T_E2 + 2))
+                # v2-r = e1-w1 ; v3-r = e1+e2-w1 ; w1 = r-v1 = (rx,ry,rz)
+                ax_, ay_, az_ = e1x - rx, e1y - ry, e1z - rz
+                bx_ = e1x + e2x - rx
+                by_ = e1y + e2y - ry
+                bz_ = e1z + e2z - rz
+                c1x = ay_ * bz_ - az_ * by_
+                c1y = az_ * bx_ - ax_ * bz_
+                c1z = ax_ * by_ - ay_ * bx_
+                inv_a2 = col3(blk, _T_INVA2)
+                l1 = jnp.sqrt(c1x * c1x + c1y * c1y + c1z * c1z) * inv_a2
+                # v1-r = -w1
+                c2x = by_ * rz - bz_ * ry
+                c2y = bz_ * rx - bx_ * rz
+                c2z = bx_ * ry - by_ * rx
+                l2 = jnp.sqrt(c2x * c2x + c2y * c2y + c2z * c2z) * inv_a2
+                l3 = jnp.maximum(0.0, 1.0 - l1 - l2)
+                u_c = (col3(blk, _T_UV1) * l1 + col3(blk, _T_UV2) * l2
+                       + col3(blk, _T_UV3) * l3)
+                v_c = (col3(blk, _T_UV1 + 1) * l1
+                       + col3(blk, _T_UV2 + 1) * l2
+                       + col3(blk, _T_UV3 + 1) * l3)
+                uvw = jnp.stack([jnp.sum(exact * u_c, axis=0),
+                                 jnp.sum(exact * v_c, axis=0)])
+                ext = jnp.concatenate([ext, uvw], axis=0)
             return _merge(carry, t, ext)
 
         carry = (jnp.full((s, l), INF, jnp.float32),
-                 jnp.zeros((_X_COLS, s, l), jnp.float32))
+                 jnp.zeros((_X_COLS + n_uv, s, l), jnp.float32))
         if ns:
             carry = jax.lax.fori_loop(0, ns // s_chunk, sph_body, carry)
         if nr:
@@ -563,6 +639,37 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
         alb_r = jnp.where(use2, w_a2r, w_ar)
         alb_g = jnp.where(use2, w_a2g, w_ag)
         alb_b = jnp.where(use2, w_a2b, w_ab)
+
+        if has_img:
+            # image texture via double one-hot contraction: no gathers.
+            # out = sum_r sum_c OHx[r]*A[r,c]*OHy[c]; rows = img*TH+xi
+            # (taichi material.py:137-144 texel addressing: u -> dim0)
+            w_img = attrs[_X_IMG]
+            u_w = attrs[_X_COLS]
+            v_w = attrs[_X_COLS + 1]
+            has = w_img >= 0.0
+            xi = jnp.clip(((u_w - jnp.floor(u_w)) * img_th), 0.0,
+                          img_th - 1.0).astype(jnp.int32)
+            yi = jnp.clip(((v_w - jnp.floor(v_w)) * img_tw), 0.0,
+                          img_tw - 1.0).astype(jnp.int32)
+            row = jnp.where(has, w_img.astype(jnp.int32) * img_th + xi,
+                            -1)
+            n_rows = atr_ref.shape[0]
+            n_cols = atr_ref.shape[1]
+            rids = jax.lax.broadcasted_iota(
+                jnp.int32, (n_rows, s, l), 0)
+            ohx = (rids == row).astype(jnp.float32)        # [R,S,L]
+            cids = jax.lax.broadcasted_iota(
+                jnp.int32, (n_cols, s, l), 0)
+            ohy = (cids == yi).astype(jnp.float32)         # [TWp,S,L]
+
+            def tex_sample(at_ref):
+                b_ = _dotg(at_ref[...], ohx)               # [TWp,S,L]
+                return jnp.sum(b_ * ohy, axis=0)
+
+            alb_r = jnp.where(has, tex_sample(atr_ref), alb_r)
+            alb_g = jnp.where(has, tex_sample(atg_ref), alb_g)
+            alb_b = jnp.where(has, tex_sample(atb_ref), alb_b)
 
         mtype = w_mtype  # float codes
         is_lam = mtype == MAT_LAMBERTIAN
@@ -682,12 +789,14 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("counts", "max_depth", "t_min", "p_rr", "grad_bg",
-                     "exhaust_bg", "interpret"))
-def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, counts, background,
-                 state, pixel, sample_idx, seed, start_bounce,
+                     "exhaust_bg", "has_img", "img_th", "img_tw",
+                     "interpret"))
+def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, atlas, counts,
+                 background, state, pixel, sample_idx, seed, start_bounce,
                  max_depth: int,
                  t_min: float = 1e-3, p_rr: float = 0.0,
                  grad_bg: bool = False, exhaust_bg: bool = False,
+                 has_img: bool = False, img_th: int = 1, img_tw: int = 1,
                  interpret: bool = False):
     """Advance B rays (B % RAY_TILE == 0) max_depth bounces.
 
@@ -719,7 +828,8 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, counts, background,
         t_chunk=min(max(nt, 1), SPH_CHUNK),
         max_depth=int(max_depth),
         t_min=float(t_min), p_rr=float(p_rr), grad_bg=bool(grad_bg),
-        exhaust_bg=bool(exhaust_bg))
+        exhaust_bg=bool(exhaust_bg), has_img=bool(has_img),
+        img_th=int(img_th), img_tw=int(img_tw))
 
     ray_spec = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -733,6 +843,9 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, counts, background,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rect table
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cylinder table
             pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas R
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas G
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas B
         ] + [ray_spec] * 14,
         out_specs=(ray_spec,) * 13,
         out_shape=tuple(jax.ShapeDtypeStruct((g, 8, LANES), jnp.float32)
@@ -740,6 +853,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, counts, background,
         interpret=interpret,
     )(
         scal_i, scal_f, sph_tab, rect_tab, cyl_tab, tri_tab,
+        atlas[0], atlas[1], atlas[2],
         *[lanes(s) for s in state],
         lanes(pixel, jnp.int32),
     )
@@ -808,6 +922,13 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     tri_tab = _pad_rows(triangle_table(tbl) if n_tri
                         else jnp.zeros((1, _T_COLS), jnp.float32),
                         min(max(n_tri, 1), SPH_CHUNK))
+    has_img = bool(tables.img_on)
+    if has_img:
+        atlas = tuple(image_atlas_rows(tbl))
+        img_th, img_tw = tables.images.shape[1], tables.images.shape[2]
+    else:
+        atlas = tuple(jnp.zeros((8, 128), jnp.float32) for _ in range(3))
+        img_th = img_tw = 1
     counts = (sph_tab.shape[0] if n_sph else 0,
               rect_tab.shape[0] if n_rect else 0,
               cyl_tab.shape[0] if n_cyl else 0,
@@ -816,6 +937,7 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     interpret = jax.default_backend() != "tpu"
     kw = dict(p_rr=cfg.p_rr,
               grad_bg=cfg.background_mode == "gradient",
+              has_img=has_img, img_th=img_th, img_tw=img_tw,
               interpret=interpret)
     exhaust = cfg.exhaust_mode == "background"
 
@@ -833,8 +955,8 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     done = 0
     for i, seg in enumerate(schedule):
         last = i == len(schedule) - 1
-        state = mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, counts,
-                             tbl.background, state, pixel,
+        state = mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, atlas,
+                             counts, tbl.background, state, pixel,
                              sample_idx, seed, jnp.int32(done),
                              max_depth=seg,
                              exhaust_bg=exhaust and last, **kw)

@@ -202,6 +202,10 @@ class SceneTables:
     # which primitive families carry a real BVH, e.g. ("triangle",)
     bvh_for: Tuple[str, ...] = dataclasses.field(
         default=(), metadata=dict(static=True))
+    # primitive families whose materials reference IMAGE textures
+    # (static: lets the megakernel gate its in-kernel sampler)
+    img_on: Tuple[str, ...] = dataclasses.field(
+        default=(), metadata=dict(static=True))
 
 
 @dataclasses.dataclass
@@ -515,9 +519,21 @@ def build_tables(s: SceneDef, bvh_types: Sequence[str] = ()) -> SceneTables:
                           tri_bvh_max=bv.bmax)
         bvh_built.append("triangle")
 
+    # which families use image textures (static megakernel gate)
+    img_texs = {i for i, t in enumerate(s.textures)
+                if t.get("type") == "image"}
+    mat_uses_img = {i for i, m in enumerate(s.materials)
+                    if m.get("texture") in img_texs}
+    fam_of = {"sphere": "sphere", "xy_rect": "rect", "xz_rect": "rect",
+              "yz_rect": "rect", "cylinder": "cylinder",
+              "triangle": "triangle"}
+    img_on = sorted({fam_of[o["type"]] for o in s.objects
+                     if o.get("material") in mat_uses_img})
+
     return SceneTables(
         **bvh_fields,
         bvh_for=tuple(bvh_built),
+        img_on=tuple(img_on),
         sph_center=sph_center, sph_radius=sph_radius, sph_mat=sph_mat,
         sph_obj=sph_obj,
         rect_axis=rect_axis, rect_lo=rect_lo, rect_hi=rect_hi, rect_k=rect_k,

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 from rt_tpu.config import RenderConfig
+from rt_tpu.scene.types import SceneDef
 from rt_tpu.render.renderer import render
 from rt_tpu.scene.builders import (
     cornell_spheres_scene, cover_scene, three_sphere_scene)
@@ -39,21 +40,44 @@ def test_mega_cornell_emissive_rr():
     _compare(sdef, cfg)
 
 
-def test_mega_unsupported_falls_back(tmp_path):
-    # image textures are not mega-supported -> hybrid fallback
+def test_mega_unsupported_falls_back():
+    # image textures on CURVED primitives are not mega-supported
+    # (in-kernel UVs would need arccos/arctan2) -> hybrid fallback
+    from rt_tpu.scene.types import SceneDef
+
+    rs = np.random.RandomState(0)
+    s = SceneDef(width=32, height=18, samples_per_pixel=1, max_depth=3,
+                 background=(0.7, 0.8, 1.0))
+    ti = s.add_image_texture(rs.rand(8, 8, 3).astype(np.float32))
+    s.add_sphere((0, 0, -1), 0.5, s.add_lambertian(ti))
+    s.set_camera((0, 0, 1), (0, 0, -1), (0, 1, 0), 45, 0.0)
+    tables = build_tables(s)
+    assert not mega_supported(tables)  # image texture on a sphere
+    cfg = RenderConfig(width=32, height=18, samples_per_pixel=1, max_depth=3)
+    img = render(tables, cfg.replace(engine="mega"))  # falls back, no crash
+    assert np.isfinite(img).all()
+
+
+def test_mega_textured_mesh(tmp_path):
+    """Image textures on triangles run IN the megakernel (double
+    one-hot sampler) and match the XLA engine."""
     from rt_tpu.io.image import write_png
     from rt_tpu.scene.builders import mesh_scene
 
-    obj = tmp_path / "tri.obj"
-    obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    obj = tmp_path / "quad.obj"
+    obj.write_text(
+        "v 0 0 0\nv 2 0 0\nv 0 2 0\nv 2 2 0\n"
+        "vt 0 0\nvt 1 0\nvt 0 1\nvt 1 1\n"
+        "f 1 2 3\nf 2 4 3\n")
     tex = tmp_path / "tex.png"
-    write_png(str(tex), np.full((4, 4, 3), 128, np.uint8))
-    sdef, cfg = mesh_scene(str(obj), width=32, height=18, spp=1, max_depth=3,
+    rs = np.random.RandomState(3)
+    write_png(str(tex), (rs.rand(16, 16, 3) * 255).astype(np.uint8))
+    sdef, cfg = mesh_scene(str(obj), width=40, height=24, spp=2, max_depth=4,
                            texture_path=str(tex))
     tables = build_tables(sdef)
-    assert not mega_supported(tables)  # image texture
-    img = render(tables, cfg.replace(engine="mega"))  # falls back, no crash
-    assert np.isfinite(img).all()
+    assert mega_supported(tables)
+    assert tables.img_on == ("triangle",)
+    _compare(sdef, cfg)
 
 
 def test_mega_triangle_scene(tmp_path):
