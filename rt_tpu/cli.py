@@ -218,6 +218,9 @@ def main(argv=None) -> int:
     anp.add_argument("--points-dir", default=None,
                      help="per-frame point cloud dir (taichi points mode)")
     anp.add_argument("--obj", default=None, help="OBJ mesh (points mode)")
+    anp.add_argument("--texture", default=None,
+                     help="PNG image texture for the mesh (points mode; "
+                          "e.g. the reference's asset/tex/bricks2.png)")
     anp.set_defaults(fn=cmd_animate)
 
     args = ap.parse_args(argv)

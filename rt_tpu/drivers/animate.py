@@ -149,7 +149,8 @@ def run_points(args) -> int:
         pts = readdynamic(os.path.join(args.points_dir, f"{i + 1}.txt"))
         sdef, cfg = mesh_scene(args.obj, width=args.width,
                                height=args.height, spp=args.spp,
-                               max_depth=args.max_depth, points=pts)
+                               max_depth=args.max_depth, points=pts,
+                               texture_path=getattr(args, "texture", None))
         cfg = _frame_cfg(args, cfg)
         t0 = time.time()
         _render_frame(build_tables(sdef), cfg,

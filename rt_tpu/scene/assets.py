@@ -48,6 +48,17 @@ def readdynamic(path: str) -> np.ndarray:
 
 
 def load_image_texture(path: str) -> np.ndarray:
-    """Load a PNG as [H,W,3] float RGB in [0,1]."""
-    from rt_tpu.io.image import read_png
-    return read_png(path).astype(np.float32) / 255.0
+    """Load an image as [H,W,3] float RGB in [0,1].
+
+    PNGs use the self-contained stdlib decoder (io/image.py); anything
+    else (e.g. the reference's bricks2.png, which is actually a JPEG —
+    cv2 sniffed the content, the extension lies) goes through PIL when
+    available."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic == b"\x89PNG\r\n\x1a\n":
+        from rt_tpu.io.image import read_png
+        return read_png(path).astype(np.float32) / 255.0
+    from PIL import Image  # JPEG et al.
+    img = np.asarray(Image.open(path).convert("RGB"))
+    return img.astype(np.float32) / 255.0
