@@ -45,7 +45,11 @@ def main():
     ap.add_argument("--steps", type=int, default=80)
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--outdir", default="inverse_out")
+    ap.add_argument("--position", action="store_true",
+                    help="run the FD position-recovery demo instead")
     args = ap.parse_args()
+    if args.position:
+        return position_demo()
     os.makedirs(args.outdir, exist_ok=True)
 
     true_albedo = (0.7, 0.2, 0.4)
@@ -80,6 +84,26 @@ def main():
     print(f"max albedo error: {err:.4f}")
     print(f"wrote {args.outdir}/{{target,before,after}}.png")
     return 0 if err < 0.1 else 1
+
+
+def position_demo():
+    """Sphere-position recovery via common-random-numbers finite
+    differences (fit_fd) — run with: python examples/inverse_render.py
+    --position"""
+    from rt_tpu.diff.inverse import fit_fd
+
+    true_x = 0.15
+    sdef_t, cfg = make_scene((0.7, 0.2, 0.2), true_x)
+    cfg = cfg.replace(samples_per_pixel=8)
+    target = render(build_tables(sdef_t), cfg) / cfg.samples_per_pixel
+    sdef_w, _ = make_scene((0.7, 0.2, 0.2), -0.1)
+    rec, hist = fit_fd(build_tables(sdef_w), cfg, target,
+                       fd_params={"sph_center": [(0, 0)]},
+                       spp=8, steps=60, learning_rate=3e-2)
+    print(f"loss: {hist[0]:.5f} -> {hist[-1]:.7f}")
+    print(f"center_x: {rec['sph_center'][0, 0]:.4f} "
+          f"(true {true_x}, init -0.1)")
+    return 0 if abs(rec["sph_center"][0, 0] - true_x) < 0.05 else 1
 
 
 if __name__ == "__main__":
