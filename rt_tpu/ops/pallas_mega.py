@@ -759,16 +759,25 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
         alive = scattered.astype(jnp.float32)
         return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, cr, cg, cb, alive)
 
-    def bounce_step(b, st):
-        any_alive = jnp.max(st[-1]) > 0.0
-        return jax.lax.cond(any_alive, lambda s_: do_bounce(b, s_),
-                            lambda s_: s_, st)
+    # while_loop (supported by Mosaic): the tile EXITS the bounce loop
+    # the moment every lane is dead, rather than cond-skipping each
+    # remaining bounce (which still pays a scalar test + carry phi per
+    # bounce) — the in-kernel equivalent of the XLA integrator's
+    # early-exit wavefront loop.
+    def bounce_cond(bst):
+        b, st_ = bst
+        return (b < max_depth) & (jnp.max(st_[-1]) > 0.0)
+
+    def bounce_body(bst):
+        b, st_ = bst
+        return b + 1, do_bounce(b, st_)
 
     st = (rox_ref[0], roy_ref[0], roz_ref[0],
           rdx_ref[0], rdy_ref[0], rdz_ref[0],
           tpr_ref[0], tpg_ref[0], tpb_ref[0],
           cr_ref[0], cg_ref[0], cb_ref[0], alive_ref[0])
-    st = jax.lax.fori_loop(0, max_depth, bounce_step, st)
+    _, st = jax.lax.while_loop(bounce_cond, bounce_body,
+                               (jnp.int32(0), st))
     (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, cr, cg, cb, alive) = st
 
     if exhaust_bg:

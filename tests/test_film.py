@@ -64,3 +64,21 @@ def test_ppm_write(tmp_path):
     text = open(path).read().split()
     assert text[:4] == ["P3", "2", "1", "255"]
     assert text[4:10] == ["255", "0", "0", "0", "255", "0"]
+
+
+def test_native_ppm_matches_python(tmp_path):
+    """The C writer must produce byte-identical PPM output to the
+    pure-Python path (both mirror color.cuh's P3 format)."""
+    from rt_tpu.io.native import native_write_ppm
+
+    rng = np.random.default_rng(5)
+    img = (rng.random((7, 11, 3)) * 255).astype(np.uint8)
+    native = tmp_path / "n.ppm"
+    if not native_write_ppm(str(native), img):
+        import pytest
+        pytest.skip("native library unavailable")
+    py = tmp_path / "p.ppm"
+    with open(py, "w") as f:
+        f.write(f"P3\n11 7\n255\n")
+        f.writelines(f"{r} {g} {b}\n" for r, g, b in img.reshape(-1, 3))
+    assert native.read_bytes() == py.read_bytes()
