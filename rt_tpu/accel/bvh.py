@@ -105,7 +105,14 @@ def traverse(bvh_arrays, ro, rd, t_min, leaf_test):
     Returns (t_best [B] f32 inf-on-miss, pid_best [B] i32).
     """
     b = ro.shape[0]
-    inv_d = 1.0 / rd  # +-inf where a component is 0: slab test still valid
+    # +-inf where a direction component is 0. NaN hazard: when the origin
+    # sits exactly ON a node's bounding plane for that axis,
+    # 0 * inf = NaN would make the comparisons false and wrongly cull the
+    # subtree (axis-aligned rays on axis-aligned scenes hit this). The
+    # body substitutes explicit +-BIG slab bounds for zero components.
+    inv_d = 1.0 / rd
+    zero_d = rd == 0.0
+    _BIG = np.float32(3.0e38)
     obj_id = bvh_arrays["obj_id"]
     left_id = bvh_arrays["left_id"]
     next_id = bvh_arrays["next_id"]
@@ -122,11 +129,21 @@ def traverse(bvh_arrays, ro, rd, t_min, leaf_test):
         nb_min = bmin[node]
         nb_max = bmax[node]
         # slab test vs current best (bvh.py:170-193 uses the running
-        # closest as t_max)
+        # closest as t_max); zero-direction axes constrain nothing when
+        # the origin is inside that slab and reject everything otherwise
         t0 = (nb_min - ro) * inv_d
         t1 = (nb_max - ro) * inv_d
-        tn = jnp.minimum(t0, t1).max(axis=-1)
-        tf = jnp.maximum(t0, t1).min(axis=-1)
+        near = jnp.minimum(t0, t1)
+        far = jnp.maximum(t0, t1)
+        # zero-direction axes: substitute the sentinel interval AFTER the
+        # per-axis sort (an empty (+BIG,-BIG) interval fed through
+        # min/max would be re-sorted into an everything interval); any
+        # 0*inf NaNs in t0/t1 live only on these replaced lanes
+        inside = (ro >= nb_min) & (ro <= nb_max)
+        near = jnp.where(zero_d, jnp.where(inside, -_BIG, _BIG), near)
+        far = jnp.where(zero_d, jnp.where(inside, _BIG, -_BIG), far)
+        tn = near.max(axis=-1)
+        tf = far.min(axis=-1)
         box_hit = (tf >= jnp.maximum(tn, t_min)) & (tn <= t_best)
 
         prim = obj_id[node]

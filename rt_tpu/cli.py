@@ -43,6 +43,9 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--view-gamma", action="store_true",
                    help="apply sqrt gamma to PNG output (the reference PNG "
                         "writer doesn't; PPM always does)")
+    p.add_argument("--both-formats", action="store_true",
+                   help="write BOTH .ppm and .png like the reference "
+                        "jsonmain (gpu-version/main.cu:510-517)")
     p.add_argument("--sharded", action="store_true",
                    help="render over all local devices (mesh over pixel "
                         "tiles) instead of single-device tiling")
@@ -101,15 +104,35 @@ def _load(args):
                 setattr(sdef, k, v)
         if "width" in updates or "height" in updates:
             # re-derive the camera frame for the new aspect ratio the way
-            # the JSON parser would (parser.hpp:113-141)
-            pass  # camera was built from the original aspect; keep as-is
+            # the JSON parser would (parser.hpp:113-141); see
+            # SceneDef.resize for the deliberate deviation from the
+            # reference CLI's fixed-16:9 camera quirk
+            sdef.resize()
     return sdef, cfg, (args.output or out)
+
+
+def _write_outputs(img, spp, out_path, both=False, view_gamma=False):
+    """Write the image by extension; with both=True write BOTH the PPM
+    and the PNG for one render, exactly like jsonmain
+    (gpu-version/main.cu:510-517 calls output_image(...ppm) then
+    write_image(...png))."""
+    from rt_tpu.render import film
+    from rt_tpu.io.image import write_png
+
+    base = out_path[:-4] if out_path.endswith((".png", ".ppm")) else out_path
+    paths = ([base + ".ppm", base + ".png"] if both else [out_path])
+    for p in paths:
+        if p.endswith(".ppm"):
+            with open(p, "w") as f:
+                f.write(film.to_ppm(img, spp))
+        else:
+            write_png(p, film.finalize(img, spp, gamma=view_gamma))
+    return paths
 
 
 def cmd_render(args) -> int:
     from rt_tpu.render import film
     from rt_tpu.scene.types import build_tables
-    from rt_tpu.io.image import write_png, write_ppm
 
     sdef, cfg, out_path = _load(args)
     if args.engine:
@@ -127,8 +150,12 @@ def cmd_render(args) -> int:
             checkpoint_every=args.checkpoint_every,
             progress=args.progress)
     elif args.sharded:
-        from rt_tpu.parallel.sharded import render_sharded
-        img = render_sharded(tables, cfg, progress=args.progress)
+        from rt_tpu.parallel.sharded import render_sharded_ex
+        # the sharded renderer may round spp UP to the sample-axis size;
+        # normalize by the spp actually rendered, not the requested one
+        img, spp_actual = render_sharded_ex(tables, cfg,
+                                            progress=args.progress)
+        cfg = cfg.replace(samples_per_pixel=spp_actual)
     else:
         from rt_tpu.render.renderer import render
         img = render(tables, cfg, progress=args.progress)
@@ -140,11 +167,8 @@ def cmd_render(args) -> int:
               file=sys.stderr)
 
     spp = cfg.samples_per_pixel
-    if out_path.endswith(".ppm"):
-        with open(out_path, "w") as f:
-            f.write(film.to_ppm(img, spp))
-    else:
-        write_png(out_path, film.finalize(img, spp, gamma=args.view_gamma))
+    _write_outputs(img, spp, out_path, both=args.both_formats,
+                   view_gamma=args.view_gamma)
 
     # append-only timing log (the reference's *.log regression surface,
     # e.g. gpu-version/main.cu:338-345)
@@ -181,6 +205,16 @@ def cmd_animate(args) -> int:
 
 
 def main(argv=None) -> int:
+    import os
+
+    if os.environ.get("RT_TPU_FORCE_CPU"):
+        # farmed worker processes run on CPU: the JAX_PLATFORMS env var
+        # is ignored by the axon TPU plugin, so set the config knob
+        # before any jax use (same trick as tests/conftest.py)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     ap = argparse.ArgumentParser(
         prog="rt_tpu", description="TPU-native path tracer")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -221,6 +255,19 @@ def main(argv=None) -> int:
     anp.add_argument("--texture", default=None,
                      help="PNG image texture for the mesh (points mode; "
                           "e.g. the reference's asset/tex/bricks2.png)")
+    anp.add_argument("--farm", type=int, default=0,
+                     help="one-command local process farm: spawn N "
+                          "workers over the frame range and wait "
+                          "(gpu-version/blue.py:24-35)")
+    anp.add_argument("--farm-platform", default="cpu",
+                     choices=["cpu", "inherit"],
+                     help="backend for farmed workers (cpu default: the "
+                          "TPU tunnel is single-process)")
+    anp.add_argument("--video", default=None,
+                     help="assemble frames into a video after rendering "
+                          "(.mp4 via ffmpeg when available, else MJPEG "
+                          ".avi or .gif)")
+    anp.add_argument("--fps", type=int, default=30)
     anp.set_defaults(fn=cmd_animate)
 
     args = ap.parse_args(argv)

@@ -66,13 +66,16 @@ def _render_frame(tables, cfg, path, progress=False):
     from rt_tpu.render import film
     from rt_tpu.io.image import write_png
 
+    spp = cfg.samples_per_pixel
     if len(jax.devices()) > 1:
-        from rt_tpu.parallel.sharded import render_sharded
-        img = render_sharded(tables, cfg)
+        from rt_tpu.parallel.sharded import render_sharded_ex
+        # normalize by the spp actually rendered (rounded up to the
+        # sample-axis size), not the requested one
+        img, spp = render_sharded_ex(tables, cfg)
     else:
         from rt_tpu.render.renderer import render
         img = render(tables, cfg, progress=progress)
-    write_png(path, film.finalize(img, cfg.samples_per_pixel, gamma=True))
+    write_png(path, film.finalize(img, spp, gamma=True))
 
 
 def run_blue(args) -> int:
@@ -103,6 +106,9 @@ def run_blue(args) -> int:
         sdef, cfg = parse_scene_dict(
             data, base_dir=os.path.dirname(args.scene) or ".")
         cfg = _frame_cfg(args, cfg)
+        # the frame config overrides the parsed scene's dimensions:
+        # re-derive the camera for the new aspect (SceneDef.resize)
+        sdef.resize(args.width, args.height)
         t0 = time.time()
         _with_retries(args, lambda: _render_frame(
             build_tables(sdef), cfg,
@@ -187,6 +193,68 @@ def run_dolly(args) -> int:
     return 0
 
 
+_FRAME_GLOBS = {"blue": "frame_*.png", "dna": "frame_*.png",
+                "points": "out*.png", "dolly": "dolly_*.png"}
+
+
+def _farm(args) -> int:
+    """One-command local process farm: spawn N worker processes, each
+    rendering a contiguous slice of the frame range, and `wait` on all of
+    them — the blue.py pipeline (gpu-version/blue.py:24-35: 8 concurrent
+    renderer processes, batched shell `wait`, abort on nonzero exit).
+    Workers default to the CPU backend: frames are embarrassingly
+    parallel across processes, and the TPU tunnel admits one process at
+    a time (a multi-chip host would instead shard devices per worker
+    like CUDA_VISIBLE_DEVICES)."""
+    import subprocess
+    import sys
+
+    n = args.farm
+    cmd_base = [sys.executable, "-m", "rt_tpu", "animate",
+                "--kind", args.kind, "--frames", str(args.frames),
+                "--start", str(args.start),
+                "--deg-per-frame", str(args.deg_per_frame),
+                "--outdir", args.outdir, "-w", str(args.width),
+                "--height", str(args.height), "-spp", str(args.spp),
+                "-d", str(args.max_depth), "--engine", args.engine,
+                "--retries", str(args.retries), "--num-hosts", str(n)]
+    for opt in ("scene", "points_dir", "obj", "texture"):
+        v = getattr(args, opt, None)
+        if v:
+            cmd_base += [f"--{opt.replace('_', '-')}", v]
+    env = dict(os.environ)
+    if getattr(args, "farm_platform", "cpu") == "cpu":
+        env["JAX_PLATFORMS"] = "cpu"
+        env["RT_TPU_FORCE_CPU"] = "1"
+    procs = [subprocess.Popen(cmd_base + ["--host-index", str(i)], env=env)
+             for i in range(n)]
+    rc = 0
+    for i, p in enumerate(procs):
+        code = p.wait()
+        if code != 0:  # blue.py:33-35 aborts the batch on nonzero exit
+            print(f"worker {i} failed with exit code {code}", flush=True)
+            rc = code
+    return rc
+
+
 def run_animation(args) -> int:
-    return {"blue": run_blue, "dna": run_dna, "points": run_points,
-            "dolly": run_dolly}[args.kind](args)
+    if getattr(args, "farm", 0) and getattr(args, "host_index", 0) == 0 \
+            and getattr(args, "num_hosts", 1) == 1:
+        rc = _farm(args)
+    else:
+        rc = {"blue": run_blue, "dna": run_dna, "points": run_points,
+              "dolly": run_dolly}[args.kind](args)
+    if rc == 0 and getattr(args, "video", None):
+        # assemble the frame sequence into a playable video ("video
+        # synthesis", README.md:16 — the goal the reference's drivers
+        # stop one step short of)
+        import glob
+
+        from rt_tpu.io.video import assemble_video
+
+        frames = glob.glob(os.path.join(args.outdir,
+                                        _FRAME_GLOBS[args.kind]))
+        written = assemble_video(frames, args.video,
+                                 fps=getattr(args, "fps", 30))
+        print(f"wrote {written} ({len(frames)} frames)", flush=True)
+    return rc

@@ -62,10 +62,11 @@ def render_sharded(
 ) -> np.ndarray:
     """Render the full frame on every device of `mesh` at once.
 
-    Returns raw radiance sums [H,W,3] (row 0 = bottom scanline), exactly
-    equal to render.renderer.render's output for the same scene/config.
-    spp is rounded UP to a multiple of the sample-axis size (the actual
-    spp used is returned alongside by render_sharded_ex)."""
+    Returns raw radiance sums [H,W,3] (row 0 = bottom scanline). spp is
+    rounded UP to a multiple of the sample-axis size, so when
+    spp % n_sample != 0 the sums cover MORE samples than requested —
+    callers must normalize by the actual count from render_sharded_ex
+    (equal to render.renderer.render's output only when divisible)."""
     img, _ = render_sharded_ex(tables, cfg, mesh, samples_per_launch,
                                progress)
     return img

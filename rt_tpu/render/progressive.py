@@ -51,14 +51,17 @@ class Checkpoint:
     fingerprint: str
 
     def save(self, path: str) -> None:
-        tmp = path + ".tmp"
-        np.savez_compressed(tmp if tmp.endswith(".npz") else tmp,
-                            pixel_sum=self.pixel_sum,
-                            samples_done=self.samples_done,
-                            fingerprint=self.fingerprint)
-        # np.savez appends .npz when missing
-        src = tmp if os.path.exists(tmp) else tmp + ".npz"
-        os.replace(src, path)
+        # write to a deterministic temp name (an open file handle stops
+        # numpy from appending ".npz"), then atomically replace — never
+        # probe the filesystem, so a stale leftover temp file can't be
+        # promoted over fresh data
+        tmp = path + ".tmp.npz"
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f,
+                                pixel_sum=self.pixel_sum,
+                                samples_done=self.samples_done,
+                                fingerprint=self.fingerprint)
+        os.replace(tmp, path)
 
     @staticmethod
     def load(path: str) -> "Checkpoint":

@@ -59,8 +59,12 @@ def parse_scene_dict(data: dict, base_dir: str = ".") -> Tuple[SceneDef, RenderC
     )
 
     cam = data["camera"]
+    # "focus_dist" is a schema extension (like "checker"/"triangle"):
+    # the reference always derives |lookfrom - lookat| (parser.hpp:124)
+    fd = cam.get("focus_dist")
     s.set_camera(cam["lookfrom"], cam["lookat"], cam["vup"],
-                 float(cam["vfov"]), float(cam["aperture"]))
+                 float(cam["vfov"]), float(cam["aperture"]),
+                 focus_dist=None if fd is None else float(fd))
 
     for t in _data_list(data.get("texture")):
         kind = t["type"]

@@ -328,7 +328,11 @@ class SceneDef:
     def set_camera(self, lookfrom, lookat, vup, vfov_deg, aperture,
                    focus_dist=None):
         # retain the raw parameters for exact JSON round-tripping
-        # (scene_to_dict — the animation drivers mutate scene dicts)
+        # (scene_to_dict — the animation drivers mutate scene dicts).
+        # focus_dist is kept only when explicitly given (a schema
+        # extension: the reference derives it as |lookfrom - lookat|,
+        # parser.hpp:124, so builder scenes with an explicit focus
+        # distance would otherwise change blur on a round trip).
         self.camera_params = {
             "lookfrom": list(map(float, lookfrom)),
             "lookat": list(map(float, lookat)),
@@ -336,10 +340,31 @@ class SceneDef:
             "vfov": float(vfov_deg),
             "aperture": float(aperture),
         }
+        if focus_dist is not None:
+            self.camera_params["focus_dist"] = float(focus_dist)
         self.camera = make_camera(
             lookfrom, lookat, vup, vfov_deg,
             self.width / self.height, aperture, focus_dist,
         )
+
+    def resize(self, width=None, height=None):
+        """Change image dimensions AND re-derive the camera frame for the
+        new aspect ratio from the retained parameters.
+
+        Deliberate deviation from the reference: its CPU CLI builds the
+        camera with a hard-coded 16:9 aspect no matter what -w/-h say
+        (cmake-cpu-version/main.cpp:64,94), rendering stretched images on
+        any other aspect. Overrides here behave like editing the scene
+        JSON's width/height (parser.hpp applies them before camera
+        construction)."""
+        if width:
+            self.width = int(width)
+        if height:
+            self.height = int(height)
+        if self.camera_params is not None:
+            p = self.camera_params
+            self.set_camera(p["lookfrom"], p["lookat"], p["vup"],
+                            p["vfov"], p["aperture"], p.get("focus_dist"))
 
 
 def _cylinder_o2w(obj: dict) -> Tuple[np.ndarray, np.ndarray]:

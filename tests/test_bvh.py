@@ -107,3 +107,36 @@ def test_traverse_single_box():
     t, pid = traverse(arrays, ro, rd, 1e-3, leaf)
     assert np.isfinite(float(t[0]))      # through the box
     assert not np.isfinite(float(t[1]))  # misses the box
+
+
+def test_zero_direction_on_node_plane_not_culled():
+    """A ray with a zero direction component whose origin lies exactly on
+    a node's bounding plane for that axis must still traverse the subtree
+    (the naive slab form computes 0 * inf = NaN and wrongly culls it —
+    ADVICE round 1). Uses a deliberately loose box so the interior hit is
+    unambiguous."""
+    import jax.numpy as jnp
+
+    bvh_arrays = {
+        "obj_id": jnp.asarray([0], jnp.int32),       # single leaf node
+        "left_id": jnp.asarray([-1], jnp.int32),
+        "next_id": jnp.asarray([-1], jnp.int32),
+        "bmin": jnp.asarray([[0.0, -2.0, 0.0]], jnp.float32),
+        "bmax": jnp.asarray([[4.0, 2.0, 10.0]], jnp.float32),
+    }
+    # origin x == bmin.x == 0 with dx == 0; sphere interior hit at t=4
+    ro = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    rd = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    center = jnp.asarray([0.0, 0.0, 5.0])
+
+    def leaf_test(pid, ro_, rd_, t_min):
+        oc = ro_ - center
+        b_half = (oc * rd_).sum(-1)
+        c = (oc * oc).sum(-1) - 1.0
+        disc = b_half * b_half - c
+        t = -b_half - jnp.sqrt(jnp.maximum(disc, 0.0))
+        return jnp.where((disc >= 0) & (t >= t_min), t, jnp.inf)
+
+    t_best, pid = traverse(bvh_arrays, ro, rd, 1e-3, leaf_test)
+    assert np.isfinite(float(t_best[0]))
+    assert float(t_best[0]) == pytest.approx(4.0, rel=1e-5)

@@ -78,3 +78,110 @@ def test_animate_blue_mutates_cylinders(tmp_path):
 
     assert angle(s2) - angle(s1) == pytest.approx(3.0)
     assert os.path.exists(os.path.join(outdir, "frame_0002.png"))
+
+
+def test_width_override_rebuilds_camera():
+    """-w/--height overrides must re-derive the camera for the new
+    aspect (SceneDef.resize) instead of stretching the original frame.
+    (Deliberate deviation from the reference CPU CLI's fixed-16:9 camera,
+    cmake-cpu-version/main.cpp:64,94 — see ADVICE round 1.)"""
+    from rt_tpu.scene.builders import three_sphere_scene
+
+    sdef, _ = three_sphere_scene(width=32, height=18, spp=1, max_depth=2)
+
+    def frame_aspect(s):
+        h = np.linalg.norm(np.asarray(s.camera.horizontal))
+        v = np.linalg.norm(np.asarray(s.camera.vertical))
+        return h / v
+
+    assert frame_aspect(sdef) == pytest.approx(32 / 18, rel=1e-5)
+    sdef.resize(width=64, height=16)
+    assert frame_aspect(sdef) == pytest.approx(64 / 16, rel=1e-5)
+
+
+def test_resize_preserves_explicit_focus_dist():
+    """Explicit focus_dist must survive resize + JSON round trips (the
+    schema derives |lookfrom-lookat| only when absent)."""
+    from rt_tpu.scene.parser import parse_scene_dict, scene_to_dict
+    from rt_tpu.scene.types import SceneDef
+
+    s = SceneDef(width=32, height=18)
+    s.set_camera((13, 2, 3), (0, 0, 0), (0, 1, 0), 20.0, 0.1,
+                 focus_dist=10.0)
+    frame0 = np.linalg.norm(np.asarray(s.camera.horizontal))
+    d = scene_to_dict(s)
+    assert d["camera"]["focus_dist"] == pytest.approx(10.0)
+    s2, _ = parse_scene_dict(d)
+    np.testing.assert_allclose(np.asarray(s2.camera.horizontal),
+                               np.asarray(s.camera.horizontal), rtol=1e-6)
+    s.resize(width=64, height=36)  # same aspect: frame scale unchanged
+    assert np.linalg.norm(np.asarray(s.camera.horizontal)) == pytest.approx(
+        frame0, rel=1e-5)
+
+
+def test_both_formats_writes_ppm_and_png(tmp_path):
+    out = str(tmp_path / "o.png")
+    rc = main(["render", "--coded", "three_sphere", "-w", "24", "--height",
+               "12", "-spp", "1", "-d", "2", "-o", out, "--both-formats",
+               "--engine", "xla", "--log", str(tmp_path / "t.log")])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "o.png"))
+    assert os.path.exists(str(tmp_path / "o.ppm"))
+    head = open(str(tmp_path / "o.ppm")).read(20).split()
+    assert head[0] == "P3" and head[1] == "24"
+
+
+def test_cli_golden_image(tmp_path):
+    """Regression-pin the WHOLE CLI path (parse -> render -> film ->
+    gamma -> PNG codec) against a checked-in golden render. Catches
+    film/gamma/codec regressions the unit tests can't (VERDICT r1 #9)."""
+    golden_path = os.path.join(os.path.dirname(__file__), "golden",
+                               "cli_three_sphere_32x18.npz")
+    out = str(tmp_path / "o.png")
+    rc = main(["render", "--coded", "three_sphere", "-w", "32", "--height",
+               "18", "-spp", "4", "-d", "4", "-o", out, "--view-gamma",
+               "--engine", "xla", "--log", str(tmp_path / "t.log")])
+    assert rc == 0
+    img = read_png(out).astype(np.int32)
+    if not os.path.exists(golden_path):  # first run: record the golden
+        os.makedirs(os.path.dirname(golden_path), exist_ok=True)
+        np.savez_compressed(golden_path, img=img.astype(np.uint8))
+        pytest.skip("golden recorded")
+    golden = np.load(golden_path)["img"].astype(np.int32)
+    # allow +-2/255 per channel for benign float reassociation
+    assert np.abs(img - golden).max() <= 2
+
+
+def test_animate_farm_and_video(tmp_path):
+    """One-command process farm (blue.py:24-35 analogue) + video
+    synthesis: 2 workers render disjoint frame slices, then the parent
+    assembles a playable MJPEG AVI (no ffmpeg in this image)."""
+    outdir = str(tmp_path / "frames")
+    video = str(tmp_path / "anim.avi")
+    rc = main(["animate", "--kind", "dna", "--frames", "2",
+               "--deg-per-frame", "10", "--outdir", outdir,
+               "-w", "24", "--height", "12", "-spp", "1", "-d", "2",
+               "--engine", "xla", "--farm", "2", "--video", video])
+    assert rc == 0
+    assert os.path.exists(os.path.join(outdir, "frame_0000.png"))
+    assert os.path.exists(os.path.join(outdir, "frame_0001.png"))
+    with open(video, "rb") as f:
+        head = f.read(12)
+    assert head[:4] == b"RIFF" and head[8:12] == b"AVI "
+    # the index must reference both frames
+    data = open(video, "rb").read()
+    assert data.count(b"00dc") >= 4  # 2 movi chunks + 2 idx1 entries
+
+
+def test_mjpeg_avi_writer_structure(tmp_path):
+    from rt_tpu.io.video import write_mjpeg_avi
+
+    out = str(tmp_path / "t.avi")
+    fake_jpeg = b"\xff\xd8\xff\xe0" + b"x" * 33 + b"\xff\xd9"  # odd length
+    write_mjpeg_avi(out, [fake_jpeg, fake_jpeg], 8, 6, fps=10)
+    data = open(out, "rb").read()
+    assert data[:4] == b"RIFF"
+    # RIFF size must match the file exactly (even-padding handled)
+    import struct
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+    assert b"MJPG" in data and b"idx1" in data

@@ -76,3 +76,19 @@ def test_metrics_and_stats():
     assert st.paths == 100 * 50 * 4
     assert st.paths_per_s == st.paths / 2.0
     assert "engine mega" in st.log_line()
+
+
+def test_checkpoint_save_ignores_stale_tmp(scene, tmp_path):
+    """A stale `path + '.tmp'` leftover (from any crashed writer) must
+    never be promoted over fresh checkpoint data."""
+    from rt_tpu.render.progressive import Checkpoint
+
+    path = str(tmp_path / "ck.npz")
+    # poison: a stale file at the OLD ambiguous temp name
+    with open(path + ".tmp", "w") as f:
+        f.write("stale garbage from a crashed writer")
+    fresh = np.full((2, 2, 3), 7.0, np.float32)
+    Checkpoint(fresh, 5, "fp").save(path)
+    loaded = Checkpoint.load(path)
+    assert loaded.samples_done == 5
+    np.testing.assert_array_equal(loaded.pixel_sum, fresh)
