@@ -51,8 +51,13 @@ class RenderConfig:
     traversal: str = "linear"      # "linear" | "bvh"
     rays_per_batch: int = 1 << 17  # sample-batch size fed to one device step
     # megakernel stream compaction: split the bounce loop into segments
-    # of this many bounces and pack live rays between segments (0 = off)
+    # and pack live rays between segments so dead 2048-lane kernel tiles
+    # short-circuit. >0 = fixed segment length; -1 = auto geometric
+    # schedule [1,1,2,4,8,...] matched to the front-loaded death curve;
+    # 0 = off. Compaction granularity is compact_group consecutive rays
+    # (group-row gathers are ~60x cheaper than per-element row gathers).
     compact_every: int = 0
+    compact_group: int = 32
 
     @property
     def aspect_ratio(self) -> float:

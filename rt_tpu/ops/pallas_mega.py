@@ -32,7 +32,10 @@ sphere/rect/cylinder/triangle primitives, all four materials, solid +
 checker textures. Image textures (per-lane atlas gathers) fall back to
 the hybrid engine.
 
-Forward-only (the diff path pins engine="xla").
+The kernel itself is forward-only, but gradient renders can still use it:
+the path-replay custom VJP (diff/replay.py) runs this kernel for the
+forward pass and re-simulates bounces from the counter RNG for the
+backward pass, so the diff path no longer pins engine="xla".
 """
 
 from __future__ import annotations
@@ -877,14 +880,36 @@ def _fresh_state(ro, rd):
             o, o, o, z, z, z, o)
 
 
-def _compact(state, pixel, orig):
-    """Reorder rays so live lanes come first (stable) — dead tiles are
-    then contiguous at the tail and short-circuit in the next segment.
-    orig carries each row's original ray index for the final unpermute."""
-    alive = state[-1] > 0.0
-    perm = jnp.argsort(~alive, stable=True)
-    state = tuple(s[perm] for s in state)
-    return state, pixel[perm], orig[perm]
+def _compact(state, pixel, orig, group: int = 32):
+    """Group-granularity live-ray compaction.
+
+    Sorts GROUPS of `group` consecutive rays (stable, any-live groups
+    first) instead of individual rows: the permutation gather then moves
+    [B/group, group*16]-shaped rows — KB-sized DMAs instead of 2M
+    4-byte element gathers. Measured on a v5e at 2M rays: ~6 ms total
+    (argsort 2.3 ms + row-take), vs ~400 ms for 16 separate per-element
+    row gathers (the round-1 formulation that made compaction a net
+    loss). Group granularity wastes at most (live groups x group) lanes
+    of packing vs a perfect row sort; death is spatially coherent in the
+    64x32-screen-block ray order, so live groups are few.
+
+    All 15 per-ray words (13 f32 state + pixel + orig as bitcast f32)
+    ride one packed array so the gather runs once. orig carries each
+    row's original ray index for the final unpermute."""
+    b = state[0].shape[0]
+    g = b // group
+    alive_g = (state[-1] > 0.0).reshape(g, group).any(-1)
+    perm = jnp.argsort(~alive_g, stable=True)
+    cols = list(state) + [
+        jax.lax.bitcast_convert_type(pixel.astype(jnp.int32), jnp.float32),
+        jax.lax.bitcast_convert_type(orig, jnp.float32)]
+    packed = jnp.stack(cols, axis=-1)                    # [B, 15]
+    packed = packed.reshape(g, group * len(cols))[perm].reshape(
+        b, len(cols))
+    state = tuple(packed[:, i] for i in range(13))
+    pixel = jax.lax.bitcast_convert_type(packed[:, 13], jnp.int32)
+    orig = jax.lax.bitcast_convert_type(packed[:, 14], jnp.int32)
+    return state, pixel, orig
 
 
 def _pad_rows(tab, chunk):
@@ -951,12 +976,24 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     exhaust = cfg.exhaust_mode == "background"
 
     ce = getattr(cfg, "compact_every", 0)
-    if ce <= 0 or ce >= cfg.max_depth:
+    if ce == 0 or ce >= cfg.max_depth:
         schedule = [cfg.max_depth]
-    else:
+    elif ce > 0:
         schedule = [ce] * (cfg.max_depth // ce)
         if cfg.max_depth % ce:
             schedule.append(cfg.max_depth % ce)
+    else:
+        # auto (-1): geometric early-heavy schedule [1,1,2,4,8,...] —
+        # the death curve front-loads (measured cover@1080p: 83% of rays
+        # survive bounce 0, 3% bounce 5), so compactions concentrate
+        # where live-count still drops fast, and segment count stays
+        # O(log depth)
+        schedule, seg, left = [], 1, cfg.max_depth
+        while left > 0:
+            s = min(seg, left)
+            schedule.append(s)
+            left -= s
+            seg *= 2
 
     state = _fresh_state(ro, rd)
     pixel = pixel.astype(jnp.int32)
@@ -971,7 +1008,9 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
                              exhaust_bg=exhaust and last, **kw)
         done += seg
         if not last:
-            state, pixel, orig = _compact(state, pixel, orig)
+            state, pixel, orig = _compact(
+                state, pixel, orig,
+                group=getattr(cfg, "compact_group", 32))
 
     cr, cg, cb = state[9], state[10], state[11]
     rgb = jnp.stack([cr, cg, cb], axis=-1)

@@ -153,3 +153,105 @@ def test_fd_position_recovery():
                        spp=8, steps=50, learning_rate=3e-2)
     assert hist[-1] < hist[0] * 0.05
     assert abs(rec["sph_center"][0, 0] - true_x) < 0.03
+
+
+def _emissive_scene():
+    s = SceneDef(width=24, height=16, samples_per_pixel=2, max_depth=4,
+                 background=(0.2, 0.25, 0.3))
+    m = s.add_lambertian_color((0.5, 0.3, 0.2))
+    s.add_sphere((0, 0, -1), 0.5, m)
+    s.add_sphere((0, -100.5, -1), 100,
+                 s.add_lambertian_color((0.6, 0.6, 0.6)))
+    light = s.add_diffuse_light_color((3.0, 2.5, 2.0))
+    s.add_sphere((0.8, 0.6, -1), 0.25, light)
+    s.set_camera(lookfrom=(0, 0, 1), lookat=(0, 0, -1), vup=(0, 1, 0),
+                 vfov_deg=45.0, aperture=0.0)
+    cfg = RenderConfig(width=24, height=16, samples_per_pixel=2, max_depth=4)
+    return s, cfg
+
+
+@pytest.mark.parametrize("mode", ["constant", "gradient"])
+def test_replay_gradient_matches_scan_ad(mode):
+    """Path-replay VJP == plain reverse-mode through the scan loop for
+    the radiometric chain (albedo / emission / background), at O(B)
+    memory instead of O(B*depth)."""
+    from rt_tpu.diff.replay import make_replay_loss_fn
+
+    sdef, cfg = _emissive_scene()
+    cfg = cfg.replace(background_mode=mode)
+    tables = build_tables(sdef)
+    px, py = _pixel_list(cfg)
+    target = jnp.full((px.shape[0], 3), 0.1, jnp.float32)
+
+    params = {"tex_color": jnp.asarray(tables.tex_color),
+              "background": jnp.asarray(tables.background)}
+
+    scan_loss = make_loss_fn(tables, cfg.replace(loop="scan"), spp=2)
+    g_scan = jax.grad(scan_loss)(params, px, py, target)
+
+    replay_loss = make_replay_loss_fn(tables, cfg, spp=2, px=px, py=py,
+                                      target=target)
+    g_replay = jax.grad(replay_loss)(params)
+
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g_replay[k]),
+                                   np.asarray(g_scan[k]),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_replay_gradient_matches_finite_difference():
+    """FD validation of the replay VJP (VERDICT r1 item 2's done
+    criterion), mirroring the scan-path FD test."""
+    from rt_tpu.diff.replay import make_replay_loss_fn
+
+    sdef, cfg = _emissive_scene()
+    tables = build_tables(sdef)
+    px, py = _pixel_list(cfg)
+    target = jnp.zeros((px.shape[0], 3), jnp.float32)
+
+    loss_fn = make_replay_loss_fn(tables, cfg, spp=2, px=px, py=py,
+                                  target=target)
+    params = {"tex_color": jnp.asarray(tables.tex_color)}
+    grad = jax.grad(loss_fn)(params)["tex_color"]
+
+    eps = 1e-3
+    for (i, c) in [(0, 0), (0, 2), (1, 1), (2, 0)]:
+        tp = jnp.asarray(tables.tex_color).at[i, c].add(eps)
+        tm = jnp.asarray(tables.tex_color).at[i, c].add(-eps)
+        lp = loss_fn({"tex_color": tp})
+        lm = loss_fn({"tex_color": tm})
+        fd = (float(lp) - float(lm)) / (2 * eps)
+        assert abs(float(grad[i, c]) - fd) <= max(2e-3, 0.05 * abs(fd)), (
+            f"grad[{i},{c}]={float(grad[i, c]):.6f} vs fd={fd:.6f}")
+
+
+def test_replay_rejects_geometry_fields():
+    from rt_tpu.diff.replay import make_replay_loss_fn
+
+    sdef, cfg = _emissive_scene()
+    tables = build_tables(sdef)
+    px, py = _pixel_list(cfg)
+    loss_fn = make_replay_loss_fn(tables, cfg, spp=1, px=px, py=py,
+                                  target=jnp.zeros((px.shape[0], 3)))
+    with pytest.raises(ValueError, match="replay gradients cover"):
+        loss_fn({"sph_center": jnp.asarray(tables.sph_center)})
+
+
+def test_inverse_render_recovers_albedo_replay():
+    """fit(method='replay'): same recovery as the scan path, via the
+    O(B)-memory path-replay VJP."""
+    true_albedo = (0.7, 0.2, 0.4)
+    sdef, cfg = _tiny_scene(albedo=true_albedo)
+    tables = build_tables(sdef)
+    target = render(tables, cfg) / cfg.samples_per_pixel
+
+    wrong_sdef, _ = _tiny_scene(albedo=(0.3, 0.5, 0.1))
+    wrong_tables = build_tables(wrong_sdef)
+
+    recovered, history = fit(
+        wrong_tables, cfg.replace(loop="while"), target,
+        fields=("tex_color",), spp=2, steps=60, learning_rate=5e-2,
+        method="replay")
+    assert history[-1] < history[0] * 0.1
+    got = recovered["tex_color"][0]
+    assert np.allclose(got, true_albedo, atol=0.08), got

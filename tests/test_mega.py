@@ -107,14 +107,16 @@ def test_mega_rng_matches_host_rng():
     np.testing.assert_array_equal(np.asarray(dev), host.astype(np.float32))
 
 
-@pytest.mark.parametrize("ce", [2, 3, 5])
-def test_mega_compaction_is_invisible(ce):
-    """Chunked trace + compaction == single-segment trace, bit for bit
-    (RNG keyed on absolute bounce index; permutations are undone)."""
+@pytest.mark.parametrize("ce,group", [(2, 32), (3, 8), (5, 2048), (-1, 32)])
+def test_mega_compaction_is_invisible(ce, group):
+    """Chunked trace + group compaction == single-segment trace, bit for
+    bit (RNG keyed on absolute bounce index; permutations are undone).
+    ce=-1 exercises the auto geometric schedule."""
     sdef, cfg = cover_scene(width=48, height=27, spp=2, max_depth=6, grid=3)
     tables = build_tables(sdef)
     a = render(tables, cfg.replace(engine="mega"))
-    b = render(tables, cfg.replace(engine="mega", compact_every=ce))
+    b = render(tables, cfg.replace(engine="mega", compact_every=ce,
+                                   compact_group=group))
     np.testing.assert_array_equal(a, b)
 
 
