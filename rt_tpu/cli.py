@@ -57,7 +57,8 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                         "megakernel with automatic fallback to the hybrid "
                         "engine for unsupported scenes)")
     p.add_argument("--bvh", action="store_true",
-                   help="build + traverse a BVH for spheres/triangles")
+                   help="build + traverse a BVH for every primitive "
+                        "family (spheres/rects/cylinders/triangles)")
     p.add_argument("--checkpoint", default=None,
                    help="progressive checkpoint file (.npz); resumes "
                         "exactly if it exists")
@@ -138,7 +139,8 @@ def cmd_render(args) -> int:
     if args.engine:
         cfg = cfg.replace(engine=args.engine)
     tables = build_tables(
-        sdef, bvh_types=("sphere", "triangle") if args.bvh else ())
+        sdef, bvh_types=("sphere", "rect", "cylinder", "triangle")
+        if args.bvh else ())
     if args.bvh:
         cfg = cfg.replace(traversal="bvh")
 

@@ -57,7 +57,7 @@ class RenderConfig:
     # 0 = off. Compaction granularity is compact_group consecutive rays
     # (group-row gathers are ~60x cheaper than per-element row gathers).
     compact_every: int = 0
-    compact_group: int = 32
+    compact_group: int = 128  # lane-width groups: zero layout padding
 
     @property
     def aspect_ratio(self) -> float:

@@ -276,6 +276,65 @@ def _triangle_leaf_test(tables: SceneTables):
     return leaf
 
 
+def _rect_leaf_test(tables: SceneTables):
+    """Single-rect test for BVH leaves (object.cuh:105-197), with the
+    constant/free axes selected per lane by index."""
+    axis = jnp.asarray(tables.rect_axis)
+
+    def take(v, idx):
+        return jnp.take_along_axis(v, idx[:, None], axis=1)[:, 0]
+
+    def leaf(pid, ro, rd, t_min):
+        a = axis[pid]
+        k = jnp.asarray(tables.rect_k)[pid]
+        lo = jnp.asarray(tables.rect_lo)[pid]
+        hi = jnp.asarray(tables.rect_hi)[pid]
+        f1 = jnp.where(a == 0, 1, 0)
+        f2 = jnp.where(a == 2, 1, 2)
+        ro_k = take(ro, a)
+        rd_k = take(rd, a)
+        t = geom.safe_div(jnp, k - ro_k, rd_k)
+        x = take(ro, f1) + t * take(rd, f1)
+        y = take(ro, f2) + t * take(rd, f2)
+        valid = ((t >= t_min) & (rd_k != 0.0)
+                 & (x >= lo[:, 0]) & (x <= hi[:, 0])
+                 & (y >= lo[:, 1]) & (y <= hi[:, 1]))
+        return jnp.where(valid, t, INF)
+
+    return leaf
+
+
+def _cylinder_leaf_test(tables: SceneTables):
+    """Single-cylinder test for BVH leaves (object.cuh:233-290)."""
+    def leaf(pid, ro, rd, t_min):
+        w2o = jnp.asarray(tables.cyl_w2o)[pid]
+        rot = w2o[:, :3, :3]
+        oo = jnp.einsum("bij,bj->bi", rot, ro) + w2o[:, :3, 3]
+        od = jnp.einsum("bij,bj->bi", rot, rd)
+        r = jnp.asarray(tables.cyl_radius)[pid]
+        zmin = jnp.asarray(tables.cyl_zmin)[pid]
+        zmax = jnp.asarray(tables.cyl_zmax)[pid]
+        a = od[:, 0] ** 2 + od[:, 1] ** 2
+        b = 2.0 * (od[:, 0] * oo[:, 0] + od[:, 1] * oo[:, 1])
+        c = oo[:, 0] ** 2 + oo[:, 1] ** 2 - r * r
+        delta = b * b - 4.0 * a * c
+        sq = geom.safe_sqrt(jnp, delta)
+        t0 = geom.safe_div(jnp, -0.5 * (b - sq), a)
+        t1 = geom.safe_div(jnp, -0.5 * (b + sq), a)
+        t0, t1 = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+        def zok(t):
+            pz = oo[:, 2] + t * od[:, 2]
+            return (pz >= zmin) & (pz <= zmax)
+
+        ok0 = (t0 >= t_min) & zok(t0) & (a != 0.0)
+        ok1 = (t1 >= t_min) & zok(t1) & (a != 0.0)
+        t = jnp.where(ok0, t0, jnp.where(ok1, t1, INF))
+        return jnp.where(delta >= 0.0, t, INF)
+
+    return leaf
+
+
 def _best_bvh(tables: SceneTables, prefix: str, leaf_test, ro, rd, t_min,
               obj_table):
     from rt_tpu.accel.bvh import traverse
@@ -320,11 +379,21 @@ def intersect(tables: SceneTables, ro, rd, t_min=1e-3,
             t_s = _sphere_t(tables, ro, rd, t_min)
             cands.append((PTYPE_SPHERE,) + _best_of(t_s, tables.sph_obj))
     if n_rect:
-        t_r = _rect_t(tables, ro, rd, t_min)
-        cands.append((PTYPE_RECT,) + _best_of(t_r, tables.rect_obj))
+        if traversal == "bvh" and "rect" in tables.bvh_for:
+            cands.append((PTYPE_RECT,) + _best_bvh(
+                tables, "rect", _rect_leaf_test(tables), ro, rd, t_min,
+                tables.rect_obj))
+        else:
+            t_r = _rect_t(tables, ro, rd, t_min)
+            cands.append((PTYPE_RECT,) + _best_of(t_r, tables.rect_obj))
     if n_cyl:
-        t_c = _cylinder_t(tables, ro, rd, t_min)
-        cands.append((PTYPE_CYLINDER,) + _best_of(t_c, tables.cyl_obj))
+        if traversal == "bvh" and "cylinder" in tables.bvh_for:
+            cands.append((PTYPE_CYLINDER,) + _best_bvh(
+                tables, "cyl", _cylinder_leaf_test(tables), ro, rd, t_min,
+                tables.cyl_obj))
+        else:
+            t_c = _cylinder_t(tables, ro, rd, t_min)
+            cands.append((PTYPE_CYLINDER,) + _best_of(t_c, tables.cyl_obj))
     if n_tri:
         if traversal == "bvh" and "triangle" in tables.bvh_for:
             cands.append((PTYPE_TRIANGLE,) + _best_bvh(

@@ -28,9 +28,10 @@ Key structures:
 
 Radiometric semantics are gpu-version/main.cu:17-70 exactly (see
 render/integrator.py). Supported scene shape (`mega_supported`, static):
-sphere/rect/cylinder/triangle primitives, all four materials, solid +
-checker textures. Image textures (per-lane atlas gathers) fall back to
-the hybrid engine.
+EVERY reference scene — all four primitive families, all materials,
+solid/checker/image textures on any primitive's UV (curved-primitive UVs
+via in-kernel arctan2/arccos polynomials; the winner's UV parameters
+ride the one-hot MXU extraction, so UV math runs once per ray).
 
 The kernel itself is forward-only, but gradient renders can still use it:
 the path-replay custom VJP (diff/replay.py) runs this kernel for the
@@ -110,6 +111,22 @@ _T_UV3 = 33
 _T_INVA2 = 35  # 1/|cross(e1, v3-v1)| (barycentric normalizer)
 _T_COLS = 64
 
+# family-specific UV parameter block (built only for image-texture
+# scenes): one [N, 17] table per family, extracted for the winner by the
+# same one-hot contraction as the attribute block, so UV math runs ONCE
+# per ray post-merge instead of per candidate. Layout by family (col 16
+# = family code 0/1/2/3 = sphere/rect/cylinder/triangle):
+#   sphere:   (none — UV derives from the attribute block's center/radius)
+#   rect:     0..2 free-axis-1 onehot, 3..5 free-axis-2 onehot,
+#             6 lo0, 7 lo1, 8 1/(hi0-lo0), 9 1/(hi1-lo1)
+#   cylinder: 0..8 w2o rotation rows, 9..11 w2o translation,
+#             12 zmin, 13 1/(zmax-zmin)
+#   triangle: 0..8 v1,v2,v3, 9 1/|cross(v2-v1,v3-v1)|,
+#             10..15 uv1,uv2,uv3
+_U_COLS = 17
+_U_FAM = 16
+_FAM_SPH, _FAM_RECT, _FAM_CYL, _FAM_TRI = 0.0, 1.0, 2.0, 3.0
+
 _GOLD = np.int32(np.uint32(0x9E3779B9).astype(np.int64) - (1 << 32))
 _M1 = np.int32(np.uint32(0xED5AD4BB).astype(np.int64) - (1 << 32))
 _M2 = np.int32(np.uint32(0xAC4C1B51).astype(np.int64) - (1 << 32))
@@ -117,16 +134,17 @@ _M3 = np.int32(np.uint32(0x31848BAB).astype(np.int64) - (1 << 32))
 
 
 def mega_supported(tables: SceneTables) -> bool:
-    """Static scene-shape check.
-
-    Image textures are supported when only TRIANGLES use them (the
-    reference's sole image-texture user is the Taichi textured mesh,
-    material.py:137-144) — sampled in-kernel by a double one-hot
-    contraction. Image textures on curved primitives would need
-    in-kernel arccos/arctan2 UVs; those scenes use the hybrid engine."""
+    """Static scene-shape check: every reference scene shape is now
+    supported — all four primitive families, all materials, solid /
+    checker / image textures on ANY primitive's UV (the reference
+    samples image textures by UV regardless of primitive,
+    taichi-version/material.py:137-144; sphere UVs object.cuh:87-93,
+    cylinder UVs object.cuh:282-288). Curved-primitive UVs use in-kernel
+    arctan2/arccos polynomials (Mosaic has no transcendental arctan);
+    the winner's UV parameters ride the same one-hot MXU extraction as
+    the attribute block. Only an EMPTY scene falls back."""
     n_sph, n_rect, n_cyl, n_tri = tables.counts
-    img_ok = set(tables.img_on) <= {"triangle"}
-    return (n_sph + n_rect + n_cyl + n_tri) > 0 and img_ok
+    return (n_sph + n_rect + n_cyl + n_tri) > 0
 
 
 def _ext_block(tables: SceneTables, mat_ids, v=None, rad=None,
@@ -240,6 +258,62 @@ def triangle_table(tables: SceneTables) -> jnp.ndarray:
     return cols
 
 
+def _safe_inv(x):
+    return jnp.where(x != 0.0, 1.0 / jnp.where(x != 0.0, x, 1.0), 0.0)
+
+
+def sphere_uv_table(tables: SceneTables) -> jnp.ndarray:
+    n = tables.sph_center.shape[0]
+    cols = jnp.zeros((n, _U_COLS), jnp.float32)
+    return cols.at[:, _U_FAM].set(_FAM_SPH)
+
+
+def rect_uv_table(tables: SceneTables) -> jnp.ndarray:
+    n = tables.rect_axis.shape[0]
+    axis = tables.rect_axis
+    rows = jnp.arange(n)
+    f1 = jnp.where(axis == 0, 1, 0)
+    f2 = jnp.where(axis == 2, 1, 2)
+    oh1 = jnp.zeros((n, 3), jnp.float32).at[rows, f1].set(1.0)
+    oh2 = jnp.zeros((n, 3), jnp.float32).at[rows, f2].set(1.0)
+    cols = jnp.zeros((n, _U_COLS), jnp.float32)
+    cols = cols.at[:, 0:3].set(oh1)
+    cols = cols.at[:, 3:6].set(oh2)
+    cols = cols.at[:, 6].set(tables.rect_lo[:, 0])
+    cols = cols.at[:, 7].set(tables.rect_lo[:, 1])
+    cols = cols.at[:, 8].set(
+        _safe_inv(tables.rect_hi[:, 0] - tables.rect_lo[:, 0]))
+    cols = cols.at[:, 9].set(
+        _safe_inv(tables.rect_hi[:, 1] - tables.rect_lo[:, 1]))
+    return cols.at[:, _U_FAM].set(_FAM_RECT)
+
+
+def cylinder_uv_table(tables: SceneTables) -> jnp.ndarray:
+    n = tables.cyl_radius.shape[0]
+    w2o = tables.cyl_w2o
+    cols = jnp.zeros((n, _U_COLS), jnp.float32)
+    cols = cols.at[:, 0:9].set(w2o[:, :3, :3].reshape(n, 9))
+    cols = cols.at[:, 9:12].set(w2o[:, :3, 3])
+    cols = cols.at[:, 12].set(tables.cyl_zmin)
+    cols = cols.at[:, 13].set(_safe_inv(tables.cyl_zmax - tables.cyl_zmin))
+    return cols.at[:, _U_FAM].set(_FAM_CYL)
+
+
+def triangle_uv_table(tables: SceneTables) -> jnp.ndarray:
+    n = tables.tri_v1.shape[0]
+    v1, v2, v3 = tables.tri_v1, tables.tri_v2, tables.tri_v3
+    cols = jnp.zeros((n, _U_COLS), jnp.float32)
+    cols = cols.at[:, 0:3].set(v1)
+    cols = cols.at[:, 3:6].set(v2)
+    cols = cols.at[:, 6:9].set(v3)
+    area2 = jnp.linalg.norm(jnp.cross(v2 - v1, v3 - v1), axis=-1)
+    cols = cols.at[:, 9].set(_safe_inv(area2))
+    cols = cols.at[:, 10:12].set(tables.tri_uv1)
+    cols = cols.at[:, 12:14].set(tables.tri_uv2)
+    cols = cols.at[:, 14:16].set(tables.tri_uv3)
+    return cols.at[:, _U_FAM].set(_FAM_TRI)
+
+
 def image_atlas_rows(tables: SceneTables):
     """Flatten the [Ni,TH,TW,3] atlas to 3 channel planes [Ni*TH, TWp]
     (rows = img*TH + xi; lanes padded to a 128 multiple) for the
@@ -313,6 +387,42 @@ def _unit_ball(seed, pixel, sample, bounce):
 
 
 # ---------------------------------------------------------------------------
+# in-kernel inverse trigonometry (Mosaic has no arctan/arccos primitive)
+# ---------------------------------------------------------------------------
+
+
+def _atan_poly(z):
+    """Minimax arctan on |z| <= 1, abs err ~1e-5 rad (well under a texel
+    at the reference's 100x100 textures: 1e-5/2pi * 100 ~ 2e-4 texel)."""
+    z2 = z * z
+    return z * (np.float32(0.9998660)
+                + z2 * (np.float32(-0.3302995)
+                        + z2 * (np.float32(0.1801410)
+                                + z2 * (np.float32(-0.0851330)
+                                        + z2 * np.float32(0.0208351)))))
+
+
+def _atan2(y, x):
+    """Four-quadrant arctan via octant reduction + polynomial; finite for
+    every input including (0, 0) (returns 0 / pi there — callers guard
+    degenerate lanes the same way the XLA path does)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    z = jnp.minimum(ax, ay) / jnp.maximum(hi, np.float32(1e-30))
+    a = _atan_poly(z)
+    a = jnp.where(ay > ax, np.float32(np.pi / 2) - a, a)
+    a = jnp.where(x < 0.0, np.float32(np.pi) - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
+def _acos(x):
+    """arccos via atan2(sqrt(1-x^2), x) — exact endpoints 0 / pi."""
+    x = jnp.clip(x, -1.0, 1.0)
+    return _atan2(jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x)), x)
+
+
+# ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
 
@@ -358,7 +468,8 @@ def _chunk_winner(t, c, s, l):
 
 
 def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
-                 tri_ref, atr_ref, atg_ref, atb_ref,
+                 tri_ref, suv_ref, ruv_ref, yuv_ref, tuv_ref,
+                 atr_ref, atg_ref, atb_ref,
                  rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                  tpr_ref, tpg_ref, tpb_ref, cr_ref, cg_ref, cb_ref,
                  alive_ref, pix_ref,
@@ -409,13 +520,16 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
         def col3(blk, j):
             return blk[:, j:j + 1].reshape(-1, 1, 1)
 
-        n_uv = 2 if has_img else 0
+        n_uv = _U_COLS if has_img else 0
 
-        def pad_uv(ext):
+        def with_uv(ext, uv_ref, sl, exact):
+            """Append the winner's 17-col UV parameter block (extracted
+            by the same one-hot contraction) when the scene samples
+            image textures; UV math itself runs post-merge, once."""
             if not n_uv:
                 return ext
-            z = jnp.zeros((n_uv,) + ext.shape[1:], jnp.float32)
-            return jnp.concatenate([ext, z], axis=0)
+            return jnp.concatenate(
+                [ext, _dotg(uv_ref[sl, :], exact)], axis=0)
 
         def sph_body(k, carry):
             sl = pl.ds(k * s_chunk, s_chunk)
@@ -436,7 +550,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                           & (col3(blk, _S_VALID) > 0.0), t, INF)
             exact = _chunk_winner(t, s_chunk, s, l)
             ext = _dotg(blk[:, :_X_COLS], exact)           # [15,S,L] MXU
-            return _merge(carry, t, pad_uv(ext))
+            return _merge(carry, t, with_uv(ext, suv_ref, sl, exact))
 
         def rect_body(k, carry):
             sl = pl.ds(k * r_chunk, r_chunk)
@@ -459,7 +573,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
             t = jnp.where(valid, t, INF)
             exact = _chunk_winner(t, r_chunk, s, l)
             ext = _dotg(blk[:, :_X_COLS], exact)
-            return _merge(carry, t, pad_uv(ext))
+            return _merge(carry, t, with_uv(ext, ruv_ref, sl, exact))
 
         def cyl_body(k, carry):
             sl = pl.ds(k * y_chunk, y_chunk)
@@ -517,7 +631,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                             jnp.sum(exact * nyv, axis=0),
                             jnp.sum(exact * nz, axis=0)])
             ext = jnp.concatenate([nw, ext[3:]], axis=0)
-            return _merge(carry, t, pad_uv(ext))
+            return _merge(carry, t, with_uv(ext, yuv_ref, sl, exact))
 
         def tri_body(k, carry):
             sl = pl.ds(k * t_chunk, t_chunk)
@@ -561,38 +675,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
             t = jnp.where(valid, t, INF)
             exact = _chunk_winner(t, t_chunk, s, l)
             ext = _dotg(blk[:, :_X_COLS], exact)
-            if has_img:
-                # per-candidate barycentric uv (matches the XLA
-                # _attributes barycentrics; hittable.py uv interp)
-                e1x, e1y, e1z = (col3(blk, _T_E1), col3(blk, _T_E1 + 1),
-                                 col3(blk, _T_E1 + 2))
-                e2x, e2y, e2z = (col3(blk, _T_E2), col3(blk, _T_E2 + 1),
-                                 col3(blk, _T_E2 + 2))
-                # v2-r = e1-w1 ; v3-r = e1+e2-w1 ; w1 = r-v1 = (rx,ry,rz)
-                ax_, ay_, az_ = e1x - rx, e1y - ry, e1z - rz
-                bx_ = e1x + e2x - rx
-                by_ = e1y + e2y - ry
-                bz_ = e1z + e2z - rz
-                c1x = ay_ * bz_ - az_ * by_
-                c1y = az_ * bx_ - ax_ * bz_
-                c1z = ax_ * by_ - ay_ * bx_
-                inv_a2 = col3(blk, _T_INVA2)
-                l1 = jnp.sqrt(c1x * c1x + c1y * c1y + c1z * c1z) * inv_a2
-                # v1-r = -w1
-                c2x = by_ * rz - bz_ * ry
-                c2y = bz_ * rx - bx_ * rz
-                c2z = bx_ * ry - by_ * rx
-                l2 = jnp.sqrt(c2x * c2x + c2y * c2y + c2z * c2z) * inv_a2
-                l3 = jnp.maximum(0.0, 1.0 - l1 - l2)
-                u_c = (col3(blk, _T_UV1) * l1 + col3(blk, _T_UV2) * l2
-                       + col3(blk, _T_UV3) * l3)
-                v_c = (col3(blk, _T_UV1 + 1) * l1
-                       + col3(blk, _T_UV2 + 1) * l2
-                       + col3(blk, _T_UV3 + 1) * l3)
-                uvw = jnp.stack([jnp.sum(exact * u_c, axis=0),
-                                 jnp.sum(exact * v_c, axis=0)])
-                ext = jnp.concatenate([ext, uvw], axis=0)
-            return _merge(carry, t, ext)
+            return _merge(carry, t, with_uv(ext, tuv_ref, sl, exact))
 
         carry = (jnp.full((s, l), INF, jnp.float32),
                  jnp.zeros((_X_COLS + n_uv, s, l), jnp.float32))
@@ -644,12 +727,74 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
         alb_b = jnp.where(use2, w_a2b, w_ab)
 
         if has_img:
+            # ---- winner UV, computed ONCE per ray from the extracted
+            # 17-col UV parameter block (see _U_COLS layout) ----
+            uvp = attrs[_X_COLS:_X_COLS + _U_COLS]
+            fam = uvp[_U_FAM]
+
+            # sphere (object.cuh:87-93): unit offset from center
+            sox = (px_ - v0) * inv_rad
+            soy = (py_ - v1_) * inv_rad
+            soz = (pz_ - v2) * inv_rad
+            az_deg = (soz == 0.0) & (sox == 0.0)
+            s_phi = _atan2(-soz, jnp.where(az_deg, 1.0, sox)) \
+                + np.float32(np.pi)
+            s_u = s_phi * np.float32(1.0 / (2.0 * np.pi))
+            s_v = _acos(-soy) * np.float32(1.0 / np.pi)
+
+            # rect (object.cuh:105-197): normalized free-axis coords
+            r_x = uvp[0] * px_ + uvp[1] * py_ + uvp[2] * pz_
+            r_y = uvp[3] * px_ + uvp[4] * py_ + uvp[5] * pz_
+            r_u = (r_x - uvp[6]) * uvp[8]
+            r_v = (r_y - uvp[7]) * uvp[9]
+
+            # cylinder (object.cuh:282-288): object-space hit via w2o
+            c_px = uvp[0] * px_ + uvp[1] * py_ + uvp[2] * pz_ + uvp[9]
+            c_py = uvp[3] * px_ + uvp[4] * py_ + uvp[5] * pz_ + uvp[10]
+            c_pz = uvp[6] * px_ + uvp[7] * py_ + uvp[8] * pz_ + uvp[11]
+            c_deg = (c_py == 0.0) & (c_px == 0.0)
+            c_phi = _atan2(c_py, jnp.where(c_deg, 1.0, c_px)) \
+                + np.float32(2.0 * np.pi)
+            c_u = c_phi * np.float32(1.0 / (4.0 * np.pi))
+            c_v = (c_pz - uvp[12]) * uvp[13]
+
+            # triangle: standard barycentric interp (the XLA
+            # _attributes form; Taichi's swapped-weight quirk not
+            # replicated, ops/intersect.py:443-447)
+            def tri_l(jx, jy, jz):
+                ax_ = uvp[jx] - px_
+                ay_ = uvp[jy] - py_
+                az_ = uvp[jz] - pz_
+                return ax_, ay_, az_
+
+            a1x, a1y, a1z = tri_l(3, 4, 5)   # v2 - p
+            a2x, a2y, a2z = tri_l(6, 7, 8)   # v3 - p
+            a3x, a3y, a3z = tri_l(0, 1, 2)   # v1 - p
+            cx1 = a1y * a2z - a1z * a2y
+            cy1 = a1z * a2x - a1x * a2z
+            cz1 = a1x * a2y - a1y * a2x
+            l1 = jnp.sqrt(cx1 * cx1 + cy1 * cy1 + cz1 * cz1) * uvp[9]
+            cx2 = a2y * a3z - a2z * a3y
+            cy2 = a2z * a3x - a2x * a3z
+            cz2 = a2x * a3y - a2y * a3x
+            l2 = jnp.sqrt(cx2 * cx2 + cy2 * cy2 + cz2 * cz2) * uvp[9]
+            l3 = jnp.maximum(0.0, 1.0 - l1 - l2)
+            t_u = uvp[10] * l1 + uvp[12] * l2 + uvp[14] * l3
+            t_v = uvp[11] * l1 + uvp[13] * l2 + uvp[15] * l3
+
+            u_w = jnp.where(fam == _FAM_SPH, s_u,
+                            jnp.where(fam == _FAM_RECT, r_u,
+                                      jnp.where(fam == _FAM_CYL, c_u,
+                                                t_u)))
+            v_w = jnp.where(fam == _FAM_SPH, s_v,
+                            jnp.where(fam == _FAM_RECT, r_v,
+                                      jnp.where(fam == _FAM_CYL, c_v,
+                                                t_v)))
+
             # image texture via double one-hot contraction: no gathers.
             # out = sum_r sum_c OHx[r]*A[r,c]*OHy[c]; rows = img*TH+xi
             # (taichi material.py:137-144 texel addressing: u -> dim0)
             w_img = attrs[_X_IMG]
-            u_w = attrs[_X_COLS]
-            v_w = attrs[_X_COLS + 1]
             has = w_img >= 0.0
             xi = jnp.clip(((u_w - jnp.floor(u_w)) * img_th), 0.0,
                           img_th - 1.0).astype(jnp.int32)
@@ -803,7 +948,8 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
     static_argnames=("counts", "max_depth", "t_min", "p_rr", "grad_bg",
                      "exhaust_bg", "has_img", "img_th", "img_tw",
                      "interpret"))
-def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, atlas, counts,
+def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, uv_tabs, atlas,
+                 counts,
                  background, state, pixel, sample_idx, seed, start_bounce,
                  max_depth: int,
                  t_min: float = 1e-3, p_rr: float = 0.0,
@@ -855,6 +1001,10 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, atlas, counts,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rect table
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cylinder table
             pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere UV params
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rect UV params
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cylinder UV params
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle UV params
             pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas R
             pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas G
             pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas B
@@ -865,6 +1015,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, atlas, counts,
         interpret=interpret,
     )(
         scal_i, scal_f, sph_tab, rect_tab, cyl_tab, tri_tab,
+        uv_tabs[0], uv_tabs[1], uv_tabs[2], uv_tabs[3],
         atlas[0], atlas[1], atlas[2],
         *[lanes(s) for s in state],
         lanes(pixel, jnp.int32),
@@ -880,7 +1031,7 @@ def _fresh_state(ro, rd):
             o, o, o, z, z, z, o)
 
 
-def _compact(state, pixel, orig, group: int = 32):
+def _compact(state, pixel, orig_g, group: int = 128):
     """Group-granularity live-ray compaction.
 
     Sorts GROUPS of `group` consecutive rays (stable, any-live groups
@@ -893,23 +1044,32 @@ def _compact(state, pixel, orig, group: int = 32):
     of packing vs a perfect row sort; death is spatially coherent in the
     64x32-screen-block ray order, so live groups are few.
 
-    All 15 per-ray words (13 f32 state + pixel + orig as bitcast f32)
-    ride one packed array so the gather runs once. orig carries each
-    row's original ray index for the final unpermute."""
+    All 14 per-ray words (13 f32 state + pixel as bitcast f32) ride one
+    packed array so the gather runs once. The packed layout is
+    [g, 14*group] — group-sized lane-aligned blocks per column — NEVER
+    a [B, 14] array: TPU tiling pads a narrow trailing dim to 128
+    lanes, which at 2M rays inflates every intermediate 8.5x and OOMs
+    HBM (seen in practice: 15 x 1 GB broadcast_in_dim temps). group=128
+    keeps every reshape exactly lane-width.
+
+    orig_g tracks the permutation at GROUP granularity ([g] i32 — rows
+    only ever move as whole groups), so the final unpermute is a tiny
+    argsort + one packed group-row gather instead of the [B,3]
+    per-element scatter that used to cost ~115 ms/2M rays — more than
+    the compactions it was undoing."""
     b = state[0].shape[0]
     g = b // group
     alive_g = (state[-1] > 0.0).reshape(g, group).any(-1)
     perm = jnp.argsort(~alive_g, stable=True)
     cols = list(state) + [
-        jax.lax.bitcast_convert_type(pixel.astype(jnp.int32), jnp.float32),
-        jax.lax.bitcast_convert_type(orig, jnp.float32)]
-    packed = jnp.stack(cols, axis=-1)                    # [B, 15]
-    packed = packed.reshape(g, group * len(cols))[perm].reshape(
-        b, len(cols))
-    state = tuple(packed[:, i] for i in range(13))
-    pixel = jax.lax.bitcast_convert_type(packed[:, 13], jnp.int32)
-    orig = jax.lax.bitcast_convert_type(packed[:, 14], jnp.int32)
-    return state, pixel, orig
+        jax.lax.bitcast_convert_type(pixel.astype(jnp.int32), jnp.float32)]
+    packed = jnp.concatenate([c.reshape(g, group) for c in cols], axis=1)
+    packed = packed[perm]                                # [g, 14*group]
+    parts = [packed[:, i * group:(i + 1) * group].reshape(b)
+             for i in range(len(cols))]
+    state = tuple(parts[:13])
+    pixel = jax.lax.bitcast_convert_type(parts[13], jnp.int32)
+    return state, pixel, orig_g[perm]
 
 
 def _pad_rows(tab, chunk):
@@ -960,9 +1120,25 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     if has_img:
         atlas = tuple(image_atlas_rows(tbl))
         img_th, img_tw = tables.images.shape[1], tables.images.shape[2]
+        uv_tabs = (
+            _pad_rows(sphere_uv_table(tbl) if n_sph
+                      else jnp.zeros((1, _U_COLS), jnp.float32),
+                      min(max(n_sph, 1), SPH_CHUNK)),
+            _pad_rows(rect_uv_table(tbl) if n_rect
+                      else jnp.zeros((1, _U_COLS), jnp.float32),
+                      min(max(n_rect, 1), AUX_CHUNK)),
+            _pad_rows(cylinder_uv_table(tbl) if n_cyl
+                      else jnp.zeros((1, _U_COLS), jnp.float32),
+                      min(max(n_cyl, 1), AUX_CHUNK)),
+            _pad_rows(triangle_uv_table(tbl) if n_tri
+                      else jnp.zeros((1, _U_COLS), jnp.float32),
+                      min(max(n_tri, 1), SPH_CHUNK)),
+        )
     else:
         atlas = tuple(jnp.zeros((8, 128), jnp.float32) for _ in range(3))
         img_th = img_tw = 1
+        uv_tabs = tuple(jnp.zeros((8, _U_COLS), jnp.float32)
+                        for _ in range(4))
     counts = (sph_tab.shape[0] if n_sph else 0,
               rect_tab.shape[0] if n_rect else 0,
               cyl_tab.shape[0] if n_cyl else 0,
@@ -995,25 +1171,35 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
             left -= s
             seg *= 2
 
+    group = getattr(cfg, "compact_group", 128)
     state = _fresh_state(ro, rd)
     pixel = pixel.astype(jnp.int32)
-    orig = jnp.arange(bp, dtype=jnp.int32)
+    orig_g = jnp.arange(bp // group, dtype=jnp.int32)
     done = 0
     for i, seg in enumerate(schedule):
         last = i == len(schedule) - 1
-        state = mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, atlas,
-                             counts, tbl.background, state, pixel,
+        state = mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, uv_tabs,
+                             atlas, counts, tbl.background, state, pixel,
                              sample_idx, seed, jnp.int32(done),
                              max_depth=seg,
                              exhaust_bg=exhaust and last, **kw)
         done += seg
         if not last:
-            state, pixel, orig = _compact(
-                state, pixel, orig,
-                group=getattr(cfg, "compact_group", 32))
+            state, pixel, orig_g = _compact(state, pixel, orig_g,
+                                            group=group)
 
     cr, cg, cb = state[9], state[10], state[11]
-    rgb = jnp.stack([cr, cg, cb], axis=-1)
-    # undo the compaction permutations
-    rgb = jnp.zeros((bp, 3), jnp.float32).at[orig].set(rgb)
+    if len(schedule) == 1:
+        # no compaction -> no permutation to undo
+        return jnp.stack([cr, cg, cb], axis=-1)[:b]
+    # undo the composed group permutation: rows only ever moved as whole
+    # groups, so the inverse is a tiny [g] argsort + ONE packed group-row
+    # gather (a per-element [B,3] scatter here used to cost ~115 ms at
+    # 2M rays — more than every compaction it was undoing combined)
+    g = bp // group
+    packed = jnp.concatenate(
+        [c.reshape(g, group) for c in (cr, cg, cb)], axis=1)
+    packed = packed[jnp.argsort(orig_g)]
+    rgb = jnp.stack([packed[:, i * group:(i + 1) * group].reshape(bp)
+                     for i in range(3)], axis=-1)
     return rgb[:b]

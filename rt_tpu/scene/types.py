@@ -195,6 +195,26 @@ class SceneTables:
         default_factory=lambda: np.zeros((1, 3), np.float32))
     tri_bvh_max: jax.Array = dataclasses.field(
         default_factory=lambda: np.zeros((1, 3), np.float32))
+    rect_bvh_obj: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros(1, np.int32))
+    rect_bvh_left: jax.Array = dataclasses.field(
+        default_factory=lambda: np.full(1, -1, np.int32))
+    rect_bvh_next: jax.Array = dataclasses.field(
+        default_factory=lambda: np.full(1, -1, np.int32))
+    rect_bvh_min: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros((1, 3), np.float32))
+    rect_bvh_max: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros((1, 3), np.float32))
+    cyl_bvh_obj: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros(1, np.int32))
+    cyl_bvh_left: jax.Array = dataclasses.field(
+        default_factory=lambda: np.full(1, -1, np.int32))
+    cyl_bvh_next: jax.Array = dataclasses.field(
+        default_factory=lambda: np.full(1, -1, np.int32))
+    cyl_bvh_min: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros((1, 3), np.float32))
+    cyl_bvh_max: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros((1, 3), np.float32))
 
     # (n_spheres, n_rects, n_cylinders, n_triangles) — static
     counts: Tuple[int, int, int, int] = dataclasses.field(
@@ -384,9 +404,9 @@ def _cylinder_o2w(obj: dict) -> Tuple[np.ndarray, np.ndarray]:
 def build_tables(s: SceneDef, bvh_types: Sequence[str] = ()) -> SceneTables:
     """Freeze a SceneDef into padded device tables.
 
-    bvh_types: primitive families ("sphere", "triangle") to build a
-    threaded BVH over (rt_tpu/accel/bvh.py); traversal is enabled with
-    RenderConfig(traversal="bvh")."""
+    bvh_types: primitive families ("sphere", "rect", "cylinder",
+    "triangle") to build a threaded BVH over (rt_tpu/accel/bvh.py);
+    traversal is enabled with RenderConfig(traversal="bvh")."""
     if s.camera is None:
         raise ValueError("scene has no camera")
 
@@ -543,6 +563,28 @@ def build_tables(s: SceneDef, bvh_types: Sequence[str] = ()) -> SceneTables:
                           tri_bvh_next=bv.next_id, tri_bvh_min=bv.bmin,
                           tri_bvh_max=bv.bmax)
         bvh_built.append("triangle")
+    if "rect" in bvh_types and rect:
+        from rt_tpu.accel.bvh import build_bvh, rect_aabbs
+
+        nr = len(rect)
+        lo, hi = rect_aabbs(rect_axis[:nr], rect_lo[:nr], rect_hi[:nr],
+                            rect_k[:nr])
+        bv = build_bvh(lo, hi)
+        bvh_fields.update(rect_bvh_obj=bv.obj_id, rect_bvh_left=bv.left_id,
+                          rect_bvh_next=bv.next_id, rect_bvh_min=bv.bmin,
+                          rect_bvh_max=bv.bmax)
+        bvh_built.append("rect")
+    if "cylinder" in bvh_types and cyl:
+        from rt_tpu.accel.bvh import build_bvh, cylinder_aabbs
+
+        nc = len(cyl)
+        lo, hi = cylinder_aabbs(cyl_radius[:nc], cyl_zmin[:nc],
+                                cyl_zmax[:nc], cyl_o2w[:nc])
+        bv = build_bvh(lo, hi)
+        bvh_fields.update(cyl_bvh_obj=bv.obj_id, cyl_bvh_left=bv.left_id,
+                          cyl_bvh_next=bv.next_id, cyl_bvh_min=bv.bmin,
+                          cyl_bvh_max=bv.bmax)
+        bvh_built.append("cylinder")
 
     # which families use image textures (static megakernel gate)
     img_texs = {i for i, t in enumerate(s.textures)

@@ -140,3 +140,33 @@ def test_zero_direction_on_node_plane_not_culled():
     t_best, pid = traverse(bvh_arrays, ro, rd, 1e-3, leaf_test)
     assert np.isfinite(float(t_best[0]))
     assert float(t_best[0]) == pytest.approx(4.0, rel=1e-5)
+
+
+def test_rect_cylinder_bvh_matches_linear():
+    """BVH traversal over rects + cylinders (round 2: BVH covers every
+    primitive family, not just spheres/triangles) renders the dna scene
+    identically to the linear scan."""
+    from rt_tpu.scene.builders import dna_scene
+
+    sdef, cfg = dna_scene(width=48, height=27, spp=2, max_depth=4)
+    lin = render(build_tables(sdef), cfg.replace(engine="xla"))
+    tb = build_tables(sdef, bvh_types=("sphere", "rect", "cylinder",
+                                       "triangle"))
+    assert "cylinder" in tb.bvh_for
+    bvh = render(tb, cfg.replace(engine="xla", traversal="bvh"))
+    np.testing.assert_allclose(np.asarray(bvh), np.asarray(lin),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_rect_bvh_matches_linear():
+    from rt_tpu.scene.builders import cornell_spheres_scene
+
+    sdef, cfg = cornell_spheres_scene(width=32, height=32, spp=2,
+                                      max_depth=4)
+    has_rect = any(o["type"].endswith("_rect") for o in sdef.objects)
+    lin = render(build_tables(sdef), cfg.replace(engine="xla"))
+    tb = build_tables(sdef, bvh_types=("sphere", "rect", "cylinder",
+                                       "triangle"))
+    bvh = render(tb, cfg.replace(engine="xla", traversal="bvh"))
+    np.testing.assert_allclose(np.asarray(bvh), np.asarray(lin),
+                               rtol=1e-5, atol=1e-5)

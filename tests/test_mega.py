@@ -17,6 +17,10 @@ from rt_tpu.ops.pallas_mega import mega_supported
 def _compare(sdef, cfg, outlier_frac=0.01, atol=2e-3):
     tables = build_tables(sdef)
     assert mega_supported(tables)
+    _compare_tables(tables, cfg, outlier_frac, atol)
+
+
+def _compare_tables(tables, cfg, outlier_frac=0.01, atol=2e-3):
     spp = cfg.samples_per_pixel
     a = render(tables, cfg.replace(engine="xla")) / spp
     b = render(tables, cfg.replace(engine="mega")) / spp
@@ -40,22 +44,27 @@ def test_mega_cornell_emissive_rr():
     _compare(sdef, cfg)
 
 
-def test_mega_unsupported_falls_back():
-    # image textures on CURVED primitives are not mega-supported
-    # (in-kernel UVs would need arccos/arctan2) -> hybrid fallback
+def test_mega_image_texture_on_curved_primitives():
+    """Image textures on spheres/cylinders run IN the megakernel now
+    (round-2 inversion of the old fallback test): in-kernel
+    arctan2/arccos UVs + the one-hot-extracted UV parameter block must
+    match the XLA engine's arctan2/arccos texel addressing."""
     from rt_tpu.scene.types import SceneDef
 
     rs = np.random.RandomState(0)
-    s = SceneDef(width=32, height=18, samples_per_pixel=1, max_depth=3,
+    s = SceneDef(width=32, height=18, samples_per_pixel=2, max_depth=3,
                  background=(0.7, 0.8, 1.0))
     ti = s.add_image_texture(rs.rand(8, 8, 3).astype(np.float32))
     s.add_sphere((0, 0, -1), 0.5, s.add_lambertian(ti))
-    s.set_camera((0, 0, 1), (0, 0, -1), (0, 1, 0), 45, 0.0)
+    s.add_cylinder(0.3, -0.5, 0.5, s.add_lambertian(ti),
+                   rotate=((1.0, 0.0, 0.0), 60.0),
+                   translate=(1.0, 0.0, -1.5))
+    s.add_rect("xy_rect", -2, 2, -1, 1, -3.0, s.add_lambertian(ti))
+    s.set_camera((0, 0, 1), (0, 0, -1), (0, 1, 0), 60, 0.0)
     tables = build_tables(s)
-    assert not mega_supported(tables)  # image texture on a sphere
-    cfg = RenderConfig(width=32, height=18, samples_per_pixel=1, max_depth=3)
-    img = render(tables, cfg.replace(engine="mega"))  # falls back, no crash
-    assert np.isfinite(img).all()
+    assert mega_supported(tables)  # curved image textures in-kernel
+    cfg = RenderConfig(width=32, height=18, samples_per_pixel=2, max_depth=3)
+    _compare_tables(tables, cfg)
 
 
 def test_mega_textured_mesh(tmp_path):
