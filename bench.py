@@ -52,8 +52,12 @@ def main():
     sdef, cfg = cover_scene(width=width, height=height, spp=spp_timed,
                             max_depth=depth)
     # one launch covers the whole frame x all samples: device dispatch is
-    # fully amortized (the axon tunnel costs ~30ms per host->device call)
-    cfg = cfg.replace(rays_per_batch=1 << 25, engine="mega")
+    # fully amortized (the axon tunnel costs ~30ms per host->device call).
+    # compact_every=4: group compaction between 4-bounce segments,
+    # measured best of {0,1,2,4,8,auto} on this workload (BASELINE.md
+    # round-2 table; 5.05M vs 2.89M paths/s uncompacted)
+    cfg = cfg.replace(rays_per_batch=1 << 25, engine="mega",
+                      compact_every=4)
     tables = build_tables(sdef)
     n_dev = len(jax.devices())
 

@@ -56,6 +56,10 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="compute engine (default mega: full-path Pallas "
                         "megakernel with automatic fallback to the hybrid "
                         "engine for unsupported scenes)")
+    p.add_argument("--compact-every", type=int, default=None,
+                   help="megakernel live-ray compaction segment length "
+                        "(-1 auto schedule, 0 off; default: 4 for deep "
+                        "renders, 0 for max_depth < 16)")
     p.add_argument("--bvh", action="store_true",
                    help="build + traverse a BVH for every primitive "
                         "family (spheres/rects/cylinders/triangles)")
@@ -138,6 +142,13 @@ def cmd_render(args) -> int:
     sdef, cfg, out_path = _load(args)
     if args.engine:
         cfg = cfg.replace(engine=args.engine)
+    ce = args.compact_every
+    if ce is None:
+        # deep traces leave mostly-dead kernel tiles alive; 4-bounce
+        # compaction segments measured ~1.7x on depth-50 production
+        # shapes (BASELINE.md round 2) and cost only extra compiles
+        ce = 4 if cfg.max_depth >= 16 else 0
+    cfg = cfg.replace(compact_every=ce)
     tables = build_tables(
         sdef, bvh_types=("sphere", "rect", "cylinder", "triangle")
         if args.bvh else ())

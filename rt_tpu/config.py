@@ -58,6 +58,9 @@ class RenderConfig:
     # (group-row gathers are ~60x cheaper than per-element row gathers).
     compact_every: int = 0
     compact_group: int = 128  # lane-width groups: zero layout padding
+    # explicit segment schedule (bounce counts summing to <= max_depth;
+    # remainder appended); overrides compact_every when nonempty
+    compact_schedule: Tuple[int, ...] = ()
 
     @property
     def aspect_ratio(self) -> float:

@@ -1084,12 +1084,16 @@ def _pad_rows(tab, chunk):
 def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     """Full-path trace via the megakernel; pads to RAY_TILE internally.
 
-    cfg.compact_every > 0 splits the bounce loop into segments of that
-    many bounces with a live-ray compaction between segments — the
-    stream-compacted wavefront (SURVEY.md §7 north star). Compaction
-    pays off on very deep traces; the per-tile dead-ray short-circuit
-    already captures most of the win at typical depths, so 0 (off) is
-    the default.
+    cfg.compact_every splits the bounce loop into segments with a
+    live-ray group compaction between segments — the stream-compacted
+    wavefront (SURVEY.md §7 north star). Measured on the cover scene at
+    1080p depth 50 (v5e, BASELINE.md round 2): the per-tile dead-ray
+    short-circuit alone leaves 27.4 tile-bounches of work per ray
+    against a ray-average depth of 1.59 (one live glass path keeps a
+    whole 2048-lane tile alive); compact_every=4 packs live rays every
+    4 bounces for 2.89M -> 5.05M paths/s. Config default stays 0 (tiny
+    unit-test renders don't amortize the extra kernel compiles); the
+    CLI/bench production paths enable it.
 
     Pre-condition: mega_supported(tables)."""
     b = ro.shape[0]
@@ -1152,7 +1156,16 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     exhaust = cfg.exhaust_mode == "background"
 
     ce = getattr(cfg, "compact_every", 0)
-    if ce == 0 or ce >= cfg.max_depth:
+    explicit = tuple(getattr(cfg, "compact_schedule", ()) or ())
+    if explicit:
+        schedule = [s for s in explicit if s > 0]
+        total = sum(schedule)
+        if total > cfg.max_depth:
+            raise ValueError(f"compact_schedule sums past max_depth: "
+                             f"{explicit} vs {cfg.max_depth}")
+        if total < cfg.max_depth:
+            schedule.append(cfg.max_depth - total)
+    elif ce == 0 or ce >= cfg.max_depth:
         schedule = [cfg.max_depth]
     elif ce > 0:
         schedule = [ce] * (cfg.max_depth // ce)
