@@ -53,11 +53,11 @@ def main():
                             max_depth=depth)
     # one launch covers the whole frame x all samples: device dispatch is
     # fully amortized (the axon tunnel costs ~30ms per host->device call).
-    # compact_every=4: group compaction between 4-bounce segments,
-    # measured best of {0,1,2,4,8,auto} on this workload (BASELINE.md
-    # round-2 table; 5.05M vs 2.89M paths/s uncompacted)
+    # Tapered compaction schedule + 32-ray groups: measured best of the
+    # round-2 sweep (BASELINE.md; segment lengths track the death curve,
+    # finer groups pack scattered survivors tighter)
     cfg = cfg.replace(rays_per_batch=1 << 25, engine="mega",
-                      compact_every=4)
+                      compact_schedule=(2, 3, 5, 10), compact_group=16)
     tables = build_tables(sdef)
     n_dev = len(jax.devices())
 

@@ -143,12 +143,14 @@ def cmd_render(args) -> int:
     if args.engine:
         cfg = cfg.replace(engine=args.engine)
     ce = args.compact_every
-    if ce is None:
-        # deep traces leave mostly-dead kernel tiles alive; 4-bounce
-        # compaction segments measured ~1.7x on depth-50 production
-        # shapes (BASELINE.md round 2) and cost only extra compiles
-        ce = 4 if cfg.max_depth >= 16 else 0
-    cfg = cfg.replace(compact_every=ce)
+    if ce is None and cfg.max_depth >= 16:
+        # deep traces leave mostly-dead kernel tiles alive; the tapered
+        # compaction schedule measured ~2x on depth-50 production shapes
+        # (BASELINE.md round 2) and costs only extra compiles
+        cfg = cfg.replace(compact_schedule=(2, 3, 5, 10),
+                          compact_group=16)
+    elif ce is not None:
+        cfg = cfg.replace(compact_every=ce)
     tables = build_tables(
         sdef, bvh_types=("sphere", "rect", "cylinder", "triangle")
         if args.bvh else ())

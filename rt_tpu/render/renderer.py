@@ -58,6 +58,35 @@ render_pixels = jax.jit(
     render_block, static_argnames=("cfg", "width", "height", "n_samples"))
 
 
+@functools.lru_cache(maxsize=8)
+def _block_order(w: int, h: int, bx: int = 64, by: int = 32):
+    """Pixels ordered in bx*by screen blocks (= one 2048-ray megakernel
+    tile) instead of scanlines: path termination is spatially coherent
+    in 2D, so square tiles die together and the kernel's dead-tile
+    short-circuit + group compaction fire far more often. The counter
+    RNG keys on the absolute pixel id, so ordering cannot change the
+    image. Cached: the 2M-element argsort costs ~150 ms per call at
+    1080p — a per-frame host tax when animating."""
+    pix = np.arange(w * h, dtype=np.int32)
+    px_all = (pix % w).astype(np.int32)
+    py_all = (pix // w).astype(np.int32)
+    block = (py_all // by) * ((w + bx - 1) // bx) + (px_all // bx)
+    order = np.argsort(block, kind="stable")
+    return px_all[order], py_all[order], pix[order]
+
+
+@functools.lru_cache(maxsize=32)
+def _device_tile(w: int, h: int, tile: int, ti: int):
+    px_all, py_all, _ = _block_order(w, h)
+    n_tiles = -(-(w * h) // tile)
+    pad = n_tiles * tile - w * h
+    if pad:
+        px_all = np.concatenate([px_all, np.zeros(pad, np.int32)])
+        py_all = np.concatenate([py_all, np.zeros(pad, np.int32)])
+    return (jnp.asarray(px_all[ti * tile:(ti + 1) * tile]),
+            jnp.asarray(py_all[ti * tile:(ti + 1) * tile]))
+
+
 def render(tables: SceneTables, cfg: RenderConfig,
            samples_per_launch: Optional[int] = None,
            progress: bool = False, sample_offset: int = 0) -> np.ndarray:
@@ -70,20 +99,7 @@ def render(tables: SceneTables, cfg: RenderConfig,
     w, h = cfg.width, cfg.height
     spp = cfg.samples_per_pixel
     n_pix = w * h
-
-    pix = np.arange(n_pix, dtype=np.int32)
-    px_all = (pix % w).astype(np.int32)
-    py_all = (pix // w).astype(np.int32)
-
-    # order pixels in 64x32 screen blocks (= one 2048-ray megakernel
-    # tile) instead of scanlines: path termination is spatially coherent
-    # in 2D, so square tiles die together and the kernel's dead-tile
-    # short-circuit fires far more often. The counter RNG keys on the
-    # absolute pixel id, so ordering cannot change the image.
-    bx, by = 64, 32
-    block = (py_all // by) * ((w + bx - 1) // bx) + (px_all // bx)
-    order = np.argsort(block, kind="stable")
-    px_all, py_all, pix = px_all[order], py_all[order], pix[order]
+    _, _, pix = _block_order(w, h)
 
     # pick tile size so tile*samples_per_launch ~ rays_per_batch
     if samples_per_launch is None:
@@ -91,19 +107,17 @@ def render(tables: SceneTables, cfg: RenderConfig,
         if samples_per_launch == 0:
             samples_per_launch = 1
     tile = min(n_pix, max(1, cfg.rays_per_batch // samples_per_launch))
-    # pad pixel list to a multiple of tile for a single jit signature
+    # pixel list is padded to a multiple of tile for a single jit
+    # signature (_device_tile)
     n_tiles = -(-n_pix // tile)
-    pad = n_tiles * tile - n_pix
-    if pad:
-        px_all = np.concatenate([px_all, np.zeros(pad, np.int32)])
-        py_all = np.concatenate([py_all, np.zeros(pad, np.int32)])
 
     acc = np.zeros((n_tiles * tile, 3), np.float32)
     out = np.zeros((n_pix, 3), np.float32)
     seed = np.uint32(cfg.seed)
     for ti in range(n_tiles):
-        px = jnp.asarray(px_all[ti * tile:(ti + 1) * tile])
-        py = jnp.asarray(py_all[ti * tile:(ti + 1) * tile])
+        # cached device tiles: re-uploading 2x8 MB per frame through the
+        # tunnel is a real per-frame tax when animating
+        px, py = _device_tile(w, h, tile, ti)
         tile_acc = None
         s = 0
         while s < spp:
