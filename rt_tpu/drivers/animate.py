@@ -31,9 +31,13 @@ import time
 
 
 def _frame_cfg(args, cfg):
-    return cfg.replace(width=args.width, height=args.height,
-                       samples_per_pixel=args.spp, max_depth=args.max_depth,
-                       engine=getattr(args, "engine", "mega"))
+    cfg = cfg.replace(width=args.width, height=args.height,
+                      samples_per_pixel=args.spp, max_depth=args.max_depth,
+                      engine=getattr(args, "engine", "mega"))
+    if cfg.max_depth >= 16:
+        # deep traces: tapered live-ray compaction (BASELINE.md round 2)
+        cfg = cfg.replace(compact_schedule=(2, 3, 5, 10), compact_group=16)
+    return cfg
 
 
 def _host_slice(args):
