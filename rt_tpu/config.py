@@ -61,6 +61,14 @@ class RenderConfig:
     # explicit segment schedule (bounce counts summing to <= max_depth;
     # remainder appended); overrides compact_every when nonempty
     compact_schedule: Tuple[int, ...] = ()
+    # megakernel spatial culling: Morton-sort the sphere table and skip
+    # whole 128-row chunks whose AABB no live lane in the tile can hit
+    cull_chunks: bool = False
+    # compaction sort key: "dead" (liveness only) or "spatial"
+    # (liveness, then direction octant + Morton cell of each group's
+    # mean live-ray origin — packs tiles into coherent ray bundles so
+    # chunk culling can fire)
+    compact_sort: str = "dead"
 
     @property
     def aspect_ratio(self) -> float:

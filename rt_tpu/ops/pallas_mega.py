@@ -262,6 +262,60 @@ def _safe_inv(x):
     return jnp.where(x != 0.0, 1.0 / jnp.where(x != 0.0, x, 1.0), 0.0)
 
 
+def _part1by2(x):
+    """Spread 10 bits to every third bit (Morton interleave helper)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _morton3(nx, ny, nz):
+    """30-bit Morton code from [0,1023]^3 integer coordinates."""
+    return (_part1by2(nz) << 2) | (_part1by2(ny) << 1) | _part1by2(nx)
+
+
+def sort_spheres_morton(sph_tab, chunk: int):
+    """Reorder sphere-table rows along a Morton curve of their centers
+    and compute tight per-chunk AABBs [K, 8] (bmin3, bmax3, pad2).
+
+    Consecutive `chunk`-row blocks then cover compact spatial cells, so
+    the kernel's per-chunk slab test can skip whole chunks for a tile of
+    coherent rays. Pad rows sort to the end (key BIG) and produce empty
+    (+inf/-inf) chunk boxes that never pass the slab test.
+
+    Tie-break note: within-table exact-t ties resolve by ROW order; the
+    Morton reorder can therefore pick a different winner than object
+    order on measure-zero exact ties (same class of deviation as the
+    BVH's first-hit-wins, accel/bvh.py docstring)."""
+    c = sph_tab[:, _X_V:_X_V + 3]
+    r = jnp.abs(sph_tab[:, _X_RAD])
+    valid = sph_tab[:, _S_VALID] > 0.0
+    vbig = jnp.where(valid[:, None], c, jnp.inf)
+    vsmall = jnp.where(valid[:, None], c, -jnp.inf)
+    lo = jnp.min(vbig, axis=0)
+    hi = jnp.max(vsmall, axis=0)
+    span = jnp.where(hi > lo, hi - lo, 1.0)
+    q = jnp.clip(((c - lo) / span * 1023.0), 0.0, 1023.0).astype(jnp.int32)
+    key = _morton3(q[:, 0], q[:, 1], q[:, 2])
+    key = jnp.where(valid, key, np.int32(2 ** 30))
+    order = jnp.argsort(key, stable=True)
+    sph_tab = sph_tab[order]
+
+    n = sph_tab.shape[0]
+    k = n // chunk
+    c = sph_tab[:, _X_V:_X_V + 3].reshape(k, chunk, 3)
+    r = jnp.abs(sph_tab[:, _X_RAD]).reshape(k, chunk, 1)
+    valid = (sph_tab[:, _S_VALID] > 0.0).reshape(k, chunk, 1)
+    bmin = jnp.min(jnp.where(valid, c - r, jnp.inf), axis=1)
+    bmax = jnp.max(jnp.where(valid, c + r, -jnp.inf), axis=1)
+    bounds = jnp.concatenate(
+        [bmin, bmax, jnp.zeros((k, 2), jnp.float32)], axis=1)
+    return sph_tab, bounds, order
+
+
 def sphere_uv_table(tables: SceneTables) -> jnp.ndarray:
     n = tables.sph_center.shape[0]
     cols = jnp.zeros((n, _U_COLS), jnp.float32)
@@ -468,7 +522,7 @@ def _chunk_winner(t, c, s, l):
 
 
 def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
-                 tri_ref, suv_ref, ruv_ref, yuv_ref, tuv_ref,
+                 tri_ref, sbnd_ref, suv_ref, ruv_ref, yuv_ref, tuv_ref,
                  atr_ref, atg_ref, atb_ref,
                  rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                  tpr_ref, tpg_ref, tpb_ref, cr_ref, cg_ref, cb_ref,
@@ -480,7 +534,8 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                  s_chunk: int, r_chunk: int, y_chunk: int, t_chunk: int,
                  max_depth: int, t_min: float,
                  p_rr: float, grad_bg: bool, exhaust_bg: bool,
-                 has_img: bool, img_th: int, img_tw: int):
+                 has_img: bool, img_th: int, img_tw: int,
+                 cull: bool = False):
     seed = scal_i_ref[0, 0]
     sample = scal_i_ref[0, 1]
     start_bounce = scal_i_ref[0, 2]
@@ -531,7 +586,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
             return jnp.concatenate(
                 [ext, _dotg(uv_ref[sl, :], exact)], axis=0)
 
-        def sph_body(k, carry):
+        def _sph_chunk_math(k, carry):
             sl = pl.ds(k * s_chunk, s_chunk)
             blk = sph_ref[sl, :]                           # [C, 16]
             cx = col3(blk, _X_V)
@@ -551,6 +606,41 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
             exact = _chunk_winner(t, s_chunk, s, l)
             ext = _dotg(blk[:, :_X_COLS], exact)           # [15,S,L] MXU
             return _merge(carry, t, with_uv(ext, suv_ref, sl, exact))
+
+        def sph_body(k, carry):
+            if not cull:
+                return _sph_chunk_math(k, carry)
+            # per-chunk slab test of every live lane against the chunk's
+            # Morton-cell AABB (SMEM scalars): ~20 cheap [S,L] ops vs
+            # ~30 x C ops for the candidate math — skip the whole chunk
+            # when NO live lane can improve its t inside the box
+            t_best_cur = carry[0]
+            bounds = [sbnd_ref[k, j] for j in range(6)]
+
+            def axis_slab(o_c, d_c, lo_s, hi_s):
+                d_ok = d_c != 0.0
+                inv = 1.0 / jnp.where(d_ok, d_c, 1.0)
+                near = (lo_s - o_c) * inv
+                far = (hi_s - o_c) * inv
+                near, far = jnp.minimum(near, far), jnp.maximum(near, far)
+                inside = (o_c >= lo_s) & (o_c <= hi_s)
+                big = np.float32(3.0e38)
+                near = jnp.where(d_ok, near, jnp.where(inside, -big, big))
+                far = jnp.where(d_ok, far, jnp.where(inside, big, -big))
+                return near, far
+
+            n1, f1 = axis_slab(ox, dx, bounds[0], bounds[3])
+            n2, f2 = axis_slab(oy, dy, bounds[1], bounds[4])
+            n3, f3 = axis_slab(oz, dz, bounds[2], bounds[5])
+            tn = jnp.maximum(jnp.maximum(n1, n2), n3)
+            tf = jnp.minimum(jnp.minimum(f1, f2), f3)
+            # direction scale: slab t is in |d| units like candidate t
+            box_hit = live & (tf >= jnp.maximum(tn, t_min)) \
+                & (tn <= t_best_cur)
+            any_hit = jnp.max(jnp.where(box_hit, 1.0, 0.0)) > 0.0
+            return jax.lax.cond(any_hit,
+                                lambda c: _sph_chunk_math(k, c),
+                                lambda c: c, carry)
 
         def rect_body(k, carry):
             sl = pl.ds(k * r_chunk, r_chunk)
@@ -947,14 +1037,15 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
     jax.jit,
     static_argnames=("counts", "max_depth", "t_min", "p_rr", "grad_bg",
                      "exhaust_bg", "has_img", "img_th", "img_tw",
-                     "interpret"))
-def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, uv_tabs, atlas,
-                 counts,
+                     "cull", "interpret"))
+def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, uv_tabs,
+                 atlas, counts,
                  background, state, pixel, sample_idx, seed, start_bounce,
                  max_depth: int,
                  t_min: float = 1e-3, p_rr: float = 0.0,
                  grad_bg: bool = False, exhaust_bg: bool = False,
                  has_img: bool = False, img_th: int = 1, img_tw: int = 1,
+                 cull: bool = False,
                  interpret: bool = False):
     """Advance B rays (B % RAY_TILE == 0) max_depth bounces.
 
@@ -987,7 +1078,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, uv_tabs, atlas,
         max_depth=int(max_depth),
         t_min=float(t_min), p_rr=float(p_rr), grad_bg=bool(grad_bg),
         exhaust_bg=bool(exhaust_bg), has_img=bool(has_img),
-        img_th=int(img_th), img_tw=int(img_tw))
+        img_th=int(img_th), img_tw=int(img_tw), cull=bool(cull))
 
     ray_spec = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -1001,6 +1092,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, uv_tabs, atlas,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rect table
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cylinder table
             pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle table
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # sphere chunk AABBs
             pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere UV params
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rect UV params
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cylinder UV params
@@ -1014,7 +1106,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, uv_tabs, atlas,
                         for _ in range(13)),
         interpret=interpret,
     )(
-        scal_i, scal_f, sph_tab, rect_tab, cyl_tab, tri_tab,
+        scal_i, scal_f, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd,
         uv_tabs[0], uv_tabs[1], uv_tabs[2], uv_tabs[3],
         atlas[0], atlas[1], atlas[2],
         *[lanes(s) for s in state],
@@ -1031,7 +1123,8 @@ def _fresh_state(ro, rd):
             o, o, o, z, z, z, o)
 
 
-def _compact(state, pixel, orig_g, group: int = 128):
+def _compact(state, pixel, orig_g, group: int = 128,
+             sort: str = "dead"):
     """Group-granularity live-ray compaction.
 
     Sorts GROUPS of `group` consecutive rays (stable, any-live groups
@@ -1059,8 +1152,40 @@ def _compact(state, pixel, orig_g, group: int = 128):
     the compactions it was undoing."""
     b = state[0].shape[0]
     g = b // group
-    alive_g = (state[-1] > 0.0).reshape(g, group).any(-1)
-    perm = jnp.argsort(~alive_g, stable=True)
+    alive = state[-1] > 0.0
+    alive_g = alive.reshape(g, group).any(-1)
+    if sort == "spatial":
+        # secondary key: direction octant (major) + Morton cell of the
+        # group's mean live-ray origin (minor) — packs each kernel tile
+        # into a coherent ray bundle so per-chunk AABB culling can skip
+        # (SURVEY §7 hard part 3: per-tile ray sorting)
+        af = alive.astype(jnp.float32).reshape(g, group)
+        cnt = jnp.maximum(af.sum(-1), 1.0)
+
+        def gmean(x):
+            return (x.reshape(g, group) * af).sum(-1) / cnt
+
+        mx, my, mz = gmean(state[0]), gmean(state[1]), gmean(state[2])
+        ddx, ddy, ddz = gmean(state[3]), gmean(state[4]), gmean(state[5])
+        lo = jnp.stack([jnp.min(jnp.where(alive_g, v, jnp.inf))
+                        for v in (mx, my, mz)])
+        hi = jnp.stack([jnp.max(jnp.where(alive_g, v, -jnp.inf))
+                        for v in (mx, my, mz)])
+        span = jnp.where(hi > lo, hi - lo, 1.0)
+
+        def q(v, i):
+            return jnp.clip((v - lo[i]) / span[i] * 255.0,
+                            0.0, 255.0).astype(jnp.int32)
+
+        morton = _morton3(q(mx, 0), q(my, 1), q(mz, 2)) >> 6  # 18 bits
+        octant = ((ddx > 0).astype(jnp.int32) * 4
+                  + (ddy > 0).astype(jnp.int32) * 2
+                  + (ddz > 0).astype(jnp.int32))
+        key = octant * (1 << 18) + morton
+        key = jnp.where(alive_g, key, np.int32(1 << 24))
+        perm = jnp.argsort(key, stable=True)
+    else:
+        perm = jnp.argsort(~alive_g, stable=True)
     cols = list(state) + [
         jax.lax.bitcast_convert_type(pixel.astype(jnp.int32), jnp.float32)]
     packed = jnp.concatenate([c.reshape(g, group) for c in cols], axis=1)
@@ -1148,11 +1273,22 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
               cyl_tab.shape[0] if n_cyl else 0,
               tri_tab.shape[0] if n_tri else 0)
 
+    cull = bool(getattr(cfg, "cull_chunks", False)) and n_sph > 0
+    if cull:
+        # Morton-sort sphere rows so consecutive chunks are spatial
+        # cells; per-chunk AABBs let the kernel cond-skip whole chunks.
+        # (The sphere UV-param table needs no reorder: its rows carry no
+        # per-sphere data, only the family code.)
+        s_chunk_val = min(max(sph_tab.shape[0], 1), SPH_CHUNK)
+        sph_tab, sbnd, _ = sort_spheres_morton(sph_tab, s_chunk_val)
+    else:
+        sbnd = jnp.zeros((1, 8), jnp.float32)
+
     interpret = jax.default_backend() != "tpu"
     kw = dict(p_rr=cfg.p_rr,
               grad_bg=cfg.background_mode == "gradient",
               has_img=has_img, img_th=img_th, img_tw=img_tw,
-              interpret=interpret)
+              cull=cull, interpret=interpret)
     exhaust = cfg.exhaust_mode == "background"
 
     ce = getattr(cfg, "compact_every", 0)
@@ -1191,15 +1327,17 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     done = 0
     for i, seg in enumerate(schedule):
         last = i == len(schedule) - 1
-        state = mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, uv_tabs,
+        state = mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd,
+                             uv_tabs,
                              atlas, counts, tbl.background, state, pixel,
                              sample_idx, seed, jnp.int32(done),
                              max_depth=seg,
                              exhaust_bg=exhaust and last, **kw)
         done += seg
         if not last:
-            state, pixel, orig_g = _compact(state, pixel, orig_g,
-                                            group=group)
+            state, pixel, orig_g = _compact(
+                state, pixel, orig_g, group=group,
+                sort=getattr(cfg, "compact_sort", "dead"))
 
     cr, cg, cb = state[9], state[10], state[11]
     if len(schedule) == 1:

@@ -163,3 +163,60 @@ def test_texel_addressing_oracle_vs_engines():
         mega = int(np.clip(w * th, 0.0, th - 1.0).astype(np.int32))
         assert oracle == xla == mega, (u, oracle, xla, mega)
         assert 0 <= oracle < th
+
+
+def test_mega_compaction_with_image_textures():
+    """Compaction + the UV-parameter extraction path together (the UV
+    block rides the merge carry; permutations must not disturb it)."""
+    from rt_tpu.scene.types import SceneDef
+
+    rs = np.random.RandomState(1)
+    s = SceneDef(width=32, height=18, samples_per_pixel=2, max_depth=6,
+                 background=(0.6, 0.7, 0.9))
+    ti = s.add_image_texture(rs.rand(8, 8, 3).astype(np.float32))
+    s.add_sphere((0, 0, -1), 0.5, s.add_lambertian(ti))
+    s.add_sphere((0, -100.5, -1), 100, s.add_lambertian_color((.5, .5, .5)))
+    s.set_camera((0, 0, 1), (0, 0, -1), (0, 1, 0), 45, 0.0)
+    tables = build_tables(s)
+    cfg = RenderConfig(width=32, height=18, samples_per_pixel=2,
+                       max_depth=6)
+    a = render(tables, cfg.replace(engine="mega"))
+    b = render(tables, cfg.replace(engine="mega",
+                                   compact_schedule=(1, 2), compact_group=8))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_mega_chunk_culling_is_invisible():
+    """Morton-sorted sphere chunks + per-chunk AABB cond-skip must not
+    change the image (row reorder only flips measure-zero exact-t
+    ties)."""
+    sdef, cfg = cover_scene(width=48, height=27, spp=2, max_depth=6, grid=3)
+    tables = build_tables(sdef)
+    a = render(tables, cfg.replace(engine="mega"))
+    b = render(tables, cfg.replace(engine="mega", cull_chunks=True))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_mega_spatial_sort_is_invisible():
+    """Spatial compaction sort (direction octant + Morton of group mean
+    origin) is a pure permutation: bit-identical images."""
+    sdef, cfg = cover_scene(width=48, height=27, spp=2, max_depth=6, grid=3)
+    tables = build_tables(sdef)
+    a = render(tables, cfg.replace(engine="mega"))
+    b = render(tables, cfg.replace(engine="mega", compact_every=2,
+                                   compact_group=8,
+                                   compact_sort="spatial"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_mega_cull_plus_sort_plus_compact():
+    sdef, cfg = cover_scene(width=48, height=27, spp=2, max_depth=6, grid=3)
+    tables = build_tables(sdef)
+    a = render(tables, cfg.replace(engine="mega"))
+    b = render(tables, cfg.replace(engine="mega", cull_chunks=True,
+                                   compact_schedule=(1, 2),
+                                   compact_group=16,
+                                   compact_sort="spatial"))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-6, atol=1e-6)
