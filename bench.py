@@ -57,7 +57,8 @@ def main():
     # round-2 sweep (BASELINE.md; segment lengths track the death curve,
     # finer groups pack scattered survivors tighter)
     cfg = cfg.replace(rays_per_batch=1 << 25, engine="mega",
-                      compact_schedule=(2, 3, 5, 10), compact_group=16)
+                      compact_schedule=(2, 3, 5, 10), compact_group=16,
+                      cull_chunks=True)
     tables = build_tables(sdef)
     n_dev = len(jax.devices())
 

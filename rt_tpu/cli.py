@@ -60,9 +60,10 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="megakernel live-ray compaction segment length "
                         "(-1 auto schedule, 0 off; default: 4 for deep "
                         "renders, 0 for max_depth < 16)")
-    p.add_argument("--cull", action="store_true",
+    p.add_argument("--cull", action="store_true", default=True,
                    help="megakernel spatial chunk culling (Morton-sorted "
-                        "sphere chunks + per-tile AABB skip)")
+                        "sphere chunks + per-tile AABB skip; default on)")
+    p.add_argument("--no-cull", dest="cull", action="store_false")
     p.add_argument("--bvh", action="store_true",
                    help="build + traverse a BVH for every primitive "
                         "family (spheres/rects/cylinders/triangles)")
@@ -154,8 +155,7 @@ def cmd_render(args) -> int:
                           compact_group=16)
     elif ce is not None:
         cfg = cfg.replace(compact_every=ce)
-    if args.cull:
-        cfg = cfg.replace(cull_chunks=True, compact_sort="spatial")
+    cfg = cfg.replace(cull_chunks=args.cull)
     tables = build_tables(
         sdef, bvh_types=("sphere", "rect", "cylinder", "triangle")
         if args.bvh else ())

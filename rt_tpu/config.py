@@ -62,8 +62,11 @@ class RenderConfig:
     # remainder appended); overrides compact_every when nonempty
     compact_schedule: Tuple[int, ...] = ()
     # megakernel spatial culling: Morton-sort the sphere table and skip
-    # whole 128-row chunks whose AABB no live lane in the tile can hit
-    cull_chunks: bool = False
+    # whole 128-row chunks whose AABB no live lane in the tile can hit.
+    # Default ON: measured neutral at 488 spheres, 1.77x at 1940
+    # (BASELINE.md round 2); costs a ~1% slab gate per chunk. Flips
+    # measure-zero exact-t tie winners (row-order ties, like the BVH).
+    cull_chunks: bool = True
     # compaction sort key: "dead" (liveness only) or "spatial"
     # (liveness, then direction octant + Morton cell of each group's
     # mean live-ray origin — packs tiles into coherent ray bundles so
