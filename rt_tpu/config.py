@@ -67,6 +67,9 @@ class RenderConfig:
     # (BASELINE.md round 2); costs a ~1% slab gate per chunk. Flips
     # measure-zero exact-t tie winners (row-order ties, like the BVH).
     cull_chunks: bool = True
+    # sphere bilinear terms (hb, c_term) on the MXU via a [C,16]x[16,S,L]
+    # coefficient contraction instead of broadcast VPU FMAs
+    mxu_intersect: bool = False
     # compaction sort key: "dead" (liveness only) or "spatial"
     # (liveness, then direction octant + Morton cell of each group's
     # mean live-ray origin — packs tiles into coherent ray bundles so

@@ -368,6 +368,27 @@ def triangle_uv_table(tables: SceneTables) -> jnp.ndarray:
     return cols.at[:, _U_FAM].set(_FAM_TRI)
 
 
+def sphere_coeff_tables(sph_tab):
+    """[N,16] MXU coefficient rows for the sphere bilinear terms.
+
+    hb  = rd.ro - c.rd          -> [1, -cx, -cy, -cz, 0...] . feats
+    ct  = |ro|^2 - 2 c.ro + c2r -> [0,0,0,0, c2r, -2cx,-2cy,-2cz, 1, 0..]
+    against per-bounce ray features
+    feats = [rd.ro, dx, dy, dz, 1, ox, oy, oz, |ro|^2, 0...] ([16,S,L]).
+    Moves 13 of ~32 per-candidate VPU passes onto the MXU (measured ~8x
+    faster than the broadcast FMAs for these terms, scripts/
+    exp_mxu_feats.py); the [C,16]x[16,S,L] dot_general lowers in Mosaic
+    (K=16 — the K=3 form does not)."""
+    c = sph_tab[:, _X_V:_X_V + 3]
+    c2r = sph_tab[:, _S_C2R]
+    n = sph_tab.shape[0]
+    hb = jnp.zeros((n, 16), jnp.float32)
+    hb = hb.at[:, 0].set(1.0).at[:, 1:4].set(-c)
+    ct = jnp.zeros((n, 16), jnp.float32)
+    ct = ct.at[:, 4].set(c2r).at[:, 5:8].set(-2.0 * c).at[:, 8].set(1.0)
+    return hb, ct
+
+
 def image_atlas_rows(tables: SceneTables):
     """Flatten the [Ni,TH,TW,3] atlas to 3 channel planes [Ni*TH, TWp]
     (rows = img*TH + xi; lanes padded to a 128 multiple) for the
@@ -522,7 +543,8 @@ def _chunk_winner(t, c, s, l):
 
 
 def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
-                 tri_ref, sbnd_ref, suv_ref, ruv_ref, yuv_ref, tuv_ref,
+                 tri_ref, sbnd_ref, hbco_ref, ctco_ref,
+                 suv_ref, ruv_ref, yuv_ref, tuv_ref,
                  atr_ref, atg_ref, atb_ref,
                  rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                  tpr_ref, tpg_ref, tpb_ref, cr_ref, cg_ref, cb_ref,
@@ -535,7 +557,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                  max_depth: int, t_min: float,
                  p_rr: float, grad_bg: bool, exhaust_bg: bool,
                  has_img: bool, img_th: int, img_tw: int,
-                 cull: bool = False):
+                 cull: bool = False, mxu: bool = False):
     seed = scal_i_ref[0, 0]
     sample = scal_i_ref[0, 1]
     start_bounce = scal_i_ref[0, 2]
@@ -586,15 +608,33 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
             return jnp.concatenate(
                 [ext, _dotg(uv_ref[sl, :], exact)], axis=0)
 
+        if mxu:
+            # per-bounce ray features for the MXU bilinear contraction
+            one = jnp.ones_like(a)
+            zero = jnp.zeros_like(a)
+            feats = jnp.stack(
+                [rd_dot_ro, dx, dy, dz, one, ox, oy, oz, ro_sq,
+                 zero, zero, zero, zero, zero, zero, zero])  # [16,S,L]
+
         def _sph_chunk_math(k, carry):
             sl = pl.ds(k * s_chunk, s_chunk)
             blk = sph_ref[sl, :]                           # [C, 16]
-            cx = col3(blk, _X_V)
-            cy = col3(blk, _X_V + 1)
-            cz = col3(blk, _X_V + 2)
-            hb = rd_dot_ro - (cx * dx + cy * dy + cz * dz)
-            c_term = (ro_sq - 2.0 * (cx * ox + cy * oy + cz * oz)
-                      + col3(blk, _S_C2R))
+            if mxu:
+                hb = jax.lax.dot_general(
+                    hbco_ref[sl, :], feats, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                c_term = jax.lax.dot_general(
+                    ctco_ref[sl, :], feats, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+            else:
+                cx = col3(blk, _X_V)
+                cy = col3(blk, _X_V + 1)
+                cz = col3(blk, _X_V + 2)
+                hb = rd_dot_ro - (cx * dx + cy * dy + cz * dz)
+                c_term = (ro_sq - 2.0 * (cx * ox + cy * oy + cz * oz)
+                          + col3(blk, _S_C2R))
             disc = hb * hb - a * c_term
             sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
             root1 = (-hb - sqrtd) * inv_a
@@ -1037,15 +1077,16 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
     jax.jit,
     static_argnames=("counts", "max_depth", "t_min", "p_rr", "grad_bg",
                      "exhaust_bg", "has_img", "img_th", "img_tw",
-                     "cull", "interpret"))
-def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, uv_tabs,
+                     "cull", "mxu", "interpret"))
+def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, sph_co,
+                 uv_tabs,
                  atlas, counts,
                  background, state, pixel, sample_idx, seed, start_bounce,
                  max_depth: int,
                  t_min: float = 1e-3, p_rr: float = 0.0,
                  grad_bg: bool = False, exhaust_bg: bool = False,
                  has_img: bool = False, img_th: int = 1, img_tw: int = 1,
-                 cull: bool = False,
+                 cull: bool = False, mxu: bool = False,
                  interpret: bool = False):
     """Advance B rays (B % RAY_TILE == 0) max_depth bounces.
 
@@ -1078,7 +1119,8 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, uv_tabs,
         max_depth=int(max_depth),
         t_min=float(t_min), p_rr=float(p_rr), grad_bg=bool(grad_bg),
         exhaust_bg=bool(exhaust_bg), has_img=bool(has_img),
-        img_th=int(img_th), img_tw=int(img_tw), cull=bool(cull))
+        img_th=int(img_th), img_tw=int(img_tw), cull=bool(cull),
+        mxu=bool(mxu))
 
     ray_spec = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -1093,6 +1135,8 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, uv_tabs,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cylinder table
             pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle table
             pl.BlockSpec(memory_space=pltpu.SMEM),   # sphere chunk AABBs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere hb coeffs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere ct coeffs
             pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere UV params
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rect UV params
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cylinder UV params
@@ -1107,6 +1151,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, uv_tabs,
         interpret=interpret,
     )(
         scal_i, scal_f, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd,
+        sph_co[0], sph_co[1],
         uv_tabs[0], uv_tabs[1], uv_tabs[2], uv_tabs[3],
         atlas[0], atlas[1], atlas[2],
         *[lanes(s) for s in state],
@@ -1284,11 +1329,20 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     else:
         sbnd = jnp.zeros((1, 8), jnp.float32)
 
+    mxu = bool(getattr(cfg, "mxu_intersect", False)) and n_sph > 0
+    if mxu:
+        # coefficient tables derive from the (possibly Morton-sorted)
+        # final row order
+        sph_co = sphere_coeff_tables(sph_tab)
+    else:
+        sph_co = (jnp.zeros((8, 16), jnp.float32),
+                  jnp.zeros((8, 16), jnp.float32))
+
     interpret = jax.default_backend() != "tpu"
     kw = dict(p_rr=cfg.p_rr,
               grad_bg=cfg.background_mode == "gradient",
               has_img=has_img, img_th=img_th, img_tw=img_tw,
-              cull=cull, interpret=interpret)
+              cull=cull, mxu=mxu, interpret=interpret)
     exhaust = cfg.exhaust_mode == "background"
 
     ce = getattr(cfg, "compact_every", 0)
@@ -1328,7 +1382,7 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     for i, seg in enumerate(schedule):
         last = i == len(schedule) - 1
         state = mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd,
-                             uv_tabs,
+                             sph_co, uv_tabs,
                              atlas, counts, tbl.background, state, pixel,
                              sample_idx, seed, jnp.int32(done),
                              max_depth=seg,

@@ -220,3 +220,15 @@ def test_mega_cull_plus_sort_plus_compact():
                                    compact_sort="spatial"))
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_mega_mxu_intersect_matches():
+    """MXU coefficient-contraction sphere terms == broadcast FMA terms
+    (different rounding order: tolerance compare vs the XLA engine)."""
+    sdef, cfg = cover_scene(width=48, height=27, spp=2, max_depth=6, grid=3)
+    tables = build_tables(sdef)
+    _compare_tables(tables, cfg.replace(mxu_intersect=True))
+    a = render(tables, cfg.replace(engine="mega"))
+    b = render(tables, cfg.replace(engine="mega", mxu_intersect=True))
+    diff = np.abs(a - b) / cfg.samples_per_pixel
+    assert (diff.max(axis=-1) > 2e-3).mean() <= 0.01
