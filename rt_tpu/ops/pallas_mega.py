@@ -1348,13 +1348,17 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     ce = getattr(cfg, "compact_every", 0)
     explicit = tuple(getattr(cfg, "compact_schedule", ()) or ())
     if explicit:
-        schedule = [s for s in explicit if s > 0]
-        total = sum(schedule)
-        if total > cfg.max_depth:
-            raise ValueError(f"compact_schedule sums past max_depth: "
-                             f"{explicit} vs {cfg.max_depth}")
-        if total < cfg.max_depth:
-            schedule.append(cfg.max_depth - total)
+        # consume the schedule up to max_depth (clamping the last
+        # segment), then append the remainder as one segment
+        schedule, left = [], cfg.max_depth
+        for s in explicit:
+            if s <= 0 or left == 0:
+                continue
+            s = min(s, left)
+            schedule.append(s)
+            left -= s
+        if left:
+            schedule.append(left)
     elif ce == 0 or ce >= cfg.max_depth:
         schedule = [cfg.max_depth]
     elif ce > 0:

@@ -232,3 +232,15 @@ def test_mega_mxu_intersect_matches():
     b = render(tables, cfg.replace(engine="mega", mxu_intersect=True))
     diff = np.abs(a - b) / cfg.samples_per_pixel
     assert (diff.max(axis=-1) > 2e-3).mean() <= 0.01
+
+
+def test_compact_schedule_clamps_to_max_depth():
+    """A fixed production schedule must clamp to shallow max_depth (the
+    animate drivers apply (2,3,5,10) to any deep-ish frame)."""
+    sdef, cfg = cover_scene(width=48, height=27, spp=1, max_depth=4, grid=3)
+    tables = build_tables(sdef)
+    a = render(tables, cfg.replace(engine="mega"))
+    b = render(tables, cfg.replace(engine="mega",
+                                   compact_schedule=(2, 3, 5, 10),
+                                   compact_group=8))
+    np.testing.assert_array_equal(a, b)
