@@ -316,6 +316,47 @@ def sort_spheres_morton(sph_tab, chunk: int):
     return sph_tab, bounds, order
 
 
+def sort_triangles_morton(tri_tab, chunk: int):
+    """Morton-reorder triangle-table rows by centroid and compute tight
+    per-chunk AABBs [K, 8] (bmin3, bmax3, pad2) — the triangle analogue
+    of sort_spheres_morton, so tri_body can cond-skip whole chunks.
+
+    Returns (sorted table, bounds, order); the caller must apply `order`
+    to the per-triangle UV parameter table too (its rows carry v1/v2/v3
+    and uv1/uv2/uv3 data, unlike the constant sphere UV rows)."""
+    v1 = tri_tab[:, _T_V1:_T_V1 + 3]
+    v2 = v1 + tri_tab[:, _T_E1:_T_E1 + 3]
+    v3 = v2 + tri_tab[:, _T_E2:_T_E2 + 3]
+    valid = tri_tab[:, _T_VALID] > 0.0
+    cen = (v1 + v2 + v3) * np.float32(1.0 / 3.0)
+    vbig = jnp.where(valid[:, None], cen, jnp.inf)
+    vsmall = jnp.where(valid[:, None], cen, -jnp.inf)
+    lo = jnp.min(vbig, axis=0)
+    hi = jnp.max(vsmall, axis=0)
+    span = jnp.where(hi > lo, hi - lo, 1.0)
+    q = jnp.clip(((cen - lo) / span * 1023.0), 0.0, 1023.0).astype(jnp.int32)
+    key = _morton3(q[:, 0], q[:, 1], q[:, 2])
+    key = jnp.where(valid, key, np.int32(2 ** 30))
+    order = jnp.argsort(key, stable=True)
+    tri_tab = tri_tab[order]
+
+    n = tri_tab.shape[0]
+    k = n // chunk
+    v1 = tri_tab[:, _T_V1:_T_V1 + 3]
+    v2 = v1 + tri_tab[:, _T_E1:_T_E1 + 3]
+    v3 = v2 + tri_tab[:, _T_E2:_T_E2 + 3]
+    valid = (tri_tab[:, _T_VALID] > 0.0)[:, None]
+    tmin = jnp.minimum(jnp.minimum(v1, v2), v3)
+    tmax = jnp.maximum(jnp.maximum(v1, v2), v3)
+    bmin = jnp.min(jnp.where(valid, tmin, jnp.inf).reshape(k, chunk, 3),
+                   axis=1)
+    bmax = jnp.max(jnp.where(valid, tmax, -jnp.inf).reshape(k, chunk, 3),
+                   axis=1)
+    bounds = jnp.concatenate(
+        [bmin, bmax, jnp.zeros((k, 2), jnp.float32)], axis=1)
+    return tri_tab, bounds, order
+
+
 def sphere_uv_table(tables: SceneTables) -> jnp.ndarray:
     n = tables.sph_center.shape[0]
     cols = jnp.zeros((n, _U_COLS), jnp.float32)
@@ -543,7 +584,7 @@ def _chunk_winner(t, c, s, l):
 
 
 def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
-                 tri_ref, sbnd_ref, hbco_ref, ctco_ref,
+                 tri_ref, sbnd_ref, tbnd_ref, hbco_ref, ctco_ref,
                  suv_ref, ruv_ref, yuv_ref, tuv_ref,
                  atr_ref, atg_ref, atb_ref,
                  rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
@@ -557,7 +598,8 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                  max_depth: int, t_min: float,
                  p_rr: float, grad_bg: bool, exhaust_bg: bool,
                  has_img: bool, img_th: int, img_tw: int,
-                 cull: bool = False, mxu: bool = False):
+                 cull: bool = False, cull_t: bool = False,
+                 mxu: bool = False):
     seed = scal_i_ref[0, 0]
     sample = scal_i_ref[0, 1]
     start_bounce = scal_i_ref[0, 2]
@@ -647,15 +689,12 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
             ext = _dotg(blk[:, :_X_COLS], exact)           # [15,S,L] MXU
             return _merge(carry, t, with_uv(ext, suv_ref, sl, exact))
 
-        def sph_body(k, carry):
-            if not cull:
-                return _sph_chunk_math(k, carry)
+        def chunk_visible(bnd_ref, k, t_best_cur):
             # per-chunk slab test of every live lane against the chunk's
             # Morton-cell AABB (SMEM scalars): ~20 cheap [S,L] ops vs
-            # ~30 x C ops for the candidate math — skip the whole chunk
+            # ~30 x C ops for the candidate math — a chunk is skippable
             # when NO live lane can improve its t inside the box
-            t_best_cur = carry[0]
-            bounds = [sbnd_ref[k, j] for j in range(6)]
+            bounds = [bnd_ref[k, j] for j in range(6)]
 
             def axis_slab(o_c, d_c, lo_s, hi_s):
                 d_ok = d_c != 0.0
@@ -677,8 +716,12 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
             # direction scale: slab t is in |d| units like candidate t
             box_hit = live & (tf >= jnp.maximum(tn, t_min)) \
                 & (tn <= t_best_cur)
-            any_hit = jnp.max(jnp.where(box_hit, 1.0, 0.0)) > 0.0
-            return jax.lax.cond(any_hit,
+            return jnp.max(jnp.where(box_hit, 1.0, 0.0)) > 0.0
+
+        def sph_body(k, carry):
+            if not cull:
+                return _sph_chunk_math(k, carry)
+            return jax.lax.cond(chunk_visible(sbnd_ref, k, carry[0]),
                                 lambda c: _sph_chunk_math(k, c),
                                 lambda c: c, carry)
 
@@ -763,7 +806,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
             ext = jnp.concatenate([nw, ext[3:]], axis=0)
             return _merge(carry, t, with_uv(ext, yuv_ref, sl, exact))
 
-        def tri_body(k, carry):
+        def _tri_chunk_math(k, carry):
             sl = pl.ds(k * t_chunk, t_chunk)
             blk = tri_ref[sl, :]
 
@@ -806,6 +849,13 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
             exact = _chunk_winner(t, t_chunk, s, l)
             ext = _dotg(blk[:, :_X_COLS], exact)
             return _merge(carry, t, with_uv(ext, tuv_ref, sl, exact))
+
+        def tri_body(k, carry):
+            if not cull_t:
+                return _tri_chunk_math(k, carry)
+            return jax.lax.cond(chunk_visible(tbnd_ref, k, carry[0]),
+                                lambda c: _tri_chunk_math(k, c),
+                                lambda c: c, carry)
 
         carry = (jnp.full((s, l), INF, jnp.float32),
                  jnp.zeros((_X_COLS + n_uv, s, l), jnp.float32))
@@ -1077,8 +1127,8 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
     jax.jit,
     static_argnames=("counts", "max_depth", "t_min", "p_rr", "grad_bg",
                      "exhaust_bg", "has_img", "img_th", "img_tw",
-                     "cull", "mxu", "interpret"))
-def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, sph_co,
+                     "cull", "cull_t", "mxu", "interpret"))
+def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
                  uv_tabs,
                  atlas, counts,
                  background, state, pixel, sample_idx, seed, start_bounce,
@@ -1086,7 +1136,8 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, sph_co,
                  t_min: float = 1e-3, p_rr: float = 0.0,
                  grad_bg: bool = False, exhaust_bg: bool = False,
                  has_img: bool = False, img_th: int = 1, img_tw: int = 1,
-                 cull: bool = False, mxu: bool = False,
+                 cull: bool = False, cull_t: bool = False,
+                 mxu: bool = False,
                  interpret: bool = False):
     """Advance B rays (B % RAY_TILE == 0) max_depth bounces.
 
@@ -1120,7 +1171,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, sph_co,
         t_min=float(t_min), p_rr=float(p_rr), grad_bg=bool(grad_bg),
         exhaust_bg=bool(exhaust_bg), has_img=bool(has_img),
         img_th=int(img_th), img_tw=int(img_tw), cull=bool(cull),
-        mxu=bool(mxu))
+        cull_t=bool(cull_t), mxu=bool(mxu))
 
     ray_spec = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -1135,6 +1186,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, sph_co,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cylinder table
             pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle table
             pl.BlockSpec(memory_space=pltpu.SMEM),   # sphere chunk AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # triangle chunk AABBs
             pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere hb coeffs
             pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere ct coeffs
             pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere UV params
@@ -1150,7 +1202,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, sph_co,
                         for _ in range(13)),
         interpret=interpret,
     )(
-        scal_i, scal_f, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd,
+        scal_i, scal_f, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
         sph_co[0], sph_co[1],
         uv_tabs[0], uv_tabs[1], uv_tabs[2], uv_tabs[3],
         atlas[0], atlas[1], atlas[2],
@@ -1318,7 +1370,8 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
               cyl_tab.shape[0] if n_cyl else 0,
               tri_tab.shape[0] if n_tri else 0)
 
-    cull = bool(getattr(cfg, "cull_chunks", False)) and n_sph > 0
+    want_cull = bool(getattr(cfg, "cull_chunks", False))
+    cull = want_cull and n_sph > 0
     if cull:
         # Morton-sort sphere rows so consecutive chunks are spatial
         # cells; per-chunk AABBs let the kernel cond-skip whole chunks.
@@ -1328,6 +1381,20 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
         sph_tab, sbnd, _ = sort_spheres_morton(sph_tab, s_chunk_val)
     else:
         sbnd = jnp.zeros((1, 8), jnp.float32)
+
+    # triangle culling pays only with >=2 chunks (a single chunk's cond
+    # can never skip: some lane always wants the scene's only cell)
+    t_chunk_val = min(max(tri_tab.shape[0], 1), SPH_CHUNK)
+    cull_t = want_cull and n_tri > 0 and tri_tab.shape[0] // t_chunk_val >= 2
+    if cull_t:
+        tri_tab, tbnd, torder = sort_triangles_morton(tri_tab, t_chunk_val)
+        if has_img:
+            # per-triangle UV rows (v1/v2/v3, uv1/uv2/uv3) must follow
+            # the same permutation; padded row counts match by
+            # construction (_pad_rows with the same chunk)
+            uv_tabs = uv_tabs[:3] + (uv_tabs[3][torder],)
+    else:
+        tbnd = jnp.zeros((1, 8), jnp.float32)
 
     mxu = bool(getattr(cfg, "mxu_intersect", False)) and n_sph > 0
     if mxu:
@@ -1342,7 +1409,7 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     kw = dict(p_rr=cfg.p_rr,
               grad_bg=cfg.background_mode == "gradient",
               has_img=has_img, img_th=img_th, img_tw=img_tw,
-              cull=cull, mxu=mxu, interpret=interpret)
+              cull=cull, cull_t=cull_t, mxu=mxu, interpret=interpret)
     exhaust = cfg.exhaust_mode == "background"
 
     ce = getattr(cfg, "compact_every", 0)
@@ -1386,7 +1453,7 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     for i, seg in enumerate(schedule):
         last = i == len(schedule) - 1
         state = mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd,
-                             sph_co, uv_tabs,
+                             tbnd, sph_co, uv_tabs,
                              atlas, counts, tbl.background, state, pixel,
                              sample_idx, seed, jnp.int32(done),
                              max_depth=seg,

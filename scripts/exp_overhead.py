@@ -67,6 +67,10 @@ pixp = jnp.zeros((Bp,), jnp.int32)
 def dead_segments(state):
     for i in range(13):
         state = pm.mega_segment(sph_tab, z, z, jnp.zeros((1, 64), jnp.float32),
+                                jnp.zeros((1, 8), jnp.float32),
+                                jnp.zeros((1, 8), jnp.float32),
+                                (jnp.zeros((8, 16), jnp.float32),
+                                 jnp.zeros((8, 16), jnp.float32)),
                                 uvz, atlas, counts, tbl.background, state,
                                 pixp, jnp.uint32(0), jnp.uint32(0),
                                 jnp.int32(i), max_depth=1)

@@ -234,6 +234,61 @@ def test_mega_mxu_intersect_matches():
     assert (diff.max(axis=-1) > 2e-3).mean() <= 0.01
 
 
+def _grid_obj(path, n=12, textured=False):
+    """n x n grid of quads in the z=0 plane -> 2*n*n triangles (>=2
+    chunks of 128 once padded, so cull_t engages)."""
+    lines = []
+    for j in range(n + 1):
+        for i in range(n + 1):
+            lines.append(f"v {2.0 * i / n} {2.0 * j / n} 0")
+            if textured:
+                lines.append(f"vt {i / n} {j / n}")
+    fmt = (lambda k: f"{k}/{k}") if textured else str
+    for j in range(n):
+        for i in range(n):
+            a = j * (n + 1) + i + 1
+            b, c, d = a + 1, a + n + 1, a + n + 2
+            lines.append(f"f {fmt(a)} {fmt(b)} {fmt(c)}")
+            lines.append(f"f {fmt(b)} {fmt(d)} {fmt(c)}")
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_mega_triangle_chunk_culling_is_invisible(tmp_path):
+    """Morton-sorted triangle chunks + per-chunk AABB cond-skip must not
+    change the image (row reorder only flips measure-zero ties)."""
+    from rt_tpu.scene.builders import mesh_scene
+
+    obj = tmp_path / "grid.obj"
+    _grid_obj(obj, n=12)
+    sdef, cfg = mesh_scene(str(obj), width=40, height=24, spp=2, max_depth=3)
+    tables = build_tables(sdef)
+    assert tables.tri_v1.shape[0] >= 256  # >=2 chunks -> cull_t active
+    a = render(tables, cfg.replace(engine="mega"))
+    b = render(tables, cfg.replace(engine="mega", cull_chunks=True))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_mega_triangle_culling_textured(tmp_path):
+    """Triangle culling must reorder the per-triangle UV parameter table
+    with the same Morton permutation (image texture on the mesh)."""
+    from rt_tpu.io.image import write_png
+    from rt_tpu.scene.builders import mesh_scene
+
+    obj = tmp_path / "grid.obj"
+    _grid_obj(obj, n=12, textured=True)
+    tex = tmp_path / "tex.png"
+    rs = np.random.RandomState(5)
+    write_png(str(tex), (rs.rand(16, 16, 3) * 255).astype(np.uint8))
+    sdef, cfg = mesh_scene(str(obj), width=40, height=24, spp=2, max_depth=3,
+                           texture_path=str(tex))
+    tables = build_tables(sdef)
+    a = render(tables, cfg.replace(engine="mega"))
+    b = render(tables, cfg.replace(engine="mega", cull_chunks=True))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_compact_schedule_clamps_to_max_depth():
     """A fixed production schedule must clamp to shallow max_depth (the
     animate drivers apply (2,3,5,10) to any deep-ish frame)."""
