@@ -63,7 +63,11 @@ from rt_tpu.scene.types import (
 INF = np.float32(np.inf)
 RAY_TILE = 2048
 LANES = RAY_TILE // 8
-SPH_CHUNK = 128  # spheres per inner iteration (leading broadcast axis)
+SPH_CHUNK = 32   # spheres/triangles per inner iteration (leading broadcast
+                 # axis). Swept 16/32/64/96/128 at the 1080p depth-50 cover
+                 # headline (scripts/exp_chunk_sweep.py): 32 is the floor —
+                 # 175 ms vs 201 ms at 128 (finer per-chunk AABB culling
+                 # granularity wins; 16 regresses to 201 ms on loop overhead).
 AUX_CHUNK = 16   # rects / cylinders per inner iteration
 
 # Unified extraction block — cols 0..13 of EVERY table, pulled for the
@@ -1303,6 +1307,22 @@ def _pad_rows(tab, chunk):
     return tab
 
 
+def _pad_chunked(tab, max_chunk):
+    """Pad table rows so `min(rows, max_chunk)` evenly chunks them.
+
+    The kernel's chunk size is re-derived from the PADDED row count as
+    min(rows, max_chunk) (mega_segment); a table at or under max_chunk
+    rows is its own single chunk, a bigger one must be a multiple of
+    max_chunk. Padding to a multiple of the LOGICAL primitive count
+    (the pre-round-2 scheme) breaks when the SoA table is already
+    row-padded past max_chunk: e.g. 18 spheres stored in 32 rows padded
+    to a multiple of 18 -> 36 rows, but chunk = min(36, 32) = 32 does
+    not divide 36."""
+    if tab.shape[0] <= max_chunk:
+        return tab
+    return _pad_rows(tab, max_chunk)
+
+
 def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     """Full-path trace via the megakernel; pads to RAY_TILE internally.
 
@@ -1330,35 +1350,35 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
 
     n_sph, n_rect, n_cyl, n_tri = tables.counts
     tbl = jax.tree_util.tree_map(jnp.asarray, tables)
-    sph_tab = _pad_rows(sphere_table(tbl) if n_sph
-                        else jnp.zeros((1, _S_COLS), jnp.float32),
-                        min(max(n_sph, 1), SPH_CHUNK))
-    rect_tab = _pad_rows(rect_table(tbl) if n_rect
-                         else jnp.zeros((1, _R_COLS), jnp.float32),
-                         min(max(n_rect, 1), AUX_CHUNK))
-    cyl_tab = _pad_rows(cylinder_table(tbl) if n_cyl
-                        else jnp.zeros((1, _Y_COLS), jnp.float32),
-                        min(max(n_cyl, 1), AUX_CHUNK))
-    tri_tab = _pad_rows(triangle_table(tbl) if n_tri
-                        else jnp.zeros((1, _T_COLS), jnp.float32),
-                        min(max(n_tri, 1), SPH_CHUNK))
+    sph_tab = _pad_chunked(sphere_table(tbl) if n_sph
+                           else jnp.zeros((1, _S_COLS), jnp.float32),
+                           SPH_CHUNK)
+    rect_tab = _pad_chunked(rect_table(tbl) if n_rect
+                            else jnp.zeros((1, _R_COLS), jnp.float32),
+                            AUX_CHUNK)
+    cyl_tab = _pad_chunked(cylinder_table(tbl) if n_cyl
+                           else jnp.zeros((1, _Y_COLS), jnp.float32),
+                           AUX_CHUNK)
+    tri_tab = _pad_chunked(triangle_table(tbl) if n_tri
+                           else jnp.zeros((1, _T_COLS), jnp.float32),
+                           SPH_CHUNK)
     has_img = bool(tables.img_on)
     if has_img:
         atlas = tuple(image_atlas_rows(tbl))
         img_th, img_tw = tables.images.shape[1], tables.images.shape[2]
         uv_tabs = (
-            _pad_rows(sphere_uv_table(tbl) if n_sph
-                      else jnp.zeros((1, _U_COLS), jnp.float32),
-                      min(max(n_sph, 1), SPH_CHUNK)),
-            _pad_rows(rect_uv_table(tbl) if n_rect
-                      else jnp.zeros((1, _U_COLS), jnp.float32),
-                      min(max(n_rect, 1), AUX_CHUNK)),
-            _pad_rows(cylinder_uv_table(tbl) if n_cyl
-                      else jnp.zeros((1, _U_COLS), jnp.float32),
-                      min(max(n_cyl, 1), AUX_CHUNK)),
-            _pad_rows(triangle_uv_table(tbl) if n_tri
-                      else jnp.zeros((1, _U_COLS), jnp.float32),
-                      min(max(n_tri, 1), SPH_CHUNK)),
+            _pad_chunked(sphere_uv_table(tbl) if n_sph
+                         else jnp.zeros((1, _U_COLS), jnp.float32),
+                         SPH_CHUNK),
+            _pad_chunked(rect_uv_table(tbl) if n_rect
+                         else jnp.zeros((1, _U_COLS), jnp.float32),
+                         AUX_CHUNK),
+            _pad_chunked(cylinder_uv_table(tbl) if n_cyl
+                         else jnp.zeros((1, _U_COLS), jnp.float32),
+                         AUX_CHUNK),
+            _pad_chunked(triangle_uv_table(tbl) if n_tri
+                         else jnp.zeros((1, _U_COLS), jnp.float32),
+                         SPH_CHUNK),
         )
     else:
         atlas = tuple(jnp.zeros((8, 128), jnp.float32) for _ in range(3))
