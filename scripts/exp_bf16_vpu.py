@@ -51,5 +51,5 @@ def run(dtype, shape, op):
 
 
 for op in ("fma", "sqrt", "cmpsel"):
-    run(jnp.float32, (2048, 512), op)
-    run(jnp.bfloat16, (2048, 512), op)
+    run(jnp.float32, (2048, 256), op)
+    run(jnp.bfloat16, (2048, 256), op)
