@@ -75,6 +75,24 @@ class RenderConfig:
     # mean live-ray origin — packs tiles into coherent ray bundles so
     # chunk culling can fire)
     compact_sort: str = "dead"
+    # in-kernel sample regeneration (engine="mega" only): the whole spp
+    # loop lives inside one kernel launch per tile — a lane whose path
+    # terminates immediately starts its next sample's camera ray, so
+    # occupancy never decays and per-sample launch + compaction costs
+    # vanish. Bit-identical images (same RNG stream coordinates, same
+    # f32 accumulation order). Supersedes compact_every when on.
+    regen: bool = False
+    # cross-tile death-tail compaction for regen: segment the in-kernel
+    # loop by iteration budget and group-compact still-pending lanes
+    # between segments (0 = off/single kernel, -1 = auto geometric
+    # schedule, N>0 = fixed N-iteration segments). Bit-identical images
+    # (per-lane RNG coordinates ride the permutation).
+    regen_compact: int = 0
+    # shrink the ray array to the pending power-of-2 tile bucket between
+    # regen segments (one host pending-count sync per segment): tail
+    # segments then skip the dead tiles' VMEM DMA fixed costs entirely,
+    # not just their bounce loops
+    regen_shrink: bool = True
 
     @property
     def aspect_ratio(self) -> float:

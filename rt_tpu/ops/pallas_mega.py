@@ -587,32 +587,10 @@ def _chunk_winner(t, c, s, l):
     return (rows == idx).astype(jnp.float32)
 
 
-def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
-                 tri_ref, sbnd_ref, tbnd_ref, hbco_ref, ctco_ref,
-                 suv_ref, ruv_ref, yuv_ref, tuv_ref,
-                 atr_ref, atg_ref, atb_ref,
-                 rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
-                 tpr_ref, tpg_ref, tpb_ref, cr_ref, cg_ref, cb_ref,
-                 alive_ref, pix_ref,
-                 oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
-                 otpr_ref, otpg_ref, otpb_ref, ocr_ref, ocg_ref, ocb_ref,
-                 oalive_ref, *,
-                 ns: int, nr: int, ny_: int, nt: int,
-                 s_chunk: int, r_chunk: int, y_chunk: int, t_chunk: int,
-                 max_depth: int, t_min: float,
-                 p_rr: float, grad_bg: bool, exhaust_bg: bool,
-                 has_img: bool, img_th: int, img_tw: int,
-                 cull: bool = False, cull_t: bool = False,
-                 mxu: bool = False):
-    seed = scal_i_ref[0, 0]
-    sample = scal_i_ref[0, 1]
-    start_bounce = scal_i_ref[0, 2]
+def _make_background(scal_f_ref, grad_bg: bool):
     bg_r = scal_f_ref[0, 0]
     bg_g = scal_f_ref[0, 1]
     bg_b = scal_f_ref[0, 2]
-
-    pix = pix_ref[0]
-    s, l = pix.shape
 
     def background(dx, dy, dz):
         if not grad_bg:
@@ -621,9 +599,31 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
         t = 0.5 * (dy * inv + 1.0)
         return ((1.0 - t) + t * 0.5, (1.0 - t) + t * 0.7, jnp.ones_like(t))
 
-    def do_bounce(b, st):
+    return background
+
+
+def _make_do_bounce(seed, pix, background,
+                    sph_ref, rect_ref, cyl_ref, tri_ref,
+                    sbnd_ref, tbnd_ref, hbco_ref, ctco_ref,
+                    suv_ref, ruv_ref, yuv_ref, tuv_ref,
+                    atr_ref, atg_ref, atb_ref, *,
+                    ns: int, nr: int, ny_: int, nt: int,
+                    s_chunk: int, r_chunk: int, y_chunk: int, t_chunk: int,
+                    t_min: float, p_rr: float,
+                    has_img: bool, img_th: int, img_tw: int,
+                    cull: bool = False, cull_t: bool = False,
+                    mxu: bool = False):
+    """Build the per-bounce closure shared by both kernel drivers.
+
+    `bounce` and `sample` are per-lane i32 vectors (pix.shape): the
+    segmented driver (_mega_kernel) broadcasts its scalar loop counter,
+    while the regeneration driver (_regen_kernel) carries genuinely
+    divergent per-lane counters — each lane advances through its own
+    (sample, bounce) RNG stream coordinates independently."""
+    s, l = pix.shape
+
+    def do_bounce(bounce, sample, st):
         (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, cr, cg, cb, alive) = st
-        bounce = jnp.full_like(pix, start_bounce + b)
 
         live = alive > 0.0
         if p_rr > 0.0:
@@ -1091,6 +1091,40 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
         alive = scattered.astype(jnp.float32)
         return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, cr, cg, cb, alive)
 
+    return do_bounce
+
+
+def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
+                 tri_ref, sbnd_ref, tbnd_ref, hbco_ref, ctco_ref,
+                 suv_ref, ruv_ref, yuv_ref, tuv_ref,
+                 atr_ref, atg_ref, atb_ref,
+                 rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
+                 tpr_ref, tpg_ref, tpb_ref, cr_ref, cg_ref, cb_ref,
+                 alive_ref, pix_ref,
+                 oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
+                 otpr_ref, otpg_ref, otpb_ref, ocr_ref, ocg_ref, ocb_ref,
+                 oalive_ref, *,
+                 ns: int, nr: int, ny_: int, nt: int,
+                 s_chunk: int, r_chunk: int, y_chunk: int, t_chunk: int,
+                 max_depth: int, t_min: float,
+                 p_rr: float, grad_bg: bool, exhaust_bg: bool,
+                 has_img: bool, img_th: int, img_tw: int,
+                 cull: bool = False, cull_t: bool = False,
+                 mxu: bool = False):
+    seed = scal_i_ref[0, 0]
+    sample = scal_i_ref[0, 1]
+    start_bounce = scal_i_ref[0, 2]
+    pix = pix_ref[0]
+    background = _make_background(scal_f_ref, grad_bg)
+    do_bounce = _make_do_bounce(
+        seed, pix, background, sph_ref, rect_ref, cyl_ref, tri_ref,
+        sbnd_ref, tbnd_ref, hbco_ref, ctco_ref, suv_ref, ruv_ref,
+        yuv_ref, tuv_ref, atr_ref, atg_ref, atb_ref,
+        ns=ns, nr=nr, ny_=ny_, nt=nt, s_chunk=s_chunk, r_chunk=r_chunk,
+        y_chunk=y_chunk, t_chunk=t_chunk, t_min=t_min, p_rr=p_rr,
+        has_img=has_img, img_th=img_th, img_tw=img_tw, cull=cull,
+        cull_t=cull_t, mxu=mxu)
+
     # while_loop (supported by Mosaic): the tile EXITS the bounce loop
     # the moment every lane is dead, rather than cond-skipping each
     # remaining bounce (which still pays a scalar test + carry phi per
@@ -1102,7 +1136,8 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
 
     def bounce_body(bst):
         b, st_ = bst
-        return b + 1, do_bounce(b, st_)
+        return b + 1, do_bounce(jnp.full_like(pix, start_bounce + b),
+                                jnp.full_like(pix, sample), st_)
 
     st = (rox_ref[0], roy_ref[0], roz_ref[0],
           rdx_ref[0], rdy_ref[0], rdz_ref[0],
@@ -1125,6 +1160,176 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
     otpr_ref[0], otpg_ref[0], otpb_ref[0] = tpr, tpg, tpb
     ocr_ref[0], ocg_ref[0], ocb_ref[0] = cr, cg, cb
     oalive_ref[0] = alive
+
+
+def _regen_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
+                  tri_ref, sbnd_ref, tbnd_ref, hbco_ref, ctco_ref,
+                  suv_ref, ruv_ref, yuv_ref, tuv_ref,
+                  atr_ref, atg_ref, atb_ref,
+                  rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
+                  tpr_ref, tpg_ref, tpb_ref, cr_ref, cg_ref, cb_ref,
+                  alive_ref, pix_ref, py_ref, samp_ref, bvec_ref,
+                  oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
+                  otpr_ref, otpg_ref, otpb_ref, ocr_ref, ocg_ref, ocb_ref,
+                  oalive_ref, osamp_ref, obvec_ref, *,
+                  ns: int, nr: int, ny_: int, nt: int,
+                  s_chunk: int, r_chunk: int, y_chunk: int, t_chunk: int,
+                  max_depth: int, spp: int, init: bool,
+                  width: int, height: int,
+                  defocus: bool, t_min: float,
+                  p_rr: float, grad_bg: bool, exhaust_bg: bool,
+                  has_img: bool, img_th: int, img_tw: int,
+                  cull: bool = False, cull_t: bool = False,
+                  mxu: bool = False):
+    """Sample-regeneration driver: the whole spp loop lives in-kernel.
+
+    Instead of one launch per sample with occupancy decaying over the
+    bounce loop (ray-average depth on the cover scene is 1.59 against a
+    max_depth of 50), every lane that terminates a path IMMEDIATELY
+    starts its next sample's camera ray — per-lane (sample, bounce)
+    counters key the identical RNG stream coordinates the segmented
+    driver draws, so radiance sums are bit-equal to spp separate
+    launches accumulated in sample order. A tile exits when its worst
+    lane has exhausted all spp samples: occupancy stays ~full for the
+    whole frame, there are no per-sample launch/fixed costs. Camera
+    generation (pixel jitter + thin-lens defocus disk,
+    ops/camera.py:18-42 / gpu-version/camera.cuh:31-39) is
+    reimplemented in-kernel on the same counter RNG.
+
+    scal_i[0,2] (seg_iters, a RUNTIME scalar so every segment budget
+    shares one compiled kernel) caps the iteration count so the host
+    can interleave cross-tile compaction of the death-tail
+    (mega_trace_regen): full per-lane state (incl. samp/bvec RNG
+    coordinates) rides in and out; resuming a capped tile is
+    bit-identical to having let it run."""
+    seed = scal_i_ref[0, 0]
+    sample_base = scal_i_ref[0, 1]
+    seg_iters = scal_i_ref[0, 2]
+    pix = pix_ref[0]
+    py = py_ref[0]
+    background = _make_background(scal_f_ref, grad_bg)
+    do_bounce = _make_do_bounce(
+        seed, pix, background, sph_ref, rect_ref, cyl_ref, tri_ref,
+        sbnd_ref, tbnd_ref, hbco_ref, ctco_ref, suv_ref, ruv_ref,
+        yuv_ref, tuv_ref, atr_ref, atg_ref, atb_ref,
+        ns=ns, nr=nr, ny_=ny_, nt=nt, s_chunk=s_chunk, r_chunk=r_chunk,
+        y_chunk=y_chunk, t_chunk=t_chunk, t_min=t_min, p_rr=p_rr,
+        has_img=has_img, img_th=img_th, img_tw=img_tw, cull=cull,
+        cull_t=cull_t, mxu=mxu)
+
+    # camera frame constants (SMEM scalars; layout set by mega_regen)
+    c_org = (scal_f_ref[0, 3], scal_f_ref[0, 4], scal_f_ref[0, 5])
+    c_ll = (scal_f_ref[0, 6], scal_f_ref[0, 7], scal_f_ref[0, 8])
+    c_hor = (scal_f_ref[0, 9], scal_f_ref[0, 10], scal_f_ref[0, 11])
+    c_ver = (scal_f_ref[0, 12], scal_f_ref[0, 13], scal_f_ref[0, 14])
+    c_u = (scal_f_ref[0, 15], scal_f_ref[0, 16], scal_f_ref[0, 17])
+    c_v = (scal_f_ref[0, 18], scal_f_ref[0, 19], scal_f_ref[0, 20])
+    c_lr = scal_f_ref[0, 21]
+
+    px_i = pix - py * width
+    px_f = px_i.astype(jnp.float32)
+    py_f = py.astype(jnp.float32)
+    # derived from the loaded pix vector (not a scalar splat) so the
+    # while_loop carry gets a CONCRETE layout: Mosaic cannot relayout a
+    # body result into a replicated-splat carry init ("Invalid
+    # relayout ... replicated in destination but not in source")
+    zero_b = jnp.minimum(pix, 0)
+
+    def camera_ray(samp):
+        """Bit-matches ops/camera.generate_rays (same RNG draws, same
+        f32 expression order per component)."""
+        ru = _uniform(seed, pix, samp, zero_b,
+                      jnp.full_like(pix, rng_mod.PIXEL_U))
+        rv = _uniform(seed, pix, samp, zero_b,
+                      jnp.full_like(pix, rng_mod.PIXEL_V))
+        s_ = (px_f + ru) / np.float32(width - 1)
+        t_ = (py_f + rv) / np.float32(height - 1)
+        if defocus:
+            u1 = _uniform(seed, pix, samp, zero_b,
+                          jnp.full_like(pix, rng_mod.LENS_U1))
+            u2 = _uniform(seed, pix, samp, zero_b,
+                          jnp.full_like(pix, rng_mod.LENS_U2))
+            r = jnp.sqrt(u1)
+            phi = np.float32(2.0 * np.pi) * u2
+            rl0 = c_lr * (r * jnp.cos(phi))
+            rl1 = c_lr * (r * jnp.sin(phi))
+            off = tuple(c_u[j] * rl0 + c_v[j] * rl1 for j in range(3))
+        else:
+            off = (jnp.zeros_like(s_),) * 3
+        ro = tuple(c_org[j] + off[j] for j in range(3))
+        rd = tuple(((c_ll[j] + s_ * c_hor[j]) + t_ * c_ver[j]
+                    - c_org[j]) - off[j] for j in range(3))
+        return ro + rd
+
+    if init:
+        # segment 0 initializes ON-KERNEL: sample_base's camera rays
+        # from the same Mosaic-compiled camera_ray that regenerates
+        # samples 1.. — bit-identical streams by construction. (A host
+        # generate_rays init is the same f32 expression but XLA may
+        # contract FMAs differently than Mosaic — measured ulp drift on
+        # v5e that path divergence then amplifies.)
+        samp0 = zero_b + sample_base
+        bvec0 = zero_b
+        cam0 = camera_ray(samp0)
+        zf = jnp.minimum(px_f, 0.0)   # concrete-layout zeros (px_f >= 0)
+        onef = zf + 1.0
+        st0 = cam0 + (onef, onef, onef, zf, zf, zf, onef)
+    else:
+        samp0 = samp_ref[0]
+        bvec0 = bvec_ref[0]
+        st0 = (rox_ref[0], roy_ref[0], roz_ref[0],
+               rdx_ref[0], rdy_ref[0], rdz_ref[0],
+               tpr_ref[0], tpg_ref[0], tpb_ref[0],
+               cr_ref[0], cg_ref[0], cb_ref[0], alive_ref[0])
+    end = sample_base + spp  # first sample index NOT owed by this launch
+
+    def cond(c):
+        it, samp, bvec, st_ = c
+        pending = (st_[-1] > 0.0) | ((samp + 1) < end)
+        return (it < seg_iters) & jnp.any(pending)
+
+    def body(c):
+        it, samp, bvec, st_ = c
+        (ox, oy, oz, dx, dy, dz,
+         tpr, tpg, tpb, cr, cg, cb, alive) = st_
+        # 1) per-lane depth exhaustion (the segmented driver applies
+        # this after its loop; per-lane it happens when bvec hits depth)
+        exh = (alive > 0.0) & (bvec >= max_depth)
+        if exhaust_bg:
+            bgr, bgg, bgb = background(dx, dy, dz)
+            cr = cr + jnp.where(exh, tpr * bgr, 0.0)
+            cg = cg + jnp.where(exh, tpg * bgg, 0.0)
+            cb = cb + jnp.where(exh, tpb * bgb, 0.0)
+        alive = jnp.where(exh, 0.0, alive)
+        # 2) regenerate: dead lanes that still owe samples start the
+        # next sample's camera ray NOW (no idle bounces)
+        reg = (alive == 0.0) & ((samp + 1) < end)
+        samp = jnp.where(reg, samp + 1, samp)
+        bvec = jnp.where(reg, 0, bvec)
+        cam = camera_ray(samp)
+        ox = jnp.where(reg, cam[0], ox)
+        oy = jnp.where(reg, cam[1], oy)
+        oz = jnp.where(reg, cam[2], oz)
+        dx = jnp.where(reg, cam[3], dx)
+        dy = jnp.where(reg, cam[4], dy)
+        dz = jnp.where(reg, cam[5], dz)
+        tpr = jnp.where(reg, 1.0, tpr)
+        tpg = jnp.where(reg, 1.0, tpg)
+        tpb = jnp.where(reg, 1.0, tpb)
+        alive = jnp.where(reg, 1.0, alive)
+        st_ = (ox, oy, oz, dx, dy, dz,
+               tpr, tpg, tpb, cr, cg, cb, alive)
+        # 3) one bounce at per-lane (sample, bounce) coordinates
+        st_ = do_bounce(bvec, samp, st_)
+        return it + 1, samp, bvec + 1, st_
+
+    _, samp, bvec, st = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), samp0, bvec0, st0))
+    (oox_ref[0], ooy_ref[0], ooz_ref[0], odx_ref[0], ody_ref[0],
+     odz_ref[0], otpr_ref[0], otpg_ref[0], otpb_ref[0],
+     ocr_ref[0], ocg_ref[0], ocb_ref[0], oalive_ref[0]) = st
+    osamp_ref[0] = samp
+    obvec_ref[0] = bvec
 
 
 @functools.partial(
@@ -1225,7 +1430,7 @@ def _fresh_state(ro, rd):
 
 
 def _compact(state, pixel, orig_g, group: int = 128,
-             sort: str = "dead"):
+             sort: str = "dead", ints=(), pending=None):
     """Group-granularity live-ray compaction.
 
     Sorts GROUPS of `group` consecutive rays (stable, any-live groups
@@ -1253,7 +1458,7 @@ def _compact(state, pixel, orig_g, group: int = 128,
     the compactions it was undoing."""
     b = state[0].shape[0]
     g = b // group
-    alive = state[-1] > 0.0
+    alive = state[-1] > 0.0 if pending is None else pending
     alive_g = alive.reshape(g, group).any(-1)
     if sort == "spatial":
         # secondary key: direction octant (major) + Morton cell of the
@@ -1287,14 +1492,21 @@ def _compact(state, pixel, orig_g, group: int = 128,
         perm = jnp.argsort(key, stable=True)
     else:
         perm = jnp.argsort(~alive_g, stable=True)
-    cols = list(state) + [
-        jax.lax.bitcast_convert_type(pixel.astype(jnp.int32), jnp.float32)]
+    def as_f32(x):
+        return jax.lax.bitcast_convert_type(x.astype(jnp.int32),
+                                            jnp.float32)
+
+    cols = list(state) + [as_f32(pixel)] + [as_f32(x) for x in ints]
     packed = jnp.concatenate([c.reshape(g, group) for c in cols], axis=1)
-    packed = packed[perm]                                # [g, 14*group]
+    packed = packed[perm]                          # [g, n_cols*group]
     parts = [packed[:, i * group:(i + 1) * group].reshape(b)
              for i in range(len(cols))]
     state = tuple(parts[:13])
     pixel = jax.lax.bitcast_convert_type(parts[13], jnp.int32)
+    ints_out = tuple(jax.lax.bitcast_convert_type(p, jnp.int32)
+                     for p in parts[14:])
+    if ints:
+        return state, pixel, orig_g[perm], ints_out
     return state, pixel, orig_g[perm]
 
 
@@ -1323,31 +1535,10 @@ def _pad_chunked(tab, max_chunk):
     return _pad_rows(tab, max_chunk)
 
 
-def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
-    """Full-path trace via the megakernel; pads to RAY_TILE internally.
-
-    cfg.compact_every splits the bounce loop into segments with a
-    live-ray group compaction between segments — the stream-compacted
-    wavefront (SURVEY.md §7 north star). Measured on the cover scene at
-    1080p depth 50 (v5e, BASELINE.md round 2): the per-tile dead-ray
-    short-circuit alone leaves 27.4 tile-bounches of work per ray
-    against a ray-average depth of 1.59 (one live glass path keeps a
-    whole 2048-lane tile alive); compact_every=4 packs live rays every
-    4 bounces for 2.89M -> 5.05M paths/s. Config default stays 0 (tiny
-    unit-test renders don't amortize the extra kernel compiles); the
-    CLI/bench production paths enable it.
-
-    Pre-condition: mega_supported(tables)."""
-    b = ro.shape[0]
-    pad = (-b) % RAY_TILE
-    if pad:
-        ro = jnp.concatenate([ro, jnp.zeros((pad, 3), jnp.float32)])
-        rd = jnp.concatenate(
-            [rd, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
-                                  (pad, 3))])
-        pixel = jnp.concatenate([pixel, jnp.zeros((pad,), pixel.dtype)])
-    bp = b + pad
-
+def _prep_scene(tables: SceneTables, cfg):
+    """Padded SoA tables + static kernel kwargs: the scene-side
+    setup shared by the segmented (mega_trace) and regeneration
+    (mega_trace_regen) drivers."""
     n_sph, n_rect, n_cyl, n_tri = tables.counts
     tbl = jax.tree_util.tree_map(jnp.asarray, tables)
     sph_tab = _pad_chunked(sphere_table(tbl) if n_sph
@@ -1430,6 +1621,37 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
               grad_bg=cfg.background_mode == "gradient",
               has_img=has_img, img_th=img_th, img_tw=img_tw,
               cull=cull, cull_t=cull_t, mxu=mxu, interpret=interpret)
+    return (tbl, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
+            sph_co, uv_tabs, atlas, counts, kw)
+
+
+def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
+    """Full-path trace via the megakernel; pads to RAY_TILE internally.
+
+    cfg.compact_every splits the bounce loop into segments with a
+    live-ray group compaction between segments — the stream-compacted
+    wavefront (SURVEY.md §7 north star). Measured on the cover scene at
+    1080p depth 50 (v5e, BASELINE.md round 2): the per-tile dead-ray
+    short-circuit alone leaves 27.4 tile-bounches of work per ray
+    against a ray-average depth of 1.59 (one live glass path keeps a
+    whole 2048-lane tile alive); compact_every=4 packs live rays every
+    4 bounces for 2.89M -> 5.05M paths/s. Config default stays 0 (tiny
+    unit-test renders don't amortize the extra kernel compiles); the
+    CLI/bench production paths enable it.
+
+    Pre-condition: mega_supported(tables)."""
+    b = ro.shape[0]
+    pad = (-b) % RAY_TILE
+    if pad:
+        ro = jnp.concatenate([ro, jnp.zeros((pad, 3), jnp.float32)])
+        rd = jnp.concatenate(
+            [rd, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                                  (pad, 3))])
+        pixel = jnp.concatenate([pixel, jnp.zeros((pad,), pixel.dtype)])
+    bp = b + pad
+
+    (tbl, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
+     uv_tabs, atlas, counts, kw) = _prep_scene(tables, cfg)
     exhaust = cfg.exhaust_mode == "background"
 
     ce = getattr(cfg, "compact_every", 0)
@@ -1492,6 +1714,307 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     # groups, so the inverse is a tiny [g] argsort + ONE packed group-row
     # gather (a per-element [B,3] scatter here used to cost ~115 ms at
     # 2M rays — more than every compaction it was undoing combined)
+    g = bp // group
+    packed = jnp.concatenate(
+        [c.reshape(g, group) for c in (cr, cg, cb)], axis=1)
+    packed = packed[jnp.argsort(orig_g)]
+    rgb = jnp.stack([packed[:, i * group:(i + 1) * group].reshape(bp)
+                     for i in range(3)], axis=-1)
+    return rgb[:b]
+
+
+def camera_vec(cam) -> jnp.ndarray:
+    """Flatten the thin-lens camera frame to the 19-float SMEM layout
+    _regen_kernel expects (origin, lower_left, horizontal, vertical,
+    u, v, lens_radius)."""
+    return jnp.concatenate([
+        jnp.asarray(cam.origin, jnp.float32).reshape(3),
+        jnp.asarray(cam.lower_left, jnp.float32).reshape(3),
+        jnp.asarray(cam.horizontal, jnp.float32).reshape(3),
+        jnp.asarray(cam.vertical, jnp.float32).reshape(3),
+        jnp.asarray(cam.u, jnp.float32).reshape(3),
+        jnp.asarray(cam.v, jnp.float32).reshape(3),
+        jnp.asarray(cam.lens_radius, jnp.float32).reshape(1)])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("counts", "max_depth", "spp", "init", "width",
+                     "height",
+                     "defocus", "t_min", "p_rr", "grad_bg", "exhaust_bg",
+                     "has_img", "img_th", "img_tw", "cull", "cull_t",
+                     "mxu", "interpret"))
+def mega_regen(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
+               uv_tabs, atlas, counts, background, cam_vec,
+               state, pixel, py, samp, bvec,
+               sample_base, seed, seg_iters, *, max_depth, spp,
+               init=False,
+               width, height,
+               defocus, t_min=1e-3, p_rr=0.0, grad_bg=False,
+               exhaust_bg=False, has_img=False, img_th=1, img_tw=1,
+               cull=False, cull_t=False, mxu=False, interpret=False):
+    """Advance B regen lanes up to seg_iters regen-loop iterations.
+
+    state: the 13-tuple of [B] f32 arrays (ox..alive); samp/bvec: [B]
+    i32 per-lane RNG stream coordinates; seg_iters a RUNTIME i32 (all
+    segment budgets share one compiled kernel). Returns (state, samp,
+    bvec). Run to seg_iters >= spp*(max_depth+1): the radiance sums in
+    state[9:12] are bit-equal to spp separate mega_segment launches
+    accumulated in sample order (identical RNG stream coordinates,
+    identical f32 addition order)."""
+    b = pixel.shape[0]
+    ns, nr, ny_, nt = counts
+    assert b % RAY_TILE == 0
+    g = b // RAY_TILE
+
+    def lanes(x, dtype=jnp.float32):
+        return x.reshape(g, 8, LANES).astype(dtype)
+
+    scal_i = jnp.stack([jnp.asarray(seed).astype(jnp.int32),
+                        jnp.asarray(sample_base).astype(jnp.int32),
+                        jnp.asarray(seg_iters).astype(jnp.int32)]
+                       ).reshape(1, 3)
+    scal_f = jnp.concatenate(
+        [jnp.asarray(background, jnp.float32).reshape(3),
+         jnp.asarray(cam_vec, jnp.float32).reshape(19)]).reshape(1, 22)
+
+    kernel = functools.partial(
+        _regen_kernel, ns=ns, nr=nr, ny_=ny_, nt=nt,
+        s_chunk=min(max(ns, 1), SPH_CHUNK),
+        r_chunk=min(max(nr, 1), AUX_CHUNK),
+        y_chunk=min(max(ny_, 1), AUX_CHUNK),
+        t_chunk=min(max(nt, 1), SPH_CHUNK),
+        max_depth=int(max_depth), spp=int(spp), init=bool(init),
+        width=int(width), height=int(height), defocus=bool(defocus),
+        t_min=float(t_min), p_rr=float(p_rr), grad_bg=bool(grad_bg),
+        exhaust_bg=bool(exhaust_bg), has_img=bool(has_img),
+        img_th=int(img_th), img_tw=int(img_tw), cull=bool(cull),
+        cull_t=bool(cull_t), mxu=bool(mxu))
+
+    ray_spec = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scal_i
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scal_f (bg + camera)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rect table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cylinder table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle table
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # sphere chunk AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # triangle chunk AABBs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere hb coeffs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere ct coeffs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere UV params
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rect UV params
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cylinder UV params
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle UV params
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas R
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas G
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas B
+        ] + [ray_spec] * 17,
+        out_specs=(ray_spec,) * 15,
+        out_shape=tuple(jax.ShapeDtypeStruct(
+            (g, 8, LANES), jnp.float32 if i < 13 else jnp.int32)
+            for i in range(15)),
+        interpret=interpret,
+    )(
+        scal_i, scal_f, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
+        sph_co[0], sph_co[1],
+        uv_tabs[0], uv_tabs[1], uv_tabs[2], uv_tabs[3],
+        atlas[0], atlas[1], atlas[2],
+        *[lanes(s) for s in state],
+        lanes(pixel, jnp.int32), lanes(py, jnp.int32),
+        lanes(samp, jnp.int32), lanes(bvec, jnp.int32),
+    )
+    flat = [o.reshape(b) for o in outs]
+    return tuple(flat[:13]), flat[13], flat[14]
+
+
+def regen_schedule(spp: int, max_depth: int, every: int,
+                   growth: int = 2):
+    """Iteration budgets for the segmented regen loop.
+
+    every=0: one segment covering the worst case (no compaction).
+    every=N>0: fixed N-iteration segments.
+    every=-1 (auto): [3*spp, 2*spp, 4*spp, 8*spp, ...] — the first
+    segment covers the lane-AVERAGE total work (spp x ~2.6 iterations
+    on the cover scene), later ones chase the geometric death-tail —
+    mirroring mega_trace's auto bounce schedule. Budgets always sum to
+    spp*(max_depth+1), the per-lane worst case, so completion never
+    depends on the schedule (capped tiles just resume). growth widens
+    the geometric step (shrink mode uses 4: segments on a shrunken
+    array are cheap, host pending-count syncs are not)."""
+    total = spp * (max_depth + 1)
+    if every == 0 or every >= total:
+        return [total]
+    if every > 0:
+        sched = [every] * (total // every)
+        if total % every:
+            sched.append(total % every)
+        return sched
+    head = (5 if growth == 4 else 3) * spp
+    sched, left, seg = [], total, head
+    while left > 0:
+        s = min(seg, left)
+        sched.append(s)
+        left -= s
+        seg = growth * spp if len(sched) == 1 else seg * growth
+    return sched
+
+
+# previous-frame shrink plans: plan_key -> [prefix lanes per boundary].
+# Populated from pending counts fetched once per frame (see
+# mega_trace_regen); stale or missing entries are always SAFE (frame
+# runs wider than needed, or the residual guard cleans up).
+_shrink_plans: dict = {}
+
+
+def _bucket_tiles(t: int) -> int:
+    """Round a tile count up to a half-octave bucket (1,2,3,4,6,8,12,
+    16,24,...): jit signatures repeat across frames (bounded compile
+    set) while over-allocating at most 50% of the pending work."""
+    c = 1
+    while True:
+        if t <= c:
+            return c
+        if c > 1 and t <= c + c // 2:
+            return c + c // 2
+        c *= 2
+
+
+def mega_trace_regen(tables: SceneTables, cfg, pixel, py, seed, spp,
+                     sample_base=0, width=None, height=None):
+    """Render spp samples for the given pixels via in-kernel sample
+    regeneration — primary-ray generation, the spp loop, and the bounce
+    loop all live on-chip; HBM sees a [B,3] radiance sum out. Replaces
+    render()'s per-sample launches: a lane whose path terminates simply
+    starts its next sample, so occupancy never decays until the tail of
+    the LAST sample.
+
+    cfg.regen_compact segments the in-kernel loop by iteration budget
+    with a cross-tile group compaction of still-pending lanes between
+    segments (the death-tail: a tile otherwise runs to its WORST lane's
+    total — measured 122 mean tile-iterations on cover@1080p spp8
+    against a 21-iteration lane average). Per-lane samp/bounce RNG
+    coordinates ride the permutation, so the image stays bit-identical.
+
+    Returns the radiance sum [B, 3] over [sample_base, sample_base+spp).
+    Pre-condition: mega_supported(tables)."""
+    width = cfg.width if width is None else width
+    height = cfg.height if height is None else height
+    b = pixel.shape[0]
+    pad = (-b) % RAY_TILE
+    if pad:
+        pixel = jnp.concatenate([pixel, jnp.zeros((pad,), pixel.dtype)])
+        py = jnp.concatenate([py, jnp.zeros((pad,), py.dtype)])
+    bp = b + pad
+    pixel = pixel.astype(jnp.int32)
+    py = py.astype(jnp.int32)
+
+    (tbl, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
+     uv_tabs, atlas, counts, kw) = _prep_scene(tables, cfg)
+
+    # segment 0 self-initializes IN-kernel (init=True): camera rays from
+    # the same Mosaic-compiled camera_ray that regenerates samples 1.. —
+    # keeps the whole stream bit-identical to the per-sample launch
+    # path. The state/samp/bvec inputs to segment 0 are dummies.
+    zeros = jnp.zeros((bp,), jnp.float32)
+    state = (zeros,) * 13
+    samp = jnp.zeros((bp,), jnp.int32)
+    bvec = jnp.zeros((bp,), jnp.int32)
+
+    shrink = bool(getattr(cfg, "regen_shrink", True))
+    sched = regen_schedule(int(spp), int(cfg.max_depth),
+                           int(getattr(cfg, "regen_compact", 0)),
+                           growth=4 if shrink else 2)
+    group = getattr(cfg, "compact_group", 128)
+    orig_g = jnp.arange(bp // group, dtype=jnp.int32)
+    end = int(sample_base) + int(spp)
+    run = functools.partial(
+        mega_regen, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
+        sph_co, uv_tabs, atlas, counts, tbl.background,
+        camera_vec(tbl.camera),
+        max_depth=cfg.max_depth, spp=int(spp), width=int(width),
+        height=int(height), defocus=bool(cfg.enable_defocus),
+        exhaust_bg=cfg.exhaust_mode == "background", **kw)
+
+    # Tail segments run on a SHRUNKEN active prefix [0:S): a pallas grid
+    # pays every tile's VMEM DMAs even when the bounce loop exits
+    # immediately, so packing alone (constant array size) leaves the
+    # death-tail's fixed costs in place (measured neutral at g16, 18%
+    # worse at g128 vs single-launch). Shapes can't depend on a device
+    # value without a host sync, and a mid-frame sync through the
+    # tunnel costs ~160 ms/segment (measured: sync-per-segment shrink
+    # was a wash) — so the bucket PLAN is taken from the previous
+    # frame's measured pending counts (fetched once at frame end, when
+    # the pipeline is drained anyway) and a residual-pending guard
+    # reruns a full-size cleanup segment in the rare case a bucket was
+    # too small (stale plan after a big scene/camera change). Frame 1
+    # runs all segments full-size and just records counts.
+    plan_key = (int(width), int(height), int(spp), int(cfg.max_depth),
+                int(group), tuple(sched), int(np.uint32(seed)), bp)
+    plan = _shrink_plans.get(plan_key) if shrink else None
+    counts_dev = []
+    S = bp
+    for i, seg in enumerate(sched):
+        sl = slice(0, S)
+        st, sa, bv = run(tuple(a[sl] for a in state), pixel[sl], py[sl],
+                         samp[sl], bvec[sl],
+                         jnp.int32(sample_base), jnp.int32(seed),
+                         jnp.int32(seg), init=(i == 0))
+        last = i == len(sched) - 1
+        if not last:
+            pending = (st[-1] > 0.0) | ((sa + 1) < end)
+            if shrink:  # device scalar; fetched AFTER the last dispatch
+                counts_dev.append(
+                    jnp.sum(pending.reshape(-1, group).any(-1)))
+            st, pi, og, (pyp, sa, bv) = _compact(
+                st, pixel[sl], orig_g[:S // group], group=group,
+                sort=getattr(cfg, "compact_sort", "dead"),
+                ints=(py[sl], sa, bv), pending=pending)
+        else:
+            pi, og, pyp = pixel[sl], orig_g[:S // group], py[sl]
+
+        if S < bp:  # write the prefix back into the full arrays
+            state = tuple(jnp.concatenate([a, f[S:]])
+                          for a, f in zip(st, state))
+            pixel = jnp.concatenate([pi, pixel[S:]])
+            py = jnp.concatenate([pyp, py[S:]])
+            samp = jnp.concatenate([sa, samp[S:]])
+            bvec = jnp.concatenate([bv, bvec[S:]])
+            orig_g = jnp.concatenate([og, orig_g[S // group:]])
+        else:
+            state, pixel, py, samp, bvec, orig_g = st, pi, pyp, sa, bv, og
+
+        if not last and plan is not None:
+            S = plan[i]
+
+    if shrink and len(sched) > 1:
+        resid = (state[-1] > 0.0) | ((samp + 1) < end)
+        n_resid = jnp.sum(resid)
+        # ONE drain of the dispatch pipeline: boundary counts for the
+        # next frame's plan + the too-small-bucket guard
+        fetched = np.asarray(jnp.stack(counts_dev + [n_resid]))
+        lanes_per = [int(c) * group for c in fetched[:-1]]
+        _shrink_plans[plan_key] = [
+            min(bp, _bucket_tiles(max(1, -(-int(lp * 1.25) // RAY_TILE)))
+                * RAY_TILE) for lp in lanes_per]
+        if int(fetched[-1]) > 0:
+            # a bucket undershot (first frame never does: it's
+            # full-size): resume EVERYTHING in one full-size segment —
+            # bit-identical continuation of the per-lane streams
+            state, samp, bvec = run(
+                state, pixel, py, samp, bvec,
+                jnp.int32(sample_base), jnp.int32(seed),
+                jnp.int32(spp * (int(cfg.max_depth) + 1)), init=False)
+
+    cr, cg, cb = state[9], state[10], state[11]
+    if len(sched) == 1:
+        return jnp.stack([cr, cg, cb], axis=-1)[:b]
+    # undo the composed group permutation (see mega_trace)
     g = bp // group
     packed = jnp.concatenate(
         [c.reshape(g, group) for c in (cr, cg, cb)], axis=1)

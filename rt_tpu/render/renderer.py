@@ -101,12 +101,24 @@ def render(tables: SceneTables, cfg: RenderConfig,
     n_pix = w * h
     _, _, pix = _block_order(w, h)
 
+    use_regen = bool(getattr(cfg, "regen", False)) and cfg.engine == "mega"
+    if use_regen:
+        from rt_tpu.ops.pallas_mega import mega_supported
+        use_regen = mega_supported(tables)
+
     # pick tile size so tile*samples_per_launch ~ rays_per_batch
-    if samples_per_launch is None:
+    if use_regen:
+        # the spp loop runs IN-kernel: rays in flight = tile, regardless
+        # of how many samples a launch covers — take the whole budget
+        if samples_per_launch is None:
+            samples_per_launch = spp
+        tile = min(n_pix, cfg.rays_per_batch)
+    elif samples_per_launch is None:
         samples_per_launch = max(1, min(spp, cfg.rays_per_batch // max(n_pix, 1)))
         if samples_per_launch == 0:
             samples_per_launch = 1
-    tile = min(n_pix, max(1, cfg.rays_per_batch // samples_per_launch))
+    if not use_regen:
+        tile = min(n_pix, max(1, cfg.rays_per_batch // samples_per_launch))
     # pixel list is padded to a multiple of tile for a single jit
     # signature (_device_tile)
     n_tiles = -(-n_pix // tile)
@@ -122,9 +134,16 @@ def render(tables: SceneTables, cfg: RenderConfig,
         s = 0
         while s < spp:
             k = min(samples_per_launch, spp - s)
-            part = render_pixels(tables, cfg, px, py,
-                                 np.uint32(sample_offset + s), int(k),
-                                 seed, w, h)
+            if use_regen:
+                from rt_tpu.ops.pallas_mega import mega_trace_regen
+                part = mega_trace_regen(
+                    tables, cfg, (py * w + px).astype(jnp.int32),
+                    py.astype(jnp.int32), seed, int(k),
+                    sample_base=int(sample_offset + s), width=w, height=h)
+            else:
+                part = render_pixels(tables, cfg, px, py,
+                                     np.uint32(sample_offset + s), int(k),
+                                     seed, w, h)
             tile_acc = part if tile_acc is None else tile_acc + part
             s += k
         acc[ti * tile:(ti + 1) * tile] = np.asarray(tile_acc)

@@ -299,3 +299,89 @@ def test_compact_schedule_clamps_to_max_depth():
                                    compact_schedule=(2, 3, 5, 10),
                                    compact_group=8))
     np.testing.assert_array_equal(a, b)
+
+
+def test_regen_statistically_matches_mega():
+    """In-kernel sample regeneration draws the same RNG stream
+    coordinates as per-sample launches; on TPU the images are
+    bit-identical (verified on hardware), under CPU interpret mode XLA
+    fusion ordering costs a few ulps that path divergence can amplify —
+    so this is an outlier-tolerance check like the mega-vs-XLA tests."""
+    sdef, cfg = cover_scene(width=48, height=27, spp=4, max_depth=8, grid=3)
+    tables = build_tables(sdef)
+    cfg = cfg.replace(engine="mega")
+    spp = cfg.samples_per_pixel
+    a = np.asarray(render(tables, cfg)) / spp
+    b = np.asarray(render(tables, cfg.replace(regen=True))) / spp
+    diff = np.abs(a - b).max(axis=-1)
+    assert float((diff > 2e-3).mean()) <= 0.01, diff.max()
+
+
+@pytest.mark.parametrize("rc,group,sort", [(-1, 128, "dead"),
+                                           (5, 16, "dead"),
+                                           (3, 32, "spatial")])
+def test_regen_compaction_is_invisible(rc, group, sort):
+    """Cross-tile death-tail compaction interrupts + resumes the regen
+    kernel: the image must stay BIT-identical (per-lane samp/bounce RNG
+    coordinates ride the permutation)."""
+    sdef, cfg = cover_scene(width=64, height=48, spp=4, max_depth=8, grid=3)
+    tables = build_tables(sdef)
+    cfg = cfg.replace(engine="mega", regen=True, rays_per_batch=1 << 12)
+    a = np.asarray(render(tables, cfg))
+    b = np.asarray(render(tables, cfg.replace(
+        regen_compact=rc, compact_group=group, compact_sort=sort)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_regen_defocus_and_emissive():
+    """Regen's in-kernel thin-lens camera (defocus sampling) against the
+    host ray generator, on a scene with active defocus + lights."""
+    sdef, cfg = cornell_spheres_scene(width=48, height=36, spp=4,
+                                      max_depth=6)
+    tables = build_tables(sdef)
+    cfg = cfg.replace(engine="mega")
+    spp = cfg.samples_per_pixel
+    a = np.asarray(render(tables, cfg)) / spp
+    b = np.asarray(render(tables, cfg.replace(regen=True))) / spp
+    diff = np.abs(a - b).max(axis=-1)
+    assert float((diff > 2e-3).mean()) <= 0.01, diff.max()
+
+
+def test_regen_schedule_budgets():
+    from rt_tpu.ops.pallas_mega import regen_schedule
+
+    assert regen_schedule(8, 50, 0) == [8 * 51]
+    assert sum(regen_schedule(8, 50, -1)) == 8 * 51
+    assert sum(regen_schedule(4, 50, 7)) == 4 * 51
+    assert regen_schedule(8, 50, -1)[0] == 24  # 3*spp head segment
+    assert regen_schedule(1, 2, -1) == [3]     # clamps to total
+
+
+def test_regen_shrink_plan_and_guard():
+    """Sync-free shrink: frame 1 runs full-size and records a bucket
+    plan; later frames run tail segments on the shrunken prefix. A
+    POISONED (too-small) plan must be caught by the residual-pending
+    guard's full-size cleanup segment — images stay bit-identical in
+    every case."""
+    from rt_tpu.ops import pallas_mega as pm
+
+    sdef, cfg = cover_scene(width=128, height=96, spp=4, max_depth=8,
+                            grid=3)
+    tables = build_tables(sdef)
+    cfg = cfg.replace(engine="mega", regen=True, rays_per_batch=1 << 14)
+    ref = np.asarray(render(tables, cfg))
+    c = cfg.replace(regen_compact=2, compact_group=16)
+    pm._shrink_plans.clear()
+    f1 = np.asarray(render(tables, c))        # records the plan
+    assert pm._shrink_plans, "plan not recorded"
+    key = next(iter(pm._shrink_plans))
+    f2 = np.asarray(render(tables, c))        # uses the plan
+    np.testing.assert_array_equal(f1, ref)
+    np.testing.assert_array_equal(f2, ref)
+    # poison: force every boundary to a single tile — after 2-iteration
+    # segments far more than one tile is still pending, so the guard's
+    # cleanup segment must fire and finish the frame
+    pm._shrink_plans[key] = [pm.RAY_TILE] * len(pm._shrink_plans[key])
+    f3 = np.asarray(render(tables, c))
+    np.testing.assert_array_equal(f3, ref)
+    pm._shrink_plans.clear()
