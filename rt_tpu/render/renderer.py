@@ -89,13 +89,22 @@ def _device_tile(w: int, h: int, tile: int, ti: int):
 
 def render(tables: SceneTables, cfg: RenderConfig,
            samples_per_launch: Optional[int] = None,
-           progress: bool = False, sample_offset: int = 0) -> np.ndarray:
+           progress: bool = False, sample_offset: int = 0,
+           device_out: bool = False) -> np.ndarray:
     """Render the full frame. Returns the raw radiance sum [H,W,3] with
     row 0 = BOTTOM scanline (the reference's j index; writers flip).
 
     sample_offset shifts the absolute sample indices (progressive /
     resumed renders draw exactly the stream coordinates an uninterrupted
-    run would, ops/rng.py)."""
+    run would, ops/rng.py).
+
+    device_out=True keeps the result on device (a jax.Array; the
+    block-order unpermute runs as a device gather) instead of
+    downloading it. Callers that composite / reduce / re-consume frames
+    on device — and benchmarks that must time the chip rather than the
+    host link (BASELINE.md: this environment's tunnel moves ~4-16 MB/s,
+    so a 24 MB 1080p accumulator download costs seconds; a production
+    host's PCIe moves it in ~2 ms) — use this and download when needed."""
     w, h = cfg.width, cfg.height
     spp = cfg.samples_per_pixel
     n_pix = w * h
@@ -123,7 +132,8 @@ def render(tables: SceneTables, cfg: RenderConfig,
     # signature (_device_tile)
     n_tiles = -(-n_pix // tile)
 
-    acc = np.zeros((n_tiles * tile, 3), np.float32)
+    acc = None if device_out else np.zeros((n_tiles * tile, 3), np.float32)
+    parts = []
     out = np.zeros((n_pix, 3), np.float32)
     seed = np.uint32(cfg.seed)
     for ti in range(n_tiles):
@@ -146,10 +156,32 @@ def render(tables: SceneTables, cfg: RenderConfig,
                                      seed, w, h)
             tile_acc = part if tile_acc is None else tile_acc + part
             s += k
-        acc[ti * tile:(ti + 1) * tile] = np.asarray(tile_acc)
+        if device_out:
+            parts.append(tile_acc)
+        else:
+            acc[ti * tile:(ti + 1) * tile] = np.asarray(tile_acc)
         if progress:
             print(f"\rtile {ti + 1}/{n_tiles}", end="", flush=True)
     if progress:
         print()
+    if device_out:
+        full = parts[0] if n_tiles == 1 else jnp.concatenate(parts, axis=0)
+        return _device_unpermute(w, h)(full)
     out[pix] = acc[:n_pix]  # undo the block ordering
     return out.reshape(h, w, 3)
+
+
+@functools.lru_cache(maxsize=8)
+def _device_unpermute(w: int, h: int):
+    """Jitted inverse of the screen-block pixel ordering: a device-side
+    gather producing the [h,w,3] image (out[pix[i]] = acc[i])."""
+    _, _, pix = _block_order(w, h)
+    inv = np.empty(w * h, np.int32)
+    inv[pix] = np.arange(w * h, dtype=np.int32)
+    inv_dev = jnp.asarray(inv)
+
+    @jax.jit
+    def unpermute(acc):
+        return jnp.take(acc[:w * h], inv_dev, axis=0).reshape(h, w, 3)
+
+    return unpermute

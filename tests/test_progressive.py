@@ -92,3 +92,20 @@ def test_checkpoint_save_ignores_stale_tmp(scene, tmp_path):
     loaded = Checkpoint.load(path)
     assert loaded.samples_done == 5
     np.testing.assert_array_equal(loaded.pixel_sum, fresh)
+
+
+def test_device_out_matches_host_path(scene):
+    """render(device_out=True) keeps the image on device (the bench's
+    timing boundary, BASELINE.md tunnel-artifact note); the device-side
+    unpermute gather must reproduce the host scatter exactly — including
+    with multiple tiles (forced via a tiny rays_per_batch)."""
+    tables, cfg = scene
+    ref = render(tables, cfg)
+    dev = render(tables, cfg, device_out=True)
+    assert not isinstance(dev, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(dev), ref)
+
+    multi = cfg.replace(rays_per_batch=128)  # several tiles per frame
+    ref_m = render(tables, multi)
+    dev_m = render(tables, multi, device_out=True)
+    np.testing.assert_array_equal(np.asarray(dev_m), ref_m)
