@@ -64,7 +64,54 @@ def _with_retries(args, fn, frame_idx):
             print(f"frame {frame_idx}: retry {attempt + 1}", flush=True)
 
 
-def _render_frame(tables, cfg, path, progress=False):
+class FramePipeline:
+    """Overlap frame i's image download + PNG encode with frame i+1's
+    device compute (single-device path).
+
+    `submit` dispatches the next frame's render asynchronously
+    (`render(..., device_out=True)` — all launches enqueue without a
+    host sync) and only THEN downloads/writes the previous frame, so
+    the D2H transfer and PNG encode hide behind the new frame's
+    compute. This matters doubly in this environment, where D2H runs at
+    4-16 MB/s (BASELINE.md "tunnel artifact"); on a production host it
+    still hides the PNG encode. If a frame's download/compute fails,
+    `flush` re-renders it synchronously once (frames are idempotent —
+    the reference's recovery model, SURVEY.md §5.3)."""
+
+    def __init__(self):
+        self._pending = None
+
+    def submit(self, tables, cfg, path):
+        from rt_tpu.render.renderer import render
+
+        img = render(tables, cfg, device_out=True)
+        prev_path = self.flush()
+        self._pending = (img, tables, cfg, path)
+        return prev_path
+
+    def flush(self):
+        """Download + write the in-flight frame, if any. Returns its
+        path (or None)."""
+        if self._pending is None:
+            return None
+        import numpy as np
+
+        from rt_tpu.render import film
+        from rt_tpu.io.image import write_png
+
+        img, tables, cfg, path = self._pending
+        self._pending = None
+        try:
+            host = np.asarray(img)
+        except Exception:
+            from rt_tpu.render.renderer import render
+            host = render(tables, cfg)  # sync retry
+        write_png(path, film.finalize(host, cfg.samples_per_pixel,
+                                      gamma=True))
+        return path
+
+
+def _render_frame(tables, cfg, path, progress=False, pipeline=None):
     import jax
 
     from rt_tpu.render import film
@@ -76,6 +123,9 @@ def _render_frame(tables, cfg, path, progress=False):
         # normalize by the spp actually rendered (rounded up to the
         # sample-axis size), not the requested one
         img, spp = render_sharded_ex(tables, cfg)
+    elif pipeline is not None:
+        pipeline.submit(tables, cfg, path)
+        return
     else:
         from rt_tpu.render.renderer import render
         img = render(tables, cfg, progress=progress)
@@ -95,6 +145,7 @@ def run_blue(args) -> int:
     os.makedirs(args.outdir, exist_ok=True)
 
     lo, hi = _host_slice(args)
+    pipe = FramePipeline()
     for i in range(lo, hi):
         data = copy.deepcopy(base)
         objs = data.get("object", {})
@@ -116,8 +167,10 @@ def run_blue(args) -> int:
         t0 = time.time()
         _with_retries(args, lambda: _render_frame(
             build_tables(sdef), cfg,
-            os.path.join(args.outdir, f"frame_{i:04d}.png")), i)
+            os.path.join(args.outdir, f"frame_{i:04d}.png"),
+            pipeline=pipe), i)
         print(f"frame {i}: {time.time() - t0:.2f}s", flush=True)
+    pipe.flush()
     return 0
 
 
@@ -130,6 +183,7 @@ def run_dna(args) -> int:
     os.makedirs(args.outdir, exist_ok=True)
     t_all = time.time()
     lo, hi = _host_slice(args)
+    pipe = FramePipeline()
     for i in range(lo, hi):
         sdef, cfg = dna_scene(angle_deg=args.deg_per_frame * i,
                               width=args.width, height=args.height,
@@ -138,8 +192,10 @@ def run_dna(args) -> int:
         t0 = time.time()
         _with_retries(args, lambda: _render_frame(
             build_tables(sdef), cfg,
-            os.path.join(args.outdir, f"frame_{i:04d}.png")), i)
+            os.path.join(args.outdir, f"frame_{i:04d}.png"),
+            pipeline=pipe), i)
         print(f"frame {i}: {time.time() - t0:.2f}s", flush=True)
+    pipe.flush()
     print(f"total: {time.time() - t_all:.2f}s")
     return 0
 
@@ -155,6 +211,7 @@ def run_points(args) -> int:
         raise SystemExit("--obj and --points-dir required for points mode")
     os.makedirs(args.outdir, exist_ok=True)
     lo, hi = _host_slice(args)
+    pipe = FramePipeline()
     for i in range(lo, hi):
         pts = readdynamic(os.path.join(args.points_dir, f"{i + 1}.txt"))
         sdef, cfg = mesh_scene(args.obj, width=args.width,
@@ -164,8 +221,10 @@ def run_points(args) -> int:
         cfg = _frame_cfg(args, cfg)
         t0 = time.time()
         _render_frame(build_tables(sdef), cfg,
-                      os.path.join(args.outdir, f"out{i}.png"))
+                      os.path.join(args.outdir, f"out{i}.png"),
+                      pipeline=pipe)
         print(f"frame {i}: {time.time() - t0:.2f}s", flush=True)
+    pipe.flush()
     return 0
 
 
@@ -179,6 +238,7 @@ def run_dolly(args) -> int:
 
     os.makedirs(args.outdir, exist_ok=True)
     lo, hi = _host_slice(args)
+    pipe = FramePipeline()
     for i in range(lo, hi):
         z = -5.0 + 0.5 * i * args.deg_per_frame
         y = -0.2 + 0.0375 * (z - 4.0) ** 2
@@ -192,8 +252,10 @@ def run_dolly(args) -> int:
         t0 = time.time()
         _with_retries(args, lambda: _render_frame(
             build_tables(sdef), cfg,
-            os.path.join(args.outdir, f"dolly_{i:04d}.png")), i)
+            os.path.join(args.outdir, f"dolly_{i:04d}.png"),
+            pipeline=pipe), i)
         print(f"frame {i}: {time.time() - t0:.2f}s", flush=True)
+    pipe.flush()
     return 0
 
 

@@ -14,10 +14,13 @@ cfg = cfg.replace(samples_per_pixel=spp, engine="mega",
                   rays_per_batch=1 << 25,
                   compact_schedule=(2, 3, 5, 10), compact_group=16)
 tables = build_tables(sdef)
-render(tables, cfg)
+# device timing (BASELINE.md tunnel artifact): block_until_ready waits
+# for compute; the 24 MB download would add seconds of D2H variance
+jax.block_until_ready(render(tables, cfg, device_out=True))
 dt = 1e9
-for _ in range(2):
-    t0 = time.perf_counter(); render(tables, cfg)
+for _ in range(3):
+    t0 = time.perf_counter()
+    jax.block_until_ready(render(tables, cfg, device_out=True))
     dt = min(dt, time.perf_counter() - t0)
 pps = cfg.width * cfg.height * spp / dt
 print(json.dumps({"scene": "blue2.json 1920x1080 d50", "paths_per_s": round(pps),
@@ -30,10 +33,11 @@ cfg = cfg.replace(engine="mega", rays_per_batch=1 << 25,
                   compact_schedule=(2, 3, 5, 10), compact_group=16,
                   cull_chunks=True)
 tables = build_tables(sdef)
-render(tables, cfg)
+jax.block_until_ready(render(tables, cfg, device_out=True))
 dt = 1e9
-for _ in range(2):
-    t0 = time.perf_counter(); render(tables, cfg)
+for _ in range(3):
+    t0 = time.perf_counter()
+    jax.block_until_ready(render(tables, cfg, device_out=True))
     dt = min(dt, time.perf_counter() - t0)
 pps = cfg.width * cfg.height * spp / dt
 print(json.dumps({"scene": "cover-1940sph 1080p d50 cull",

@@ -36,12 +36,15 @@ W, H = 1920, 1080
 SPP = 8
 
 
-def bench(cfg, tables, spp=SPP, reps=2):
-    render(tables, cfg)  # compile + warm
+def bench(cfg, tables, spp=SPP, reps=3):
+    # device timing: image stays on device, block_until_ready waits for
+    # compute (BASELINE.md "tunnel artifact" — np.asarray would add
+    # seconds of 4-16 MB/s D2H download and its run-to-run variance)
+    jax.block_until_ready(render(tables, cfg, device_out=True))
     dt = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        render(tables, cfg)
+        jax.block_until_ready(render(tables, cfg, device_out=True))
         dt = min(dt, time.perf_counter() - t0)
     return cfg.width * cfg.height * spp / dt, dt
 

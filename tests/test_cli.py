@@ -185,3 +185,36 @@ def test_mjpeg_avi_writer_structure(tmp_path):
     import struct
     assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
     assert b"MJPG" in data and b"idx1" in data
+
+
+def test_frame_pipeline_matches_sync(tmp_path):
+    """FramePipeline (async download overlap, drivers/animate.py) writes
+    byte-identical PNGs to the synchronous path, including the final
+    flush()ed frame."""
+    from rt_tpu.drivers.animate import FramePipeline
+    from rt_tpu.render import film
+    from rt_tpu.render.renderer import render
+    from rt_tpu.io.image import write_png
+    from rt_tpu.scene.builders import three_sphere_scene
+    from rt_tpu.scene.types import build_tables
+
+    pipe = FramePipeline()
+    paths = []
+    for i in range(3):
+        sdef, cfg = three_sphere_scene(width=24, height=16, spp=2,
+                                       max_depth=3)
+        cfg = cfg.replace(seed=i)
+        tables = build_tables(sdef)
+        p = tmp_path / f"pipe_{i}.png"
+        prev = pipe.submit(tables, cfg, str(p))
+        assert (prev is None) if i == 0 else prev.endswith(f"pipe_{i-1}.png")
+        sync = film.finalize(render(tables, cfg), cfg.samples_per_pixel,
+                             gamma=True)
+        write_png(str(tmp_path / f"sync_{i}.png"), sync)
+        paths.append(p)
+    assert pipe.flush().endswith("pipe_2.png")
+    assert pipe.flush() is None
+    for i, p in enumerate(paths):
+        a = read_png(str(p))
+        b = read_png(str(tmp_path / f"sync_{i}.png"))
+        np.testing.assert_array_equal(a, b)
