@@ -145,6 +145,7 @@ def fit(
     mesh: Optional[Mesh] = None,
     init_params: Optional[Dict[str, jax.Array]] = None,
     method: str = "ad",
+    geom_spec: Optional[Dict[str, Sequence[tuple]]] = None,
 ) -> Tuple[Dict[str, np.ndarray], list]:
     """Inverse-rendering loop: recover `fields` of the scene from a
     target mean-radiance image [H,W,3] (row 0 = bottom scanline).
@@ -154,7 +155,10 @@ def fit(
                  chain incl. geometry; O(B*depth) residual memory).
       "replay" — path-replay custom VJP (diff/replay.py): O(B) memory,
                  forward pass on cfg.engine (megakernel allowed);
-                 radiometric fields only, single-device.
+                 radiometric fields analytically, plus geometry /
+                 fuzz / IOR components listed in `geom_spec`
+                 ({field: [component_index_tuple, ...]}) via the
+                 forward-mode tangent replay. Single-device.
 
     Returns (recovered params, per-step loss history)."""
     optimizer = optax.adam(learning_rate)
@@ -174,7 +178,7 @@ def fit(
                           .reshape(-1, 3))
         loss_fn = make_replay_loss_fn(
             tables, cfg, spp, px=pix % cfg.width, py=pix // cfg.width,
-            target=tgt)
+            target=tgt, geom_spec=geom_spec)
 
         @jax.jit
         def step(params, opt_state):

@@ -30,13 +30,21 @@ through later bounces of such a channel are genuinely zero; only the
 current bounce's own adjoint is lost, and only at measure-zero exact-0
 albedos).
 
-Scope: this estimator covers the RADIOMETRIC chain — albedo, emission
-(tex_color/tex_color2 feeding diffuse_light), background — with detached
-sampling, same as the reference-free design in diff/inverse.py. Geometry
-parameters' interior derivatives (hit-distance chains) still use the
-scan path; silhouettes use the CRN finite-difference estimator
-(diff/inverse.fit_fd). The reference renderer has no gradients at all
-(BASELINE.json north star adds them).
+Scope: the analytic suffix adjoint above covers the RADIOMETRIC chain —
+albedo, emission (tex_color/tex_color2 feeding diffuse_light),
+background — with detached sampling, same as the reference-free design
+in diff/inverse.py. Parameters acting through the hit geometry or the
+scattered direction (sph_center, sph_radius, mat_fuzz, mat_ior —
+GEOM_FIELDS) have no closed-form suffix identity; for selected
+components of those, a FORWARD-MODE tangent replay (`geom_spec`)
+re-simulates the path with the per-bounce step `jax.linearize`d once
+and K one-hot parameter tangents pushed through it — still O(B) primal
+memory (O(B*K) tangents), still any-depth, discrete decisions detached
+automatically because they are comparisons. Silhouette terms are not
+captured by either estimator; use the CRN finite-difference estimator
+(diff/inverse.fit_fd) when visibility boundaries dominate. The
+reference renderer has no gradients at all (BASELINE.json north star
+adds them).
 """
 
 from __future__ import annotations
@@ -56,8 +64,18 @@ from rt_tpu.ops.intersect import intersect
 from rt_tpu.render.integrator import background_color, trace
 from rt_tpu.scene.types import SceneTables
 
-# fields whose gradient the replay estimator computes exactly
+# fields whose gradient the analytic suffix-adjoint replay computes
 REPLAY_FIELDS = ("mat_albedo", "tex_color", "tex_color2", "background")
+
+# fields whose INTERIOR derivative the forward-mode (tangent) replay
+# computes — parameters that act through the hit geometry or the
+# scattered direction, where the suffix identity has no closed form:
+# hit distance/normal/UV chains (sph_center, sph_radius), the metal
+# fuzz lobe, and the dielectric Schlick/refraction chain (mat_ior).
+# Silhouette (visibility-boundary) terms are NOT captured — that is
+# the same detached-sampling scope as the scan path (diff/inverse.py);
+# use fit_fd's CRN estimator when silhouettes dominate.
+GEOM_FIELDS = ("sph_center", "sph_radius", "mat_fuzz", "mat_ior")
 
 
 def _safe_div(num, den):
@@ -72,14 +90,25 @@ def make_replay_render(
     px,
     py,
     bwd_engine: Optional[str] = None,
+    geom_spec: Optional[Dict[str, Sequence[tuple]]] = None,
 ):
     """Build img_fn(params) -> mean radiance [B,3] with a path-replay VJP.
 
-    params keys must be a subset of REPLAY_FIELDS. px/py are the fixed
-    pixel batch (closed over; integer arrays carry no cotangents).
-    Forward runs cfg.engine verbatim (megakernel included); backward
-    replays with `bwd_engine` (default: the hybrid Pallas engine on TPU,
-    XLA elsewhere)."""
+    params keys must be a subset of REPLAY_FIELDS + GEOM_FIELDS. px/py
+    are the fixed pixel batch (closed over; integer arrays carry no
+    cotangents). Forward runs cfg.engine verbatim (megakernel included);
+    the radiometric backward replays with `bwd_engine` (default: the
+    hybrid Pallas engine on TPU, XLA elsewhere).
+
+    geom_spec selects GEOM_FIELDS components for the forward-mode
+    tangent replay, {field: [component_index_tuple, ...]} — e.g.
+    {"sph_center": [(0, 0), (0, 2)]} differentiates sphere 0's x and z.
+    Each component is one tangent direction pushed through a replay
+    whose per-bounce step is `jax.linearize`d once (primal shared by
+    all K directions); the geometry backward therefore runs the XLA
+    intersector (the Pallas kernels are forward-only) and costs
+    O(B * K) tangent memory. Components NOT listed get zero gradient
+    rows (like fit_fd); fields in geom_spec must be in params."""
     base = _device_tables(tables)
     width, height = cfg.width, cfg.height
     if bwd_engine is None:
@@ -195,6 +224,104 @@ def make_replay_render(
             grads = jax.tree_util.tree_map(jnp.add, grads, vjp2(cot)[0])
         return grads
 
+    if geom_spec:
+        _geom_flat = [(f, tuple(idx)) for f, idxs in sorted(geom_spec.items())
+                      for idx in idxs]
+        _n_dirs = len(_geom_flat)
+        bad = set(geom_spec) - set(GEOM_FIELDS)
+        if bad:
+            raise ValueError(
+                f"geom_spec fields must be in {GEOM_FIELDS}; got {sorted(bad)}")
+
+    def _geom_tangent_basis(params):
+        """One-hot tangent pytree per geom_spec direction, stacked on a
+        leading K axis (zeros for every non-selected component/field)."""
+        tans = {f: jnp.zeros((_n_dirs,) + jnp.shape(v), jnp.float32)
+                for f, v in params.items()}
+        for j, (f, idx) in enumerate(_geom_flat):
+            tans[f] = tans[f].at[(j,) + idx].set(1.0)
+        return tans
+
+    def _replay_sample_geom(params, tans, g, s, acc):
+        """Accumulate d(g . L_s)/d(direction_k) [K] by a tangent replay:
+        re-simulate the path with the XLA intersector (bit-identical RNG
+        streams), `jax.linearize` each bounce once, and push all K
+        parameter tangents through the linearized step. Discrete
+        decisions (closest-hit winner, scatter/RR/Schlick branches) are
+        comparisons, so their tangents vanish — detached sampling by
+        construction; only interior chains (t, hit point, normal, UV,
+        fuzz lobe, Schlick/refraction) carry derivatives."""
+        tbl = apply_params(base, params)
+        ro, rd, sample = _rays(tbl, s)
+
+        def cond(carry):
+            i, o, d, P, C, alive, tst = carry
+            return (i < cfg.max_depth) & jnp.any(alive)
+
+        def body(carry):
+            i, o, d, P, C, alive, (to, td, tP, tC) = carry
+            bounce = i.astype(jnp.uint32)
+
+            survive = jnp.ones_like(alive)
+            if cfg.p_rr > 0.0:
+                u_rr = rng.uniform(jnp, seed, pixel, sample, bounce, rng.RR)
+                survive = u_rr <= cfg.p_rr
+            ball = rng.in_unit_ball(jnp, seed, pixel, sample, bounce)
+            refl_u = rng.uniform(jnp, seed, pixel, sample, bounce,
+                                 rng.DIEL_REFL)
+
+            def f(o, d, P, C, pp):
+                t2 = apply_params(base, pp)
+                hit = intersect(t2, o, d, engine="xla",
+                                traversal=cfg.traversal)
+                sc, em = materials.shade(
+                    t2, hit.mat, d, hit.normal, hit.front_face,
+                    hit.u, hit.v, hit.p, ball, refl_u)
+                bg = background_color(t2, cfg, d)
+                live = alive & survive
+                scattered = live & hit.hit & sc.ok
+                emitter = live & hit.hit & ~sc.ok
+                missed = live & ~hit.hit
+                contrib = (jnp.where((scattered | emitter)[:, None], em,
+                                     0.0)
+                           + jnp.where(missed[:, None], bg, 0.0))
+                C2 = C + P * contrib
+                P2 = jnp.where(scattered[:, None],
+                               P * sc.attenuation * rr_comp, P)
+                o2 = jnp.where(scattered[:, None], hit.p, o)
+                d2 = jnp.where(scattered[:, None], sc.direction, d)
+                return o2, d2, P2, C2, scattered.astype(jnp.float32)
+
+            (o2, d2, P2, C2, sc_f), lin = jax.linearize(
+                f, o, d, P, C, params)
+            to2, td2, tP2, tC2, _ = jax.vmap(lin)(to, td, tP, tC, tans)
+            return (i + 1, o2, d2, P2, C2, sc_f > 0.5,
+                    (to2, td2, tP2, tC2))
+
+        k = _n_dirs
+        zk = lambda x: jnp.zeros((k,) + x.shape, jnp.float32)  # noqa: E731
+        carry0 = (jnp.int32(0), ro, rd,
+                  jnp.ones((b, 3), jnp.float32),
+                  jnp.zeros((b, 3), jnp.float32),
+                  jnp.ones((b,), bool),
+                  (zk(ro), zk(rd),
+                   jnp.zeros((k, b, 3), jnp.float32),
+                   jnp.zeros((k, b, 3), jnp.float32)))
+        (_, o, d, P, C, alive, (to, td, tP, tC)) = jax.lax.while_loop(
+            cond, body, carry0)
+
+        if cfg.exhaust_mode == "background":
+            def f2(d, P, C, pp):
+                bg = background_color(apply_params(base, pp), cfg, d)
+                return C + jnp.where(alive[:, None], P * bg, 0.0)
+
+            (C,), lin2 = jax.linearize(
+                lambda dd, pP, cC, pp: (f2(dd, pP, cC, pp),),
+                d, P, C, params)
+            (tC,) = jax.vmap(lin2)(td, tP, tC, tans)
+
+        return acc + jnp.einsum("bc,kbc->k", g, tC)
+
     @jax.custom_vjp
     def img_fn(params):
         return _forward(params)
@@ -209,8 +336,22 @@ def make_replay_render(
             return _replay_sample_grads(params, gs, s.astype(jnp.uint32),
                                         grads)
 
-        grads0 = jax.tree_util.tree_map(jnp.zeros_like, params)
-        grads = jax.lax.fori_loop(0, spp, body, grads0)
+        grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        if set(params) & set(REPLAY_FIELDS):
+            grads = jax.lax.fori_loop(0, spp, body, grads)
+
+        if geom_spec:
+            tans = _geom_tangent_basis(params)
+
+            def gbody(s, acc):
+                return _replay_sample_geom(params, tans, gs,
+                                           s.astype(jnp.uint32), acc)
+
+            dirs = jax.lax.fori_loop(
+                0, spp, gbody, jnp.zeros((_n_dirs,), jnp.float32))
+            grads = dict(grads)
+            for j, (f, idx) in enumerate(_geom_flat):
+                grads[f] = grads[f].at[idx].add(dirs[j])
         return (grads,)
 
     img_fn.defvjp(img_fwd, img_bwd)
@@ -219,18 +360,26 @@ def make_replay_render(
 
 def make_replay_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int,
                         px, py, target,
-                        bwd_engine: Optional[str] = None):
+                        bwd_engine: Optional[str] = None,
+                        geom_spec: Optional[Dict[str, Sequence[tuple]]]
+                        = None):
     """(params) -> scalar MSE against target rows [B,3], with the replay
-    VJP underneath. jax.grad of this runs in O(B) memory at any depth."""
-    img_fn = make_replay_render(tables, cfg, spp, px, py, bwd_engine)
+    VJP underneath. jax.grad of this runs in O(B) memory at any depth.
+    Geometry/fuzz/IOR components listed in geom_spec get forward-mode
+    tangent-replay gradients (see make_replay_render)."""
+    img_fn = make_replay_render(tables, cfg, spp, px, py, bwd_engine,
+                                geom_spec=geom_spec)
     target = jnp.asarray(target, jnp.float32)
+    geom_ok = set(geom_spec) if geom_spec else set()
 
     def loss_fn(params):
-        bad = set(params) - set(REPLAY_FIELDS)
+        bad = set(params) - set(REPLAY_FIELDS) - geom_ok
         if bad:
             raise ValueError(
-                f"replay gradients cover {REPLAY_FIELDS}; got {sorted(bad)} "
-                "(use the scan path or fit_fd for geometry parameters)")
+                f"replay gradients cover {REPLAY_FIELDS} plus geom_spec "
+                f"fields {sorted(geom_ok)} of {GEOM_FIELDS}; got "
+                f"{sorted(bad)} (use the scan path or fit_fd, or pass "
+                "geom_spec)")
         img = img_fn(params)
         return jnp.mean((img - target) ** 2)
 
