@@ -158,7 +158,9 @@ def fit(
                  radiometric fields analytically, plus geometry /
                  fuzz / IOR components listed in `geom_spec`
                  ({field: [component_index_tuple, ...]}) via the
-                 forward-mode tangent replay. Single-device.
+                 forward-mode tangent replay. With a mesh, the pixel
+                 batch is sharded over all devices and GSPMD inserts
+                 the gradient all-reduce.
 
     Returns (recovered params, per-step loss history)."""
     optimizer = optax.adam(learning_rate)
@@ -170,14 +172,27 @@ def fit(
     if method == "replay":
         from rt_tpu.diff.replay import make_replay_loss_fn
 
-        if mesh is not None:
-            raise ValueError("method='replay' is single-device")
         n_pix = cfg.width * cfg.height
         pix = np.arange(n_pix, dtype=np.int32)
+        rpx = jnp.asarray(pix % cfg.width)
+        rpy = jnp.asarray(pix // cfg.width)
         tgt = jnp.asarray(np.asarray(target_image, np.float32)
                           .reshape(-1, 3))
+        if mesh is not None:
+            # GSPMD shards the replay VJP like any other computation:
+            # the pixel batch (closed over) carries the sharding, XLA
+            # propagates it through the replay loops and inserts the
+            # parameter-gradient all-reduce (tested equal to the
+            # single-device grads in test_diff).
+            if n_pix % int(np.prod(list(mesh.shape.values()))):
+                raise ValueError(
+                    "method='replay' with a mesh needs width*height "
+                    "divisible by the device count")
+            sh = pixel_sharding(mesh)
+            rpx, rpy, tgt = (jax.device_put(x, sh)
+                             for x in (rpx, rpy, tgt))
         loss_fn = make_replay_loss_fn(
-            tables, cfg, spp, px=pix % cfg.width, py=pix // cfg.width,
+            tables, cfg, spp, px=rpx, py=rpy,
             target=tgt, geom_spec=geom_spec)
 
         @jax.jit

@@ -313,3 +313,47 @@ def test_replay_geom_tangent_matches_scan_ad():
                                rtol=2e-4, atol=2e-6)
     # non-selected geometry components stay zero (like fit_fd)
     assert float(jnp.abs(g_rep["sph_center"][1:]).max()) == 0.0
+
+
+def test_replay_vjp_sharded_matches_single_device():
+    """The replay custom VJP (both the suffix adjoint and the geom_spec
+    tangent part) under a pixel batch sharded over the full 8-device
+    mesh produces the same gradients as single-device: GSPMD propagates
+    the sharding through the replay loops and inserts the parameter
+    all-reduce itself."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rt_tpu.scene.builders import cover_scene
+    from rt_tpu.diff.inverse import _device_tables
+    from rt_tpu.diff.replay import make_replay_loss_fn
+    from rt_tpu.render.renderer import render_block
+    from rt_tpu.parallel.mesh import make_mesh, SAMPLE_AXIS, TILE_AXIS
+
+    mesh = make_mesh()
+    sdef, cfg = cover_scene(width=32, height=24, spp=1, max_depth=6,
+                            grid=3)
+    tables = _device_tables(build_tables(sdef))
+    spp = 2
+    px, py = _pixel_list(cfg)
+    tgt = np.asarray(
+        render_block(tables, cfg.replace(engine="xla", loop="scan"),
+                     px, py, jnp.uint32(0), spp, jnp.uint32(cfg.seed),
+                     cfg.width, cfg.height) / spp)
+
+    params = {"tex_color": jnp.asarray(tables.tex_color),
+              "sph_center": tables.sph_center.at[0, 1].add(0.05)}
+    spec = {"sph_center": [(0, 0), (0, 1)]}
+
+    loss1 = make_replay_loss_fn(tables, cfg.replace(engine="xla"), spp,
+                                np.asarray(px), np.asarray(py), tgt,
+                                geom_spec=spec)
+    g1 = jax.jit(jax.grad(loss1))(params)
+
+    sh = NamedSharding(mesh, P((TILE_AXIS, SAMPLE_AXIS)))
+    loss8 = make_replay_loss_fn(
+        tables, cfg.replace(engine="xla"), spp,
+        jax.device_put(px, sh), jax.device_put(py, sh),
+        jax.device_put(jnp.asarray(tgt), sh), geom_spec=spec)
+    g8 = jax.jit(jax.grad(loss8))(params)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g8[k]), np.asarray(g1[k]),
+                                   rtol=1e-5, atol=1e-8)
