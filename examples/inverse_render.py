@@ -146,6 +146,31 @@ def grad_1080p_demo(args):
     print(f"1080p depth-50 grad step: loss={float(loss):.5f}, "
           f"|grad|_max={np.abs(g).max():.3e}, {dt:.1f}s (incl. compile)")
     assert np.isfinite(g).all()
+
+    # geometry components at the same scale: the tangent replay's
+    # backward runs the XLA intersector, whose per-ray candidate rows
+    # don't fit at 2M pixels — so probe geometry on a random pixel
+    # MINIBATCH (the standard stochastic inverse-rendering setup; the
+    # counter RNG keys on absolute pixel ids, so a minibatch renders
+    # exactly the same samples those pixels get in the full frame).
+    rng_np = np.random.default_rng(0)
+    sub = rng_np.choice(n_pix, size=1 << 17, replace=False)
+    sub.sort()
+    loss_geom = make_replay_loss_fn(
+        tables, cfg, spp=1,
+        px=(pix[sub] % cfg.width), py=(pix[sub] // cfg.width),
+        target=target[sub],
+        geom_spec={"sph_center": [(0, 0), (0, 1)],
+                   "sph_radius": [(0,)]})
+    gparams = {"sph_center": jnp.asarray(tables.sph_center),
+               "sph_radius": jnp.asarray(tables.sph_radius)}
+    t0 = time.time()
+    gloss, ggrads = jax.value_and_grad(loss_geom)(gparams)
+    gc = np.asarray(ggrads["sph_center"])
+    dt = time.time() - t0
+    print(f"geometry tangent step (131k-pixel minibatch, 3 components): "
+          f"|grad|_max={np.abs(gc).max():.3e}, {dt:.1f}s (incl. compile)")
+    assert np.isfinite(gc).all()
     return 0
 
 
