@@ -172,25 +172,31 @@ def fit(
     if method == "replay":
         from rt_tpu.diff.replay import make_replay_loss_fn
 
-        n_pix = cfg.width * cfg.height
-        pix = np.arange(n_pix, dtype=np.int32)
-        rpx = jnp.asarray(pix % cfg.width)
-        rpy = jnp.asarray(pix // cfg.width)
-        tgt = jnp.asarray(np.asarray(target_image, np.float32)
-                          .reshape(-1, 3))
-        if mesh is not None:
+        flat_tgt = np.asarray(target_image, np.float32).reshape(-1, 3)
+        if mesh is None:
+            n_pix = cfg.width * cfg.height
+            pix = np.arange(n_pix, dtype=np.int32)
+            rpx = jnp.asarray(pix % cfg.width)
+            rpy = jnp.asarray(pix // cfg.width)
+            tgt = jnp.asarray(flat_tgt)
+        else:
             # GSPMD shards the replay VJP like any other computation:
             # the pixel batch (closed over) carries the sharding, XLA
             # propagates it through the replay loops and inserts the
             # parameter-gradient all-reduce (tested equal to the
-            # single-device grads in test_diff).
-            if n_pix % int(np.prod(list(mesh.shape.values()))):
-                raise ValueError(
-                    "method='replay' with a mesh needs width*height "
-                    "divisible by the device count")
+            # single-device grads in test_diff). Pad to the device
+            # count the same way the "ad" branch below does.
+            n_shards = int(np.prod(list(mesh.shape.values())))
+            px_, py_, n_pix = _padded_pixel_list(cfg.width, cfg.height,
+                                                 n_shards)
+            pad = px_.shape[0] - n_pix
+            if pad:
+                flat_tgt = np.concatenate(
+                    [flat_tgt,
+                     np.broadcast_to(flat_tgt[:1], (pad, 3))])
             sh = pixel_sharding(mesh)
-            rpx, rpy, tgt = (jax.device_put(x, sh)
-                             for x in (rpx, rpy, tgt))
+            rpx, rpy, tgt = (jax.device_put(jnp.asarray(x), sh)
+                             for x in (px_, py_, flat_tgt))
         loss_fn = make_replay_loss_fn(
             tables, cfg, spp, px=rpx, py=rpy,
             target=tgt, geom_spec=geom_spec)

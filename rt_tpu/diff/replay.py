@@ -232,10 +232,25 @@ def make_replay_render(
         if bad:
             raise ValueError(
                 f"geom_spec fields must be in {GEOM_FIELDS}; got {sorted(bad)}")
+        for f, idx in _geom_flat:
+            shape = np.shape(getattr(base, f))
+            if len(idx) != len(shape) or any(
+                    not (0 <= i < s) for i, s in zip(idx, shape)):
+                # an out-of-range index would silently become a dropped
+                # one-hot scatter = a silently-zero gradient
+                raise ValueError(
+                    f"geom_spec component {f}{idx} out of bounds for "
+                    f"table shape {shape}")
 
     def _geom_tangent_basis(params):
         """One-hot tangent pytree per geom_spec direction, stacked on a
         leading K axis (zeros for every non-selected component/field)."""
+        missing = set(geom_spec) - set(params)
+        if missing:
+            raise ValueError(
+                f"geom_spec fields {sorted(missing)} are not in params "
+                "— pass them (their current table values) so the "
+                "tangent replay can perturb them")
         tans = {f: jnp.zeros((_n_dirs,) + jnp.shape(v), jnp.float32)
                 for f, v in params.items()}
         for j, (f, idx) in enumerate(_geom_flat):
@@ -336,6 +351,11 @@ def make_replay_render(
             return _replay_sample_grads(params, gs, s.astype(jnp.uint32),
                                         grads)
 
+        # NOTE: when params mix REPLAY_FIELDS and geom_spec fields, the
+        # paths are re-simulated twice (suffix adjoint + tangent loop).
+        # A shared primal sweep could feed both, but the adjoint replay
+        # wants the fast (Pallas) intersector while the tangent one
+        # needs the differentiable XLA form — kept separate.
         grads = jax.tree_util.tree_map(jnp.zeros_like, params)
         if set(params) & set(REPLAY_FIELDS):
             grads = jax.lax.fori_loop(0, spp, body, grads)
@@ -380,6 +400,10 @@ def make_replay_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int,
                 f"fields {sorted(geom_ok)} of {GEOM_FIELDS}; got "
                 f"{sorted(bad)} (use the scan path or fit_fd, or pass "
                 "geom_spec)")
+        missing = geom_ok - set(params)
+        if missing:
+            raise ValueError(
+                f"geom_spec fields {sorted(missing)} are not in params")
         img = img_fn(params)
         return jnp.mean((img - target) ** 2)
 

@@ -76,7 +76,15 @@ class FramePipeline:
     4-16 MB/s (BASELINE.md "tunnel artifact"); on a production host it
     still hides the PNG encode. If a frame's download/compute fails,
     `flush` re-renders it synchronously once (frames are idempotent —
-    the reference's recovery model, SURVEY.md §5.3)."""
+    the reference's recovery model, SURVEY.md §5.3); if that also
+    fails, the frame stays pending and the error propagates, so a
+    persistently failing frame is retried (by the next submit/flush)
+    until the driver's retry budget is spent — never silently dropped.
+
+    The wall-clock a frame spends from submit to its PNG landing is
+    reported by flush as (path, seconds); drivers log that rather than
+    timing submit (which measures the PREVIOUS frame's residual
+    compute + download, not the submitted frame's)."""
 
     def __init__(self):
         self._pending = None
@@ -84,14 +92,20 @@ class FramePipeline:
     def submit(self, tables, cfg, path):
         from rt_tpu.render.renderer import render
 
-        img = render(tables, cfg, device_out=True)
-        prev_path = self.flush()
-        self._pending = (img, tables, cfg, path)
-        return prev_path
+        img = render(tables, cfg, device_out=True)  # async dispatch
+        # flush AFTER dispatching so the previous frame's download
+        # overlaps this frame's compute. If flush raises, the old frame
+        # stays pending (retried by the next flush) and this dispatch
+        # is discarded — frames are idempotent, the driver's retry
+        # re-submits it.
+        prev = self.flush()
+        self._pending = (img, tables, cfg, path, time.time())
+        return prev
 
     def flush(self):
-        """Download + write the in-flight frame, if any. Returns its
-        path (or None)."""
+        """Download + write the in-flight frame, if any. Returns
+        (path, in_flight_seconds) or None. On failure the frame stays
+        pending (a later flush retries it) and the error propagates."""
         if self._pending is None:
             return None
         import numpy as np
@@ -99,8 +113,7 @@ class FramePipeline:
         from rt_tpu.render import film
         from rt_tpu.io.image import write_png
 
-        img, tables, cfg, path = self._pending
-        self._pending = None
+        img, tables, cfg, path, t0 = self._pending
         try:
             host = np.asarray(img)
         except Exception:
@@ -108,10 +121,19 @@ class FramePipeline:
             host = render(tables, cfg)  # sync retry
         write_png(path, film.finalize(host, cfg.samples_per_pixel,
                                       gamma=True))
-        return path
+        self._pending = None
+        return path, time.time() - t0
 
 
-def _render_frame(tables, cfg, path, progress=False, pipeline=None):
+def _log_done(done):
+    """Print a completed pipelined frame's wall-clock (submit -> PNG)."""
+    if done is not None:
+        print(f"wrote {os.path.basename(done[0])}: {done[1]:.2f}s "
+              "in flight", flush=True)
+
+
+def _render_frame(tables, cfg, path, progress=False, pipeline=None,
+                  t0=None):
     import jax
 
     from rt_tpu.render import film
@@ -124,12 +146,17 @@ def _render_frame(tables, cfg, path, progress=False, pipeline=None):
         # sample-axis size), not the requested one
         img, spp = render_sharded_ex(tables, cfg)
     elif pipeline is not None:
-        pipeline.submit(tables, cfg, path)
+        # async: the line printed here is the PREVIOUS frame completing
+        # (timing this call would measure the wrong frame's work)
+        _log_done(pipeline.submit(tables, cfg, path))
         return
     else:
         from rt_tpu.render.renderer import render
         img = render(tables, cfg, progress=progress)
     write_png(path, film.finalize(img, spp, gamma=True))
+    if t0 is not None:
+        print(f"wrote {os.path.basename(path)}: "
+              f"{time.time() - t0:.2f}s", flush=True)
 
 
 def run_blue(args) -> int:
@@ -164,13 +191,11 @@ def run_blue(args) -> int:
         # the frame config overrides the parsed scene's dimensions:
         # re-derive the camera for the new aspect (SceneDef.resize)
         sdef.resize(args.width, args.height)
-        t0 = time.time()
         _with_retries(args, lambda: _render_frame(
             build_tables(sdef), cfg,
             os.path.join(args.outdir, f"frame_{i:04d}.png"),
-            pipeline=pipe), i)
-        print(f"frame {i}: {time.time() - t0:.2f}s", flush=True)
-    pipe.flush()
+            pipeline=pipe, t0=time.time()), i)
+    _log_done(pipe.flush())
     return 0
 
 
@@ -189,13 +214,11 @@ def run_dna(args) -> int:
                               width=args.width, height=args.height,
                               spp=args.spp, max_depth=args.max_depth)
         cfg = _frame_cfg(args, cfg)
-        t0 = time.time()
         _with_retries(args, lambda: _render_frame(
             build_tables(sdef), cfg,
             os.path.join(args.outdir, f"frame_{i:04d}.png"),
-            pipeline=pipe), i)
-        print(f"frame {i}: {time.time() - t0:.2f}s", flush=True)
-    pipe.flush()
+            pipeline=pipe, t0=time.time()), i)
+    _log_done(pipe.flush())
     print(f"total: {time.time() - t_all:.2f}s")
     return 0
 
@@ -219,12 +242,10 @@ def run_points(args) -> int:
                                max_depth=args.max_depth, points=pts,
                                texture_path=getattr(args, "texture", None))
         cfg = _frame_cfg(args, cfg)
-        t0 = time.time()
         _render_frame(build_tables(sdef), cfg,
                       os.path.join(args.outdir, f"out{i}.png"),
-                      pipeline=pipe)
-        print(f"frame {i}: {time.time() - t0:.2f}s", flush=True)
-    pipe.flush()
+                      pipeline=pipe, t0=time.time())
+    _log_done(pipe.flush())
     return 0
 
 
@@ -249,13 +270,11 @@ def run_dolly(args) -> int:
         sdef.set_camera(lookfrom=(0, y, z), lookat=(0, 0.6, 0),
                         vup=(0, 1, 0), vfov_deg=60.0, aperture=0.0)
         cfg = _frame_cfg(args, cfg)
-        t0 = time.time()
         _with_retries(args, lambda: _render_frame(
             build_tables(sdef), cfg,
             os.path.join(args.outdir, f"dolly_{i:04d}.png"),
-            pipeline=pipe), i)
-        print(f"frame {i}: {time.time() - t0:.2f}s", flush=True)
-    pipe.flush()
+            pipeline=pipe, t0=time.time()), i)
+    _log_done(pipe.flush())
     return 0
 
 

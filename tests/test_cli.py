@@ -207,14 +207,54 @@ def test_frame_pipeline_matches_sync(tmp_path):
         tables = build_tables(sdef)
         p = tmp_path / f"pipe_{i}.png"
         prev = pipe.submit(tables, cfg, str(p))
-        assert (prev is None) if i == 0 else prev.endswith(f"pipe_{i-1}.png")
+        if i == 0:
+            assert prev is None
+        else:
+            assert prev[0].endswith(f"pipe_{i-1}.png") and prev[1] >= 0.0
         sync = film.finalize(render(tables, cfg), cfg.samples_per_pixel,
                              gamma=True)
         write_png(str(tmp_path / f"sync_{i}.png"), sync)
         paths.append(p)
-    assert pipe.flush().endswith("pipe_2.png")
+    assert pipe.flush()[0].endswith("pipe_2.png")
     assert pipe.flush() is None
     for i, p in enumerate(paths):
         a = read_png(str(p))
         b = read_png(str(tmp_path / f"sync_{i}.png"))
         np.testing.assert_array_equal(a, b)
+
+
+def test_frame_pipeline_failure_keeps_frame_pending(tmp_path, monkeypatch):
+    """A frame whose download AND sync re-render both fail stays
+    pending (error propagates, frame is NOT silently dropped); once the
+    fault clears, the next flush writes it."""
+    from rt_tpu.drivers import animate
+    from rt_tpu.drivers.animate import FramePipeline
+    from rt_tpu.scene.builders import three_sphere_scene
+    from rt_tpu.scene.types import build_tables
+    import rt_tpu.render.renderer as renderer_mod
+
+    sdef, cfg = three_sphere_scene(width=24, height=16, spp=2, max_depth=3)
+    tables = build_tables(sdef)
+    pipe = FramePipeline()
+    p = tmp_path / "f0.png"
+    assert pipe.submit(tables, cfg, str(p)) is None
+
+    class Poison:
+        def __array__(self, *a, **k):
+            raise RuntimeError("download failed")
+
+    good_img, *rest = pipe._pending
+    pipe._pending = (Poison(), *rest)
+    real_render = renderer_mod.render
+
+    def broken_render(*a, **k):
+        raise RuntimeError("device failed")
+
+    monkeypatch.setattr(renderer_mod, "render", broken_render)
+    with pytest.raises(RuntimeError):
+        pipe.flush()
+    assert pipe._pending is not None  # frame retained, not dropped
+    monkeypatch.setattr(renderer_mod, "render", real_render)
+    done = pipe.flush()  # sync re-render path succeeds now
+    assert done[0].endswith("f0.png") and p.exists()
+    assert pipe.flush() is None

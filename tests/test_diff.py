@@ -357,3 +357,26 @@ def test_replay_vjp_sharded_matches_single_device():
     for k in g1:
         np.testing.assert_allclose(np.asarray(g8[k]), np.asarray(g1[k]),
                                    rtol=1e-5, atol=1e-8)
+
+
+def test_fit_replay_mesh_pads_nondivisible_pixels():
+    """fit(method='replay', mesh=...) pads a pixel count that does not
+    divide the device count (like the 'ad' branch) instead of raising."""
+    from rt_tpu.parallel.mesh import make_mesh
+    from rt_tpu.render.renderer import render
+
+    sdef, cfg = _tiny_scene(albedo=(0.7, 0.2, 0.4))
+    cfg = cfg.replace(width=25, height=15, loop="while")  # 375 % 8 != 0
+    sdef.resize(25, 15)
+    tables = build_tables(sdef)
+    target = render(tables, cfg) / cfg.samples_per_pixel
+
+    wrong_sdef, _ = _tiny_scene(albedo=(0.3, 0.5, 0.1))
+    wrong_sdef.resize(25, 15)
+    recovered, history = fit(
+        build_tables(wrong_sdef), cfg, target, fields=("tex_color",),
+        spp=2, steps=25, learning_rate=8e-2, method="replay",
+        mesh=make_mesh())
+    assert history[-1] < history[0]
+    assert np.allclose(recovered["tex_color"][0], (0.7, 0.2, 0.4),
+                       atol=0.15)
