@@ -47,7 +47,11 @@ def main():
     from rt_tpu.render.renderer import render
 
     width, height, depth = 1920, 1080, 50
-    spp_timed = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    # 16 samples = exactly one full launch at rays_per_batch 1<<25:
+    # per-launch overhead fully amortized (148.9 ms/sample vs 162 at
+    # spp 4, BASELINE.md round-2 north-star section), and the same
+    # per-sample rate holds steady through 500-spp production frames
+    spp_timed = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 
     sdef, cfg = cover_scene(width=width, height=height, spp=spp_timed,
                             max_depth=depth)
