@@ -117,6 +117,11 @@ def make_replay_render(
         else:
             bwd_engine = cfg.engine
     bcfg = cfg.replace(engine=bwd_engine, loop="while")
+    # the per-sample radiance L needs no AD — run it on the FAST forward
+    # engine (the megakernel on TPU); only the per-bounce replay needs
+    # the hybrid/XLA intersector's hit records
+    lcfg = (cfg if cfg.engine == "mega"
+            and jax.default_backend() == "tpu" else bcfg)
 
     px = jnp.asarray(px, jnp.int32)
     py = jnp.asarray(py, jnp.int32)
@@ -149,7 +154,7 @@ def make_replay_render(
         ro, rd, sample = _rays(tbl, s)
         # per-sample radiance for the suffix identity — recomputed, not
         # stored (the forward pass keeps no per-sample residuals)
-        L = trace(tbl, bcfg, ro, rd, pixel, sample, seed)
+        L = trace(tbl, lcfg, ro, rd, pixel, sample, seed)
 
         def cond(carry):
             i, o, d, P, C, alive, gr = carry
