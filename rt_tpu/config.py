@@ -53,7 +53,7 @@ class RenderConfig:
     # megakernel stream compaction: split the bounce loop into segments
     # and pack live rays between segments so dead 2048-lane kernel tiles
     # short-circuit. >0 = fixed segment length; -1 = auto geometric
-    # schedule [1,1,2,4,8,...] matched to the front-loaded death curve;
+    # schedule [1,2,4,8,...] matched to the front-loaded death curve;
     # 0 = off. Compaction granularity is compact_group consecutive rays
     # (group-row gathers are ~60x cheaper than per-element row gathers).
     compact_every: int = 0

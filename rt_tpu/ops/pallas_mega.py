@@ -109,11 +109,10 @@ _T_E1 = 18  # v2-v1
 _T_E2 = 21  # v3-v2
 _T_E3 = 24  # v1-v3
 _T_D0, _T_VALID = 27, 28   # d0 = dot(v1, n)
-_T_UV1 = 29  # 29,30
-_T_UV2 = 31
-_T_UV3 = 33
-_T_INVA2 = 35  # 1/|cross(e1, v3-v1)| (barycentric normalizer)
-_T_COLS = 64
+# triangle UVs + the barycentric normalizer live ONLY in the separate
+# 17-col UV table (triangle_uv_table) the winner extraction pulls from;
+# duplicating them here doubled the VMEM-resident triangle table
+_T_COLS = 32
 
 # family-specific UV parameter block (built only for image-texture
 # scenes): one [N, 17] table per family, extracted for the winner by the
@@ -253,12 +252,6 @@ def triangle_table(tables: SceneTables) -> jnp.ndarray:
     cols = cols.at[:, _T_D0].set((v1 * n0).sum(-1))
     cols = cols.at[:, _T_VALID].set(
         (tables.tri_obj >= 0).astype(jnp.float32))
-    cols = cols.at[:, _T_UV1:_T_UV1 + 2].set(tables.tri_uv1)
-    cols = cols.at[:, _T_UV2:_T_UV2 + 2].set(tables.tri_uv2)
-    cols = cols.at[:, _T_UV3:_T_UV3 + 2].set(tables.tri_uv3)
-    area2 = jnp.linalg.norm(jnp.cross(v2 - v1, v3 - v1), axis=-1)
-    cols = cols.at[:, _T_INVA2].set(
-        1.0 / jnp.where(area2 > 0.0, area2, 1.0))
     return cols
 
 
@@ -295,7 +288,6 @@ def sort_spheres_morton(sph_tab, chunk: int):
     order on measure-zero exact ties (same class of deviation as the
     BVH's first-hit-wins, accel/bvh.py docstring)."""
     c = sph_tab[:, _X_V:_X_V + 3]
-    r = jnp.abs(sph_tab[:, _X_RAD])
     valid = sph_tab[:, _S_VALID] > 0.0
     vbig = jnp.where(valid[:, None], c, jnp.inf)
     vsmall = jnp.where(valid[:, None], c, -jnp.inf)
@@ -720,7 +712,13 @@ def _make_do_bounce(seed, pix, background,
             # direction scale: slab t is in |d| units like candidate t
             box_hit = live & (tf >= jnp.maximum(tn, t_min)) \
                 & (tn <= t_best_cur)
-            return jnp.max(jnp.where(box_hit, 1.0, 0.0)) > 0.0
+            # all-invalid chunks carry an empty (+inf,-inf) box, which
+            # the near/far swap above would flip to (-inf,+inf) and
+            # always pass — gate on the box being nonempty so padded
+            # tail chunks actually cond-skip
+            nonempty = bounds[0] <= bounds[3]
+            return nonempty & (jnp.max(jnp.where(box_hit, 1.0, 0.0))
+                               > 0.0)
 
         def sph_body(k, carry):
             if not cull:
@@ -1354,7 +1352,8 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
     (ox,oy,oz, dx,dy,dz, tpr,tpg,tpb, cr,cg,cb, alive). Returns the
     updated tuple. start_bounce offsets the RNG bounce coordinate so a
     chunked trace draws exactly the same stream as a single-segment one.
-    counts = (padded sphere rows or 0, rect rows or 0, cyl rows or 0):
+    counts = (padded sphere rows or 0, rect rows or 0, cyl rows or 0,
+    triangle rows or 0):
     zero disables that family's chunk loop at trace time."""
     b = state[0].shape[0]
     ns, nr, ny_, nt = counts
@@ -1675,7 +1674,7 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
         if cfg.max_depth % ce:
             schedule.append(cfg.max_depth % ce)
     else:
-        # auto (-1): geometric early-heavy schedule [1,1,2,4,8,...] —
+        # auto (-1): geometric early-heavy schedule [1,2,4,8,...] —
         # the death curve front-loads (measured cover@1080p: 83% of rays
         # survive bounce 0, 3% bounce 5), so compactions concentrate
         # where live-count still drops fast, and segment count stays

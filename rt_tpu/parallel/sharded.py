@@ -24,7 +24,7 @@ which is what makes the multi-chip path testable on a CPU mesh.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import numpy as np
@@ -72,6 +72,35 @@ def render_sharded(
     return img
 
 
+@lru_cache(maxsize=64)
+def _sharded_step(mesh: Mesh, cfg: RenderConfig, spp_local: int,
+                  n_samples: int):
+    """Jitted SPMD render step, memoized across calls: without this,
+    every render_sharded_ex call (one per animation frame) would build
+    a fresh closure and pay a full retrace + XLA compile of the whole
+    sharded step including the megakernel."""
+    w, h = cfg.width, cfg.height
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(TILE_AXIS), P(TILE_AXIS), P()),
+        out_specs=P(TILE_AXIS),
+        check_vma=False,
+    )
+    def step(tbl, pxs, pys, sample_start):
+        # sample-axis offset: device k renders global sample indices
+        # sample_start + k*spp_local + [0, n_samples)
+        k = jax.lax.axis_index(SAMPLE_AXIS)
+        start = sample_start + k.astype(jnp.uint32) * jnp.uint32(spp_local)
+        acc = render_block(tbl, cfg, pxs, pys, start, n_samples,
+                           jnp.uint32(cfg.seed), w, h)
+        return jax.lax.psum(acc, SAMPLE_AXIS)
+
+    return step
+
+
 def render_sharded_ex(
     tables: SceneTables,
     cfg: RenderConfig,
@@ -108,34 +137,12 @@ def render_sharded_ex(
         lambda a: _global_put(np.asarray(a), NamedSharding(mesh, P())),
         tables)  # replicate scene
 
-    def make_step(n_samples: int):
-        @jax.jit
-        @partial(
-            shard_map,
-            mesh=mesh,
-            in_specs=(P(), P(TILE_AXIS), P(TILE_AXIS), P()),
-            out_specs=P(TILE_AXIS),
-            check_vma=False,
-        )
-        def step(tbl, pxs, pys, sample_start):
-            # sample-axis offset: device k renders global sample indices
-            # sample_start + k*spp_local + [0, n_samples)
-            k = jax.lax.axis_index(SAMPLE_AXIS)
-            start = sample_start + k.astype(jnp.uint32) * jnp.uint32(spp_local)
-            acc = render_block(tbl, cfg, pxs, pys, start, n_samples,
-                               jnp.uint32(cfg.seed), w, h)
-            return jax.lax.psum(acc, SAMPLE_AXIS)
-
-        return step
-
-    steps = {}
     acc = None
     s = 0
     while s < spp_local:
         k = min(samples_per_launch, spp_local - s)
-        if k not in steps:
-            steps[k] = make_step(int(k))
-        part = steps[k](tables_d, px_d, py_d, jnp.uint32(s))
+        step = _sharded_step(mesh, cfg, spp_local, int(k))
+        part = step(tables_d, px_d, py_d, jnp.uint32(s))
         acc = part if acc is None else acc + part
         s += k
         if progress:

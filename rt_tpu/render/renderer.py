@@ -75,7 +75,7 @@ def _block_order(w: int, h: int, bx: int = 64, by: int = 32):
     return px_all[order], py_all[order], pix[order]
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=4096)  # >= tiles/frame even at 8K frames
 def _device_tile(w: int, h: int, tile: int, ti: int):
     px_all, py_all, _ = _block_order(w, h)
     n_tiles = -(-(w * h) // tile)
@@ -124,8 +124,6 @@ def render(tables: SceneTables, cfg: RenderConfig,
         tile = min(n_pix, cfg.rays_per_batch)
     elif samples_per_launch is None:
         samples_per_launch = max(1, min(spp, cfg.rays_per_batch // max(n_pix, 1)))
-        if samples_per_launch == 0:
-            samples_per_launch = 1
     if not use_regen:
         tile = min(n_pix, max(1, cfg.rays_per_batch // samples_per_launch))
     # pixel list is padded to a multiple of tile for a single jit
@@ -134,7 +132,6 @@ def render(tables: SceneTables, cfg: RenderConfig,
 
     acc = None if device_out else np.zeros((n_tiles * tile, 3), np.float32)
     parts = []
-    out = np.zeros((n_pix, 3), np.float32)
     seed = np.uint32(cfg.seed)
     for ti in range(n_tiles):
         # cached device tiles: re-uploading 2x8 MB per frame through the
@@ -167,6 +164,7 @@ def render(tables: SceneTables, cfg: RenderConfig,
     if device_out:
         full = parts[0] if n_tiles == 1 else jnp.concatenate(parts, axis=0)
         return _device_unpermute(w, h)(full)
+    out = np.zeros((n_pix, 3), np.float32)
     out[pix] = acc[:n_pix]  # undo the block ordering
     return out.reshape(h, w, 3)
 
