@@ -385,3 +385,71 @@ def test_regen_shrink_plan_and_guard():
     f3 = np.asarray(render(tables, c))
     np.testing.assert_array_equal(f3, ref)
     pm._shrink_plans.clear()
+
+
+def test_mega_random_scene_fuzz():
+    """Property test: randomized scenes mixing every primitive family,
+    material, and texture kind must render the same on the megakernel
+    and the XLA engine. Catches corner-case interactions the curated
+    scene tests don't reach (hollow spheres next to cylinders, lights
+    on rects, image textures on random primitives, ...)."""
+    import random
+
+    tex = np.zeros((8, 8, 3), np.float32)
+    tex[::2, ::2] = (1.0, 0.5, 0.0)
+    tex[1::2, 1::2] = (0.0, 0.5, 1.0)
+
+    for trial in range(4):
+        rnd = random.Random(1000 + trial)
+        s = SceneDef(width=48, height=32, samples_per_pixel=2, max_depth=6,
+                     background=(0.4, 0.5, 0.6))
+
+        def rand_material():
+            kind = rnd.randrange(5)
+            c = tuple(rnd.uniform(0.1, 0.9) for _ in range(3))
+            if kind == 0:
+                return s.add_lambertian_color(c)
+            if kind == 1:
+                return s.add_metal(c, rnd.uniform(0.0, 0.8))
+            if kind == 2:
+                return s.add_dielectric(rnd.uniform(1.1, 2.0))
+            if kind == 3:
+                return s.add_diffuse_light_color(
+                    tuple(x * 3 for x in c))
+            return s.add_lambertian(s.add_image_texture(tex))
+
+        for _ in range(rnd.randrange(3, 8)):
+            p = rnd.randrange(4)
+            pos = (rnd.uniform(-2, 2), rnd.uniform(-1, 1.5),
+                   rnd.uniform(-4, -1.5))
+            if p == 0:
+                r = rnd.uniform(0.2, 0.8)
+                if rnd.random() < 0.25:  # hollow-glass inner shell
+                    m = s.add_dielectric(1.5)
+                    s.add_sphere(pos, r, m)
+                    s.add_sphere(pos, -0.8 * r, m)
+                else:
+                    s.add_sphere(pos, r, rand_material())
+            elif p == 1:
+                lo0, lo1 = rnd.uniform(-2, 0), rnd.uniform(-1, 0)
+                s.add_rect("xy_rect", lo0, lo0 + rnd.uniform(0.5, 2),
+                           lo1, lo1 + rnd.uniform(0.5, 2),
+                           rnd.uniform(-4, -2), rand_material())
+            elif p == 2:
+                s.add_cylinder(rnd.uniform(0.2, 0.6),
+                               rnd.uniform(-1, 0), rnd.uniform(0.5, 1.5),
+                               rand_material(),
+                               rotate=((0, 1, 0), rnd.uniform(0, 360)),
+                               translate=pos)
+            else:
+                def pt():
+                    return (rnd.uniform(-2, 2), rnd.uniform(-1, 1.5),
+                            rnd.uniform(-4, -1.5))
+                s.add_triangle(pt(), pt(), pt(), rand_material())
+        s.add_sphere((0, -100.8, -2), 100,
+                     s.add_lambertian_color((0.5, 0.5, 0.5)))
+        s.set_camera(lookfrom=(0, 0.3, 2), lookat=(0, 0, -2),
+                     vup=(0, 1, 0), vfov_deg=50.0, aperture=0.0)
+        cfg = RenderConfig(width=48, height=32, samples_per_pixel=2,
+                           max_depth=6)
+        _compare(s, cfg, outlier_frac=0.02)
