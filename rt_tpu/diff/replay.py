@@ -91,6 +91,7 @@ def make_replay_render(
     py,
     bwd_engine: Optional[str] = None,
     geom_spec: Optional[Dict[str, Sequence[tuple]]] = None,
+    bwd_depth: Optional[int] = None,
 ):
     """Build img_fn(params) -> mean radiance [B,3] with a path-replay VJP.
 
@@ -108,7 +109,15 @@ def make_replay_render(
     all K directions); the geometry backward therefore runs the XLA
     intersector (the Pallas kernels are forward-only) and costs
     O(B * K) tangent memory. Components NOT listed get zero gradient
-    rows (like fit_fd); fields in geom_spec must be in params."""
+    rows (like fit_fd); fields in geom_spec must be in params.
+
+    bwd_depth truncates BOTH replays (not the forward) at that bounce:
+    adjoint mass beyond bounce b decays with the throughput product, so
+    truncation bias is tiny (measured cover scene: replaying 8 of 50
+    bounces changes the gradient by ~0.4%) while backward cost drops
+    roughly in proportion. None (default) replays to cfg.max_depth —
+    exact. With truncation the exhaust-to-background credit is skipped
+    (truncated lanes are not exhausted)."""
     base = _device_tables(tables)
     width, height = cfg.width, cfg.height
     if bwd_engine is None:
@@ -122,6 +131,11 @@ def make_replay_render(
     # the hybrid/XLA intersector's hit records
     lcfg = (cfg if cfg.engine == "mega"
             and jax.default_backend() == "tpu" else bcfg)
+    depth_bwd = (min(int(bwd_depth), cfg.max_depth) if bwd_depth
+                 else cfg.max_depth)
+    # exhaust credit is only correct when the replay reaches full depth
+    exhaust_bwd = (cfg.exhaust_mode == "background"
+                   and depth_bwd == cfg.max_depth)
 
     px = jnp.asarray(px, jnp.int32)
     py = jnp.asarray(py, jnp.int32)
@@ -158,7 +172,7 @@ def make_replay_render(
 
         def cond(carry):
             i, o, d, P, C, alive, gr = carry
-            return (i < cfg.max_depth) & jnp.any(alive)
+            return (i < depth_bwd) & jnp.any(alive)
 
         def body(carry):
             i, o, d, P, C, alive, gr = carry
@@ -219,7 +233,7 @@ def make_replay_render(
         (_, o, d, P, C, alive, grads) = jax.lax.while_loop(
             cond, body, carry0)
 
-        if cfg.exhaust_mode == "background":
+        if exhaust_bwd:
             # depth-exhausted lanes credit the sky: one more vjp step
             def h2(pp):
                 return background_color(apply_params(base, pp), cfg, d)
@@ -276,7 +290,7 @@ def make_replay_render(
 
         def cond(carry):
             i, o, d, P, C, alive, tst = carry
-            return (i < cfg.max_depth) & jnp.any(alive)
+            return (i < depth_bwd) & jnp.any(alive)
 
         def body(carry):
             i, o, d, P, C, alive, (to, td, tP, tC) = carry
@@ -330,7 +344,7 @@ def make_replay_render(
         (_, o, d, P, C, alive, (to, td, tP, tC)) = jax.lax.while_loop(
             cond, body, carry0)
 
-        if cfg.exhaust_mode == "background":
+        if exhaust_bwd:
             def f2(d, P, C, pp):
                 bg = background_color(apply_params(base, pp), cfg, d)
                 return C + jnp.where(alive[:, None], P * bg, 0.0)
@@ -387,13 +401,16 @@ def make_replay_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int,
                         px, py, target,
                         bwd_engine: Optional[str] = None,
                         geom_spec: Optional[Dict[str, Sequence[tuple]]]
-                        = None):
+                        = None,
+                        bwd_depth: Optional[int] = None):
     """(params) -> scalar MSE against target rows [B,3], with the replay
     VJP underneath. jax.grad of this runs in O(B) memory at any depth.
     Geometry/fuzz/IOR components listed in geom_spec get forward-mode
-    tangent-replay gradients (see make_replay_render)."""
+    tangent-replay gradients; bwd_depth truncates the replays for a
+    ~proportional backward speedup at ~0.4% gradient bias (see
+    make_replay_render)."""
     img_fn = make_replay_render(tables, cfg, spp, px, py, bwd_engine,
-                                geom_spec=geom_spec)
+                                geom_spec=geom_spec, bwd_depth=bwd_depth)
     target = jnp.asarray(target, jnp.float32)
     geom_ok = set(geom_spec) if geom_spec else set()
 

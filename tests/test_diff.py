@@ -380,3 +380,38 @@ def test_fit_replay_mesh_pads_nondivisible_pixels():
     assert history[-1] < history[0]
     assert np.allclose(recovered["tex_color"][0], (0.7, 0.2, 0.4),
                        atol=0.15)
+
+
+def test_replay_bwd_depth_truncation_is_small_bias():
+    """bwd_depth truncates the replays only: gradients stay within a
+    small relative distance of the exact full-depth replay (adjoint
+    mass decays with the throughput product), and the forward value is
+    bit-identical."""
+    from rt_tpu.scene.builders import cover_scene
+    from rt_tpu.diff.inverse import _device_tables
+    from rt_tpu.diff.replay import make_replay_loss_fn
+
+    sdef, cfg = cover_scene(width=48, height=32, spp=1, max_depth=24,
+                            grid=3)
+    tables = _device_tables(build_tables(sdef))
+    px, py = _pixel_list(cfg)
+    tgt = np.zeros((px.shape[0], 3), np.float32)
+    params = {"tex_color": jnp.asarray(tables.tex_color),
+              "sph_center": jnp.asarray(tables.sph_center)}
+    spec = {"sph_center": [(0, 1)]}
+
+    exact_fn = make_replay_loss_fn(tables, cfg, 2, np.asarray(px),
+                                   np.asarray(py), tgt, geom_spec=spec)
+    trunc_fn = make_replay_loss_fn(tables, cfg, 2, np.asarray(px),
+                                   np.asarray(py), tgt, geom_spec=spec,
+                                   bwd_depth=8)
+    (l_e, g_e) = jax.value_and_grad(exact_fn)(params)
+    (l_t, g_t) = jax.value_and_grad(trunc_fn)(params)
+    assert float(l_e) == float(l_t)  # forward untouched
+    a = np.asarray(g_e["tex_color"]).ravel()
+    b = np.asarray(g_t["tex_color"]).ravel()
+    rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-12)
+    assert rel < 0.02, rel
+    ga = float(g_e["sph_center"][0, 1])
+    gb = float(g_t["sph_center"][0, 1])
+    assert abs(ga - gb) <= 1e-8 + 0.05 * abs(ga), (ga, gb)
