@@ -146,6 +146,7 @@ def fit(
     init_params: Optional[Dict[str, jax.Array]] = None,
     method: str = "ad",
     geom_spec: Optional[Dict[str, Sequence[tuple]]] = None,
+    bwd_depth: Optional[int] = None,
 ) -> Tuple[Dict[str, np.ndarray], list]:
     """Inverse-rendering loop: recover `fields` of the scene from a
     target mean-radiance image [H,W,3] (row 0 = bottom scanline).
@@ -199,7 +200,7 @@ def fit(
                              for x in (px_, py_, flat_tgt))
         loss_fn = make_replay_loss_fn(
             tables, cfg, spp, px=rpx, py=rpy,
-            target=tgt, geom_spec=geom_spec)
+            target=tgt, geom_spec=geom_spec, bwd_depth=bwd_depth)
 
         @jax.jit
         def step(params, opt_state):
