@@ -59,12 +59,19 @@ def main():
                     help="demonstrate one full-HD gradient step via path "
                          "replay (impossible with O(B*depth) scan "
                          "residuals)")
+    ap.add_argument("--joint-1080p", action="store_true",
+                    help="BASELINE.json config #5 at full HD: jointly "
+                         "recover a sphere's albedo (path-replay VJP) "
+                         "AND its position (batched CRN finite "
+                         "differences) from a 1920x1080 target")
     ap.add_argument("--material-geom", action="store_true",
                     help="recover metal fuzz + dielectric IOR via the "
                          "forward-mode tangent replay (O(B) memory)")
     args = ap.parse_args()
     if args.position:
         return position_demo()
+    if args.joint_1080p:
+        return joint_1080p_demo(args)
     if args.grad_1080p:
         return grad_1080p_demo(args)
     if args.material_geom:
@@ -236,6 +243,91 @@ def material_geom_demo(args):
     print(f"ior:  {got_i:.4f} (true {true_ior}, init 1.1)")
     return 0 if (abs(got_f - true_fuzz) < 0.05
                  and abs(got_i - true_ior) < 0.1) else 1
+
+
+def joint_1080p_demo(args):
+    """BASELINE.json config #5 at the literal production resolution:
+    recover a sphere's ALBEDO and 2D POSITION jointly from a 1920x1080
+    target image. The albedo gradient comes from the path-replay custom
+    VJP (O(B) memory; forward on the megakernel when on TPU); the
+    position gradient comes from batched common-random-numbers central
+    differences — the only estimator that captures the silhouette
+    boundary term that dominates position sensitivity. Both run inside
+    ONE jitted Adam step (diff/inverse.fit_hybrid). The reference
+    renderer (all five implementations) has no gradients of any kind."""
+    import time
+
+    import jax
+
+    from rt_tpu.diff.inverse import fit_hybrid
+
+    w, h = 1920, 1080
+    true_x, true_y = 0.25, 0.05
+    true_albedo = (0.7, 0.15, 0.35)
+
+    def make(cx, cy, albedo):
+        s = SceneDef(width=w, height=h, samples_per_pixel=4, max_depth=8,
+                     background=(0.7, 0.8, 1.0))
+        s.add_sphere((cx, cy, -1.2), 0.5, s.add_lambertian_color(albedo))
+        s.add_sphere((-1.1, 0, -1.6), 0.5,
+                     s.add_metal((0.8, 0.75, 0.7), 0.05))
+        s.add_sphere((0, -100.5, -1), 100,
+                     s.add_lambertian_color((0.55, 0.6, 0.5)))
+        s.set_camera((0, 0.35, 1), (0, 0, -1.2), (0, 1, 0), 50, 0.0)
+        cfg = RenderConfig(width=w, height=h, samples_per_pixel=4,
+                           max_depth=8, background_mode="gradient",
+                           loop="while",
+                           engine=("mega" if jax.default_backend() == "tpu"
+                                   else "xla"))
+        return s, cfg
+
+    outdir = args.outdir
+    os.makedirs(outdir, exist_ok=True)
+    sdef_t, cfg = make(true_x, true_y, true_albedo)
+    t0 = time.perf_counter()
+    tgt_cfg = cfg.replace(samples_per_pixel=32)
+    target = render(build_tables(sdef_t), tgt_cfg) / 32.0
+    print(f"target 1920x1080 spp32: {time.perf_counter() - t0:.1f}s")
+    write_png(os.path.join(outdir, "joint_target.png"),
+              film.finalize(np.asarray(target), 1, gamma=True))
+
+    sdef_w, _ = make(-0.35, -0.15, (0.25, 0.5, 0.45))
+    tables_w = build_tables(sdef_w)
+    before = render(tables_w, cfg) / cfg.samples_per_pixel
+    write_png(os.path.join(outdir, "joint_before.png"),
+              film.finalize(np.asarray(before), 1, gamma=True))
+
+    t0 = time.perf_counter()
+    rec, hist = fit_hybrid(tables_w, cfg, np.asarray(target),
+                           replay_fields=("tex_color",),
+                           fd_params={"sph_center": [(0, 0), (0, 1)]},
+                           spp=args.spp, fd_spp=2,
+                           steps=args.steps, learning_rate=3e-2)
+    dt = time.perf_counter() - t0
+    print(f"{args.steps} joint steps at 1080p: {dt:.1f}s "
+          f"({dt / args.steps:.2f}s/step)")
+    print(f"loss: {hist[0]:.6f} -> {hist[-1]:.7f}")
+    cx, cy = float(rec["sph_center"][0, 0]), float(rec["sph_center"][0, 1])
+    alb = rec["tex_color"][0]
+    print(f"center: ({cx:.4f}, {cy:.4f})  true ({true_x}, {true_y}), "
+          f"init (-0.35, -0.15)")
+    print(f"albedo: {np.round(alb, 3)}  true {true_albedo}")
+
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    tables_rec = dataclasses.replace(
+        jax.tree_util.tree_map(jnp.asarray, tables_w),
+        tex_color=jnp.asarray(rec["tex_color"], jnp.float32),
+        sph_center=jnp.asarray(rec["sph_center"], jnp.float32))
+    after = render(tables_rec, cfg) / cfg.samples_per_pixel
+    write_png(os.path.join(outdir, "joint_after.png"),
+              film.finalize(np.asarray(after), 1, gamma=True))
+    print(f"wrote {outdir}/joint_{{target,before,after}}.png")
+    pos_err = max(abs(cx - true_x), abs(cy - true_y))
+    alb_err = float(np.abs(alb - np.asarray(true_albedo)).max())
+    return 0 if (pos_err < 0.05 and alb_err < 0.08) else 1
 
 
 def position_demo():

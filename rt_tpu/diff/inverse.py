@@ -340,3 +340,100 @@ def fit_fd(
         params, opt_state, base = step(params, opt_state)
         history.append(float(base))
     return {k2: np.asarray(v) for k2, v in params.items()}, history
+
+
+def fit_hybrid(
+    tables: SceneTables,
+    cfg: RenderConfig,
+    target_image: np.ndarray,
+    replay_fields: Sequence[str] = ("tex_color",),
+    fd_params=None,
+    spp: int = 4,
+    fd_spp: Optional[int] = None,
+    steps: int = 60,
+    learning_rate: float = 3e-2,
+    eps: float = 2e-2,
+    bwd_depth: Optional[int] = None,
+) -> Tuple[Dict[str, np.ndarray], list]:
+    """Joint radiometric + geometry recovery in ONE Adam loop
+    (BASELINE.json config #5: "recover albedo + sphere positions from
+    target image").
+
+    Two estimators, one step, both O(B) memory:
+      - `replay_fields` (albedo/emission/background) get the path-replay
+        custom VJP (diff/replay.py) — analytic suffix adjoint, forward
+        on cfg.engine (megakernel on TPU).
+      - `fd_params` geometry components ({field: [component_idx, ...]},
+        e.g. {"sph_center": [(0, 0), (0, 1)]}) get common-random-numbers
+        central differences: detached-sampling AD drops the silhouette
+        boundary term that DOMINATES position sensitivity (see fit_fd),
+        so positions need FD; all 2K probes render batched on-device
+        under one `lax.map`, noise cancelling exactly because the
+        counter RNG gives +eps/-eps probes identical sample streams.
+
+    The geometry fields ride the replay forward via a zero-direction
+    geom_spec (their gradient rows come back zero and are overwritten by
+    the FD estimates), so both estimators always see the SAME current
+    parameter vector. One jit per step, one scalar readback.
+
+    The reference has no gradients of any kind; this subsystem is the
+    capability BASELINE.json's north star adds on top of parity."""
+    from rt_tpu.diff.replay import make_replay_loss_fn
+
+    fd_params = dict(fd_params or {})
+    fd_spp = spp if fd_spp is None else fd_spp
+    tables = _device_tables(tables)
+    optimizer = optax.adam(learning_rate)
+
+    n_pix = cfg.width * cfg.height
+    pix = np.arange(n_pix, dtype=np.int32)
+    px = jnp.asarray(pix % cfg.width)
+    py = jnp.asarray(pix // cfg.width)
+    tgt = jnp.asarray(np.asarray(target_image, np.float32).reshape(-1, 3))
+
+    params = extract_params(tables, tuple(replay_fields)
+                            + tuple(fd_params))
+    params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    opt_state = optimizer.init(params)
+
+    replay_loss = make_replay_loss_fn(
+        tables, cfg, spp, px=px, py=py, target=tgt,
+        geom_spec={f: [] for f in fd_params}, bwd_depth=bwd_depth)
+
+    flat_idx = [(f, tuple(idx)) for f, idxs in fd_params.items()
+                for idx in idxs]
+    k = len(flat_idx)
+
+    def fd_loss(pp):
+        tbl = apply_params(tables, pp)
+        acc = render_block(tbl, cfg, px, py, jnp.uint32(0), fd_spp,
+                           jnp.uint32(cfg.seed), cfg.width, cfg.height)
+        return jnp.mean((acc / jnp.float32(fd_spp) - tgt) ** 2)
+
+    def stacked_probes(pp):
+        out = {}
+        for f, v in pp.items():
+            rows = jnp.broadcast_to(v, (2 * k,) + v.shape)
+            for j, (f2, idx) in enumerate(flat_idx):
+                if f2 == f:
+                    rows = rows.at[(2 * j,) + idx].add(eps)
+                    rows = rows.at[(2 * j + 1,) + idx].add(-eps)
+            out[f] = rows
+        return out
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(replay_loss)(params)
+        if k:
+            losses = jax.lax.map(fd_loss, stacked_probes(params))
+            for j, (f, idx) in enumerate(flat_idx):
+                fd = (losses[2 * j] - losses[2 * j + 1]) / (2 * eps)
+                grads[f] = grads[f].at[idx].set(fd)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    history = []
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state)
+        history.append(float(loss))
+    return {k2: np.asarray(v) for k2, v in params.items()}, history

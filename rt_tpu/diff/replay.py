@@ -243,6 +243,7 @@ def make_replay_render(
             grads = jax.tree_util.tree_map(jnp.add, grads, vjp2(cot)[0])
         return grads
 
+    _geom_flat, _n_dirs = [], 0
     if geom_spec:
         _geom_flat = [(f, tuple(idx)) for f, idxs in sorted(geom_spec.items())
                       for idx in idxs]
@@ -379,7 +380,11 @@ def make_replay_render(
         if set(params) & set(REPLAY_FIELDS):
             grads = jax.lax.fori_loop(0, spp, body, grads)
 
-        if geom_spec:
+        # a geom_spec field with an EMPTY component list means "the
+        # forward should use this param but no tangent replay runs for
+        # it" — the hybrid optimizer (fit_hybrid) supplies that field's
+        # gradient out-of-band via CRN finite differences instead
+        if _n_dirs:
             tans = _geom_tangent_basis(params)
 
             def gbody(s, acc):

@@ -155,6 +155,41 @@ def test_fd_position_recovery():
     assert abs(rec["sph_center"][0, 0] - true_x) < 0.03
 
 
+def test_fit_hybrid_recovers_albedo_and_position_jointly():
+    """BASELINE.json config #5 verbatim — "recover albedo + sphere
+    positions from target image" — in ONE optimization loop: the
+    path-replay VJP drives the albedo while common-random-numbers
+    central differences (the only estimator that sees the silhouette
+    boundary term) drive the sphere center, both inside a single jitted
+    Adam step (diff/inverse.fit_hybrid)."""
+    from rt_tpu.diff.inverse import fit_hybrid
+
+    def make(center_x, albedo):
+        s = SceneDef(width=48, height=27, samples_per_pixel=8, max_depth=3,
+                     background=(0.7, 0.8, 1.0))
+        m = s.add_lambertian_color(albedo)
+        s.add_sphere((center_x, 0, -1), 0.5, m)
+        s.add_sphere((0, -100.5, -1), 100,
+                     s.add_lambertian_color((0.6, 0.6, 0.6)))
+        s.set_camera((0, 0.3, 1), (0, 0, -1), (0, 1, 0), 50, 0.0)
+        cfg = RenderConfig(width=48, height=27, samples_per_pixel=8,
+                           max_depth=3, background_mode="gradient",
+                           loop="while")
+        return s, cfg
+
+    true_x, true_albedo = 0.15, (0.7, 0.2, 0.2)
+    sdef_t, cfg = make(true_x, true_albedo)
+    target = render(build_tables(sdef_t), cfg) / cfg.samples_per_pixel
+    sdef_w, _ = make(-0.1, (0.3, 0.5, 0.4))
+    rec, hist = fit_hybrid(build_tables(sdef_w), cfg, target,
+                           replay_fields=("tex_color",),
+                           fd_params={"sph_center": [(0, 0)]},
+                           spp=8, steps=60, learning_rate=3e-2)
+    assert hist[-1] < hist[0] * 0.05
+    assert abs(rec["sph_center"][0, 0] - true_x) < 0.03
+    assert np.abs(rec["tex_color"][0] - np.asarray(true_albedo)).max() < 0.08
+
+
 def _emissive_scene():
     s = SceneDef(width=24, height=16, samples_per_pixel=2, max_depth=4,
                  background=(0.2, 0.25, 0.3))
