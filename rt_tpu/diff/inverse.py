@@ -73,9 +73,16 @@ def _device_tables(tables: SceneTables) -> SceneTables:
     return jax.tree_util.tree_map(jnp.asarray, tables)
 
 
-def make_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int):
+def make_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int,
+                 n_valid: Optional[int] = None):
     """(params, px, py, target) -> scalar MSE of the spp-sample render
-    estimate against target rows [B,3]. Single-device form."""
+    estimate against target rows [B,3]. Single-device form.
+
+    n_valid masks rows >= n_valid out of the mean: sharded pixel lists
+    are padded to lane/device multiples with copies of pixel 0
+    (_padded_pixel_list), and without the mask those duplicates
+    overweight pixel 0 in the objective — the sharded loss would not
+    equal the unpadded single-device loss."""
     cfg = _diff_cfg(cfg)
     tables = _device_tables(tables)
 
@@ -84,7 +91,11 @@ def make_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int):
         acc = render_block(tbl, cfg, px, py, jnp.uint32(0), spp,
                            jnp.uint32(cfg.seed), cfg.width, cfg.height)
         img = acc / jnp.float32(spp)
-        return jnp.mean((img - target) ** 2)
+        se = (img - target) ** 2
+        if n_valid is None or n_valid == px.shape[0]:
+            return jnp.mean(se)
+        keep = (jnp.arange(se.shape[0]) < n_valid)[:, None]
+        return jnp.sum(jnp.where(keep, se, 0.0)) / jnp.float32(3 * n_valid)
 
     return loss_fn
 
@@ -95,6 +106,7 @@ def make_train_step(
     spp: int,
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
+    n_valid: Optional[int] = None,
 ):
     """Build the jitted SPMD training step.
 
@@ -114,7 +126,7 @@ def make_train_step(
 
     def step(params, opt_state, px, py, target):
         loss, grads = jax.value_and_grad(
-            make_loss_fn(tables, cfg, spp))(params, px, py, target)
+            make_loss_fn(tables, cfg, spp, n_valid))(params, px, py, target)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -200,7 +212,8 @@ def fit(
                              for x in (px_, py_, flat_tgt))
         loss_fn = make_replay_loss_fn(
             tables, cfg, spp, px=rpx, py=rpy,
-            target=tgt, geom_spec=geom_spec, bwd_depth=bwd_depth)
+            target=tgt, geom_spec=geom_spec, bwd_depth=bwd_depth,
+            n_valid=n_pix)
 
         @jax.jit
         def step(params, opt_state):
@@ -229,7 +242,8 @@ def fit(
         px_j, py_j, tgt_j = (jax.device_put(x, sh)
                              for x in (px_j, py_j, tgt_j))
 
-    step = make_train_step(tables, cfg, spp, optimizer, mesh)
+    step = make_train_step(tables, cfg, spp, optimizer, mesh,
+                           n_valid=n_pix)
     history = []
     for _ in range(steps):
         params, opt_state, loss = step(params, opt_state, px_j, py_j, tgt_j)
@@ -354,6 +368,7 @@ def fit_hybrid(
     learning_rate: float = 3e-2,
     eps: float = 2e-2,
     bwd_depth: Optional[int] = None,
+    mesh: Optional[Mesh] = None,
 ) -> Tuple[Dict[str, np.ndarray], list]:
     """Joint radiometric + geometry recovery in ONE Adam loop
     (BASELINE.json config #5: "recover albedo + sphere positions from
@@ -376,6 +391,11 @@ def fit_hybrid(
     the FD estimates), so both estimators always see the SAME current
     parameter vector. One jit per step, one scalar readback.
 
+    With a mesh, the pixel batch (and target rows) are sharded over all
+    devices exactly like fit(method="replay"): GSPMD propagates the
+    sharding through the replay loops AND the lax.map'd FD probes, and
+    inserts the parameter-gradient / loss all-reduces (DP over ICI).
+
     The reference has no gradients of any kind; this subsystem is the
     capability BASELINE.json's north star adds on top of parity."""
     from rt_tpu.diff.replay import make_replay_loss_fn
@@ -385,11 +405,24 @@ def fit_hybrid(
     tables = _device_tables(tables)
     optimizer = optax.adam(learning_rate)
 
-    n_pix = cfg.width * cfg.height
-    pix = np.arange(n_pix, dtype=np.int32)
-    px = jnp.asarray(pix % cfg.width)
-    py = jnp.asarray(pix // cfg.width)
-    tgt = jnp.asarray(np.asarray(target_image, np.float32).reshape(-1, 3))
+    flat_tgt = np.asarray(target_image, np.float32).reshape(-1, 3)
+    if mesh is None:
+        n_pix = cfg.width * cfg.height
+        pix = np.arange(n_pix, dtype=np.int32)
+        px = jnp.asarray(pix % cfg.width)
+        py = jnp.asarray(pix // cfg.width)
+        tgt = jnp.asarray(flat_tgt)
+    else:
+        n_shards = int(np.prod(list(mesh.shape.values())))
+        px_, py_, n_pix = _padded_pixel_list(cfg.width, cfg.height,
+                                             n_shards)
+        pad = px_.shape[0] - n_pix
+        if pad:
+            flat_tgt = np.concatenate(
+                [flat_tgt, np.broadcast_to(flat_tgt[:1], (pad, 3))])
+        sh = pixel_sharding(mesh)
+        px, py, tgt = (jax.device_put(jnp.asarray(x), sh)
+                       for x in (px_, py_, flat_tgt))
 
     params = extract_params(tables, tuple(replay_fields)
                             + tuple(fd_params))
@@ -398,7 +431,8 @@ def fit_hybrid(
 
     replay_loss = make_replay_loss_fn(
         tables, cfg, spp, px=px, py=py, target=tgt,
-        geom_spec={f: [] for f in fd_params}, bwd_depth=bwd_depth)
+        geom_spec={f: [] for f in fd_params}, bwd_depth=bwd_depth,
+        n_valid=n_pix)
 
     flat_idx = [(f, tuple(idx)) for f, idxs in fd_params.items()
                 for idx in idxs]
@@ -408,7 +442,11 @@ def fit_hybrid(
         tbl = apply_params(tables, pp)
         acc = render_block(tbl, cfg, px, py, jnp.uint32(0), fd_spp,
                            jnp.uint32(cfg.seed), cfg.width, cfg.height)
-        return jnp.mean((acc / jnp.float32(fd_spp) - tgt) ** 2)
+        se = (acc / jnp.float32(fd_spp) - tgt) ** 2
+        if n_pix == px.shape[0]:
+            return jnp.mean(se)
+        keep = (jnp.arange(se.shape[0]) < n_pix)[:, None]
+        return jnp.sum(jnp.where(keep, se, 0.0)) / jnp.float32(3 * n_pix)
 
     def stacked_probes(pp):
         out = {}

@@ -407,16 +407,22 @@ def make_replay_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int,
                         bwd_engine: Optional[str] = None,
                         geom_spec: Optional[Dict[str, Sequence[tuple]]]
                         = None,
-                        bwd_depth: Optional[int] = None):
+                        bwd_depth: Optional[int] = None,
+                        n_valid: Optional[int] = None):
     """(params) -> scalar MSE against target rows [B,3], with the replay
     VJP underneath. jax.grad of this runs in O(B) memory at any depth.
     Geometry/fuzz/IOR components listed in geom_spec get forward-mode
     tangent-replay gradients; bwd_depth truncates the replays for a
     ~proportional backward speedup at ~0.4% gradient bias (see
-    make_replay_render)."""
+    make_replay_render). n_valid masks sharding-pad rows (duplicates of
+    pixel 0, see _padded_pixel_list) out of the mean so the sharded
+    loss equals the unpadded single-device one."""
     img_fn = make_replay_render(tables, cfg, spp, px, py, bwd_engine,
                                 geom_spec=geom_spec, bwd_depth=bwd_depth)
     target = jnp.asarray(target, jnp.float32)
+    n_rows = int(np.shape(px)[0])
+    if n_valid is not None and n_valid == n_rows:
+        n_valid = None
     geom_ok = set(geom_spec) if geom_spec else set()
 
     def loss_fn(params):
@@ -432,6 +438,10 @@ def make_replay_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int,
             raise ValueError(
                 f"geom_spec fields {sorted(missing)} are not in params")
         img = img_fn(params)
-        return jnp.mean((img - target) ** 2)
+        se = (img - target) ** 2
+        if n_valid is None:
+            return jnp.mean(se)
+        keep = (jnp.arange(se.shape[0]) < n_valid)[:, None]
+        return jnp.sum(jnp.where(keep, se, 0.0)) / jnp.float32(3 * n_valid)
 
     return loss_fn

@@ -189,6 +189,26 @@ def test_fit_hybrid_recovers_albedo_and_position_jointly():
     assert abs(rec["sph_center"][0, 0] - true_x) < 0.03
     assert np.abs(rec["tex_color"][0] - np.asarray(true_albedo)).max() < 0.08
 
+    # sharded run: GSPMD shards the pixel batch through BOTH estimators
+    # (replay loops + lax.map'd FD probes); 48*27 = 1296 pixels divide
+    # the 8-device mesh exactly, so results must match the
+    # single-device run up to reduction order
+    mesh = make_mesh()
+    rec_m, hist_m = fit_hybrid(build_tables(sdef_w), cfg, target,
+                               replay_fields=("tex_color",),
+                               fd_params={"sph_center": [(0, 0)]},
+                               spp=8, steps=8, learning_rate=3e-2,
+                               mesh=mesh)
+    rec_1, hist_1 = fit_hybrid(build_tables(sdef_w), cfg, target,
+                               replay_fields=("tex_color",),
+                               fd_params={"sph_center": [(0, 0)]},
+                               spp=8, steps=8, learning_rate=3e-2)
+    np.testing.assert_allclose(hist_m, hist_1, rtol=1e-4)
+    np.testing.assert_allclose(rec_m["sph_center"], rec_1["sph_center"],
+                               atol=1e-4)
+    np.testing.assert_allclose(rec_m["tex_color"], rec_1["tex_color"],
+                               atol=1e-4)
+
 
 def _emissive_scene():
     s = SceneDef(width=24, height=16, samples_per_pixel=2, max_depth=4,
