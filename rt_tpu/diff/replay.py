@@ -92,6 +92,7 @@ def make_replay_render(
     bwd_engine: Optional[str] = None,
     geom_spec: Optional[Dict[str, Sequence[tuple]]] = None,
     bwd_depth: Optional[int] = None,
+    bwd_early_exit: bool = False,
 ):
     """Build img_fn(params) -> mean radiance [B,3] with a path-replay VJP.
 
@@ -117,7 +118,19 @@ def make_replay_render(
     bounces changes the gradient by ~0.4%) while backward cost drops
     roughly in proportion. None (default) replays to cfg.max_depth —
     exact. With truncation the exhaust-to-background credit is skipped
-    (truncated lanes are not exhausted)."""
+    (truncated lanes are not exhausted).
+
+    bwd_early_exit adds `any(alive)` to the replay-loop conditions so
+    the loops stop once every lane has terminated. Default OFF: at
+    production shapes the tail of live lanes nearly always reaches
+    depth_bwd so the exit never fires, while the any() itself costs a
+    full [B] reduction per iteration — and under GSPMD sharding it
+    becomes a cross-device all-reduce per iteration (measured on the
+    8-device virtual mesh: train-step weak-scaling efficiency 0.68
+    with the early exit vs 0.94 fixed-trip; single-CPU-device step
+    0.315 -> 0.243 s; real-TPU 1080p grad step identical to 1 ms).
+    Turn it on for EXACT (bwd_depth=None) replays of deep configs on
+    scenes whose paths all die in the first few bounces."""
     base = _device_tables(tables)
     width, height = cfg.width, cfg.height
     if bwd_engine is None:
@@ -172,7 +185,9 @@ def make_replay_render(
 
         def cond(carry):
             i, o, d, P, C, alive, gr = carry
-            return (i < depth_bwd) & jnp.any(alive)
+            if bwd_early_exit:
+                return (i < depth_bwd) & jnp.any(alive)
+            return i < depth_bwd
 
         def body(carry):
             i, o, d, P, C, alive, gr = carry
@@ -291,7 +306,9 @@ def make_replay_render(
 
         def cond(carry):
             i, o, d, P, C, alive, tst = carry
-            return (i < depth_bwd) & jnp.any(alive)
+            if bwd_early_exit:
+                return (i < depth_bwd) & jnp.any(alive)
+            return i < depth_bwd
 
         def body(carry):
             i, o, d, P, C, alive, (to, td, tP, tC) = carry
@@ -408,7 +425,8 @@ def make_replay_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int,
                         geom_spec: Optional[Dict[str, Sequence[tuple]]]
                         = None,
                         bwd_depth: Optional[int] = None,
-                        n_valid: Optional[int] = None):
+                        n_valid: Optional[int] = None,
+                        bwd_early_exit: bool = False):
     """(params) -> scalar MSE against target rows [B,3], with the replay
     VJP underneath. jax.grad of this runs in O(B) memory at any depth.
     Geometry/fuzz/IOR components listed in geom_spec get forward-mode
@@ -418,7 +436,8 @@ def make_replay_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int,
     pixel 0, see _padded_pixel_list) out of the mean so the sharded
     loss equals the unpadded single-device one."""
     img_fn = make_replay_render(tables, cfg, spp, px, py, bwd_engine,
-                                geom_spec=geom_spec, bwd_depth=bwd_depth)
+                                geom_spec=geom_spec, bwd_depth=bwd_depth,
+                                bwd_early_exit=bwd_early_exit)
     target = jnp.asarray(target, jnp.float32)
     n_rows = int(np.shape(px)[0])
     if n_valid is not None and n_valid == n_rows:

@@ -81,6 +81,70 @@ def main():
         "min_eff": round(min(effs.values()), 3) if effs else 1.0,
     }), flush=True)
 
+    # ---- train-step weak scaling: replay backward + gradient psum ----
+    # The north star's scaling clause covers the TRAINING step too
+    # ("parameter gradients all-reduced over ICI"). Weak scaling here
+    # grows the pixel batch with N (B0 pixels/device); the replay VJP
+    # runs sharded and GSPMD inserts the parameter all-reduce.
+    import jax.numpy as jnp
+    import optax
+
+    from rt_tpu.diff.inverse import pixel_sharding
+    from rt_tpu.diff.replay import make_replay_loss_fn
+
+    # per-device pixel batch: big enough that per-step fixed costs
+    # (param update, gradient psum, thread scheduling on the
+    # oversubscribed virtual mesh) amortize; 8 virtual devices share 4
+    # host cores, so small batches UNDER-estimate real-chip efficiency
+    b0 = int(os.environ.get("SCALING_TRAIN_B0", 6144))
+    dcfg = cfg.replace(samples_per_pixel=2, engine="xla", loop="while")
+    tres = {}
+    for n in sizes:
+        mesh = make_mesh((n, 1), jax.devices()[:n])
+        b = b0 * n
+        # wrap ids into the frame so every lane traces a real pixel's
+        # streams (ids past the frame would shoot off-frustum rays that
+        # die at bounce 1 and unbalance the weak-scaling comparison)
+        pix = (np.arange(b) % (cfg.width * cfg.height)).astype(np.int32)
+        sh = pixel_sharding(mesh)
+        px = jax.device_put(jnp.asarray(pix % cfg.width), sh)
+        py = jax.device_put(jnp.asarray(pix // cfg.width), sh)
+        tgt = jax.device_put(jnp.zeros((b, 3), jnp.float32), sh)
+        loss_fn = make_replay_loss_fn(tables, dcfg, 2, px=px, py=py,
+                                      target=tgt)
+        optimizer = optax.adam(1e-2)
+        params = {"tex_color": jnp.asarray(tables.tex_color, jnp.float32)}
+        opt_state = optimizer.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        p, o, l = step(params, opt_state)  # compile + warm
+        float(l)
+        dt = 1e9
+        for _ in range(2):  # best-of-2 x 3-step averages (host noise)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                p, o, l = step(p, o)
+            float(l)
+            dt = min(dt, (time.perf_counter() - t0) / 3)
+        tres[n] = dt
+        print(json.dumps({"train_devices": n, "pixels": b,
+                          "step_s": round(dt, 4)}), flush=True)
+
+    t1 = tres[sizes[0]]
+    teffs = {n: min(1.0, (t1 * n if virtual else t1) / tres[n])
+             for n in sizes[1:]}
+    print(json.dumps({
+        "metric": "train_step_weak_scaling_efficiency",
+        "mode": "virtual-cpu-mesh" if virtual else "real-chips",
+        "eff": {str(n): round(e, 3) for n, e in teffs.items()},
+        "min_eff": round(min(teffs.values()), 3) if teffs else 1.0,
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()
