@@ -203,6 +203,115 @@ def cmd_render(args) -> int:
     return 0
 
 
+def _parse_component(spec: str):
+    """'sph_center:0,1' -> ('sph_center', (0, 1))."""
+    field, _, idx = spec.partition(":")
+    if not idx:
+        raise SystemExit(f"--fd/--geom needs field:i[,j] — got {spec!r}")
+    return field, tuple(int(i) for i in idx.split(","))
+
+
+def cmd_fit(args) -> int:
+    """Inverse rendering from the CLI: recover scene parameters so the
+    render of --scene matches --target. The scene JSON is the INITIAL
+    GUESS; the target fixes the resolution. The capability the whole
+    reference family lacks (BASELINE.json north star)."""
+    import os
+
+    import numpy as np
+
+    from rt_tpu.io.image import read_png
+    from rt_tpu.render import film
+    from rt_tpu.render.renderer import render
+    from rt_tpu.scene.parser import parse_scene
+    from rt_tpu.scene.types import build_tables
+    from rt_tpu.io.image import write_png
+
+    if args.target.endswith(".npz"):
+        target = np.load(args.target)["img"].astype(np.float32)
+    else:
+        u8 = read_png(args.target).astype(np.float32) / 255.0
+        target = u8[::-1]  # PNG is top-down; render rows start at bottom
+        if not args.target_linear:
+            target = target * target  # invert the sqrt view gamma
+    h, w = target.shape[:2]
+
+    sdef, cfg = parse_scene(args.scene)
+    sdef.width, sdef.height = w, h
+    sdef.resize()  # re-derive the camera for the target's aspect
+    cfg = cfg.replace(width=w, height=h, loop="while")
+    if args.max_depth:
+        cfg = cfg.replace(max_depth=args.max_depth)
+    if args.engine:
+        cfg = cfg.replace(engine=args.engine)
+    else:
+        import jax
+
+        cfg = cfg.replace(
+            engine="mega" if jax.default_backend() == "tpu" else "xla")
+
+    mesh = None
+    if args.sharded:
+        from rt_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+
+    tables = build_tables(sdef)
+    replay_fields = tuple(f for f in args.fields.split(",") if f)
+    fd_params: dict = {}
+    for spec in args.fd:
+        f, idx = _parse_component(spec)
+        fd_params.setdefault(f, []).append(idx)
+    geom_spec: dict = {}
+    for spec in args.geom:
+        f, idx = _parse_component(spec)
+        geom_spec.setdefault(f, []).append(idx)
+    if fd_params and geom_spec:
+        raise SystemExit("--fd and --geom are mutually exclusive "
+                         "(CRN-FD vs tangent-replay geometry)")
+
+    t0 = time.time()
+    if fd_params:
+        from rt_tpu.diff.inverse import fit_hybrid
+
+        rec, hist = fit_hybrid(
+            tables, cfg, target, replay_fields=replay_fields,
+            fd_params=fd_params, spp=args.spp, steps=args.steps,
+            learning_rate=args.lr, eps=args.eps,
+            bwd_depth=args.bwd_depth, mesh=mesh)
+    else:
+        from rt_tpu.diff.inverse import fit
+
+        rec, hist = fit(
+            tables, cfg, target, fields=replay_fields, spp=args.spp,
+            steps=args.steps, learning_rate=args.lr, method="replay",
+            geom_spec=geom_spec or None, bwd_depth=args.bwd_depth,
+            mesh=mesh)
+    dt = time.time() - t0
+
+    os.makedirs(args.out, exist_ok=True)
+    np.savez_compressed(os.path.join(args.out, "recovered.npz"), **rec)
+    from rt_tpu.diff.inverse import apply_params
+
+    import jax.numpy as jnp
+
+    fitted = apply_params(
+        build_tables(sdef),
+        {k: jnp.asarray(v, jnp.float32) for k, v in rec.items()})
+    after = render(fitted, cfg) / cfg.samples_per_pixel
+    write_png(os.path.join(args.out, "after.png"),
+              film.finalize(np.asarray(after), 1, gamma=True))
+
+    print(f"loss: {hist[0]:.6f} -> {hist[-1]:.7f} "
+          f"({args.steps} steps, {dt:.1f}s, {dt / args.steps:.2f}s/step)")
+    for f in sorted(rec):
+        v = np.asarray(rec[f])
+        flat = np.round(v.reshape(-1)[:6], 4)
+        print(f"  {f}: shape {v.shape}, first values {flat.tolist()}")
+    print(f"wrote {args.out}/recovered.npz and {args.out}/after.png")
+    return 0 if hist[-1] < hist[0] else 1
+
+
 def cmd_parse(args) -> int:
     """Parser smoke test — the reference's second CMake target, a binary
     that only runs parse_scene (gpu-version/parser.cu:1-4)."""
@@ -246,6 +355,45 @@ def main(argv=None) -> int:
     pp = sub.add_parser("parse", help="parse a scene JSON and summarize")
     pp.add_argument("scene")
     pp.set_defaults(fn=cmd_parse)
+
+    fp = sub.add_parser(
+        "fit", help="inverse rendering: recover scene parameters from a "
+                    "target image (the scene JSON is the initial guess)")
+    fp.add_argument("-f", "--scene", required=True)
+    fp.add_argument("--target", required=True,
+                    help="target image: .png (assumed sqrt view-gamma; "
+                         "pass --target-linear for raw) or .npz with "
+                         "'img' = mean radiance [H,W,3], row 0 = bottom")
+    fp.add_argument("--target-linear", action="store_true")
+    fp.add_argument("--fields", default="tex_color",
+                    help="comma-separated radiometric fields for the "
+                         "path-replay VJP (tex_color, mat_albedo, "
+                         "tex_color2, background)")
+    fp.add_argument("--fd", action="append", default=[],
+                    help="geometry component for CRN finite differences "
+                         "(sees silhouettes), field:i[,j] — repeatable, "
+                         "e.g. --fd sph_center:0,0 --fd sph_center:0,2")
+    fp.add_argument("--geom", action="append", default=[],
+                    help="geometry component for the forward-mode "
+                         "tangent replay (interior chain only), same "
+                         "syntax — e.g. --geom mat_ior:1")
+    fp.add_argument("-spp", "--spp", type=int, default=4)
+    fp.add_argument("--steps", type=int, default=60)
+    fp.add_argument("--lr", type=float, default=3e-2)
+    fp.add_argument("--eps", type=float, default=2e-2,
+                    help="CRN-FD probe half-step")
+    fp.add_argument("--bwd-depth", type=int, default=None,
+                    help="truncate the replay backward at this bounce "
+                         "(~proportional speedup, ~0.4%% bias at 12/50)")
+    fp.add_argument("-d", "--max-depth", type=int, default=None)
+    fp.add_argument("--engine", default=None,
+                    choices=["xla", "pallas", "mega"],
+                    help="default: mega on TPU, xla elsewhere")
+    fp.add_argument("--sharded", action="store_true",
+                    help="shard the pixel batch over all local devices")
+    fp.add_argument("--out", default="fit_out",
+                    help="output dir (recovered.npz + after.png)")
+    fp.set_defaults(fn=cmd_fit)
 
     anp = sub.add_parser("animate", help="render a frame sequence "
                          "(blue.py/dna.py-style video synthesis)")

@@ -258,3 +258,44 @@ def test_frame_pipeline_failure_keeps_frame_pending(tmp_path, monkeypatch):
     done = pipe.flush()  # sync re-render path succeeds now
     assert done[0].endswith("f0.png") and p.exists()
     assert pipe.flush() is None
+
+
+def test_cli_fit_recovers_albedo(tmp_path):
+    """`rt_tpu fit`: the inverse-rendering surface from the CLI. Target
+    rendered from a true scene, the perturbed-albedo scene JSON is the
+    initial guess; the replay-VJP fit must pull the loss down and move
+    the albedo toward truth, writing recovered.npz + after.png."""
+    from rt_tpu.config import RenderConfig
+    from rt_tpu.render.renderer import render
+    from rt_tpu.scene.parser import scene_to_dict
+    from rt_tpu.scene.types import SceneDef, build_tables
+
+    def make(albedo):
+        s = SceneDef(width=32, height=18, samples_per_pixel=4, max_depth=3,
+                     background=(0.7, 0.8, 1.0))
+        s.add_sphere((0, 0, -1), 0.5, s.add_lambertian_color(albedo))
+        s.add_sphere((0, -100.5, -1), 100,
+                     s.add_lambertian_color((0.6, 0.6, 0.6)))
+        s.set_camera((0, 0.2, 1), (0, 0, -1), (0, 1, 0), 50, 0.0)
+        return s
+
+    true_albedo = (0.7, 0.2, 0.2)
+    cfg = RenderConfig(width=32, height=18, samples_per_pixel=8,
+                       max_depth=3, loop="while")
+    target = np.asarray(render(build_tables(make(true_albedo)), cfg)) / 8.0
+    tgt_path = str(tmp_path / "target.npz")
+    np.savez_compressed(tgt_path, img=target.astype(np.float32))
+
+    scene_path = str(tmp_path / "wrong.json")
+    d = scene_to_dict(make((0.3, 0.5, 0.4)))
+    with open(scene_path, "w") as f:
+        json.dump(d, f)
+
+    outdir = str(tmp_path / "fit_out")
+    rc = main(["fit", "-f", scene_path, "--target", tgt_path,
+               "--fields", "tex_color", "-spp", "8", "--steps", "25",
+               "--lr", "5e-2", "--engine", "xla", "--out", outdir])
+    assert rc == 0
+    rec = np.load(os.path.join(outdir, "recovered.npz"))
+    assert os.path.exists(os.path.join(outdir, "after.png"))
+    assert np.abs(rec["tex_color"][0] - np.asarray(true_albedo)).max() < 0.12
