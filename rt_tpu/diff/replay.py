@@ -64,8 +64,15 @@ from rt_tpu.ops.intersect import intersect
 from rt_tpu.render.integrator import background_color, trace
 from rt_tpu.scene.types import SceneTables
 
-# fields whose gradient the analytic suffix-adjoint replay computes
-REPLAY_FIELDS = ("mat_albedo", "tex_color", "tex_color2", "background")
+# fields whose gradient the analytic suffix-adjoint replay computes.
+# "images" is the image-texture atlas [NI,H,W,3]: the texel fetch is an
+# integer-indexed gather (ops/materials._texture_eval), whose VJP is a
+# scatter-add of the per-bounce attenuation adjoint into the sampled
+# texels — i.e. TEXTURE RECOVERY from renders falls out of the same
+# suffix identity (only texels actually hit by some path receive
+# gradient; unseen texels keep their init)
+REPLAY_FIELDS = ("mat_albedo", "tex_color", "tex_color2", "background",
+                 "images")
 
 # fields whose INTERIOR derivative the forward-mode (tangent) replay
 # computes — parameters that act through the hit geometry or the

@@ -480,3 +480,41 @@ def test_replay_bwd_depth_truncation_is_small_bias():
     ga = float(g_e["sph_center"][0, 1])
     gb = float(g_t["sph_center"][0, 1])
     assert abs(ga - gb) <= 1e-8 + 0.05 * abs(ga), (ga, gb)
+
+
+def test_replay_recovers_image_texture():
+    """TEXTURE RECOVERY: the image-texture texel fetch is an integer
+    gather, so its VJP scatter-adds the per-bounce attenuation adjoint
+    into the sampled texels — 'images' is a REPLAY_FIELD like any other.
+    Recover an 8x8 texture on a rect from a target render; only texels
+    some path actually sampled receive gradient (unseen ones keep their
+    init), so the check masks by where gradient flowed."""
+    from rt_tpu.diff.inverse import fit
+
+    rs = np.random.RandomState(3)
+    true_img = rs.rand(8, 8, 3).astype(np.float32)
+
+    def make(img):
+        s = SceneDef(width=48, height=27, samples_per_pixel=4, max_depth=3,
+                     background=(0.8, 0.8, 0.9))
+        m = s.add_lambertian(s.add_image_texture(img))
+        s.add_rect("xy_rect", -1.2, 1.2, -0.7, 0.7, -1.0, m)
+        s.set_camera((0, 0, 1.2), (0, 0, -1), (0, 1, 0), 60, 0.0)
+        cfg = RenderConfig(width=48, height=27, samples_per_pixel=4,
+                           max_depth=3, loop="while")
+        return s, cfg
+
+    sdef_t, cfg = make(true_img)
+    target = render(build_tables(sdef_t), cfg) / cfg.samples_per_pixel
+
+    init = np.full_like(true_img, 0.5)
+    sdef_w, _ = make(init)
+    rec, hist = fit(build_tables(sdef_w), cfg, target,
+                    fields=("images",), spp=4, steps=80,
+                    learning_rate=5e-2, method="replay")
+    assert hist[-1] < hist[0] * 0.1
+    got = rec["images"][0, :8, :8]  # atlas may be padded
+    moved = np.abs(got - init).max(axis=-1) > 1e-3  # texels that trained
+    assert moved.sum() >= 20  # most of the 8x8 face is visible
+    err = np.abs(got - true_img).max(axis=-1)
+    assert np.median(err[moved]) < 0.1
