@@ -182,13 +182,19 @@ def make_replay_render(
                                 jnp.zeros((b, 3), jnp.float32))
         return acc / jnp.float32(spp)
 
-    def _replay_sample_grads(params, g, s, grads):
-        """Accumulate d(g . L_s)/dparams for sample s by path replay."""
+    def _replay_sample_grads(params, g, s, grads, L=None):
+        """Accumulate d(g . L_s)/dparams for sample s by path replay.
+
+        L: per-sample radiance [B,3] for the suffix identity. The
+        custom-VJP forward stores it as a residual (the fwd pass
+        computes every sample's radiance anyway — recomputing it here
+        cost 0.26 s/sample at 1080p depth-50, 23%+ of the whole grad
+        step); None falls back to recomputing on the fast engine (used
+        when the residual stack would be too large — see _STORE_L_MAX)."""
         tbl = apply_params(base, params)
         ro, rd, sample = _rays(tbl, s)
-        # per-sample radiance for the suffix identity — recomputed, not
-        # stored (the forward pass keeps no per-sample residuals)
-        L = trace(tbl, lcfg, ro, rd, pixel, sample, seed)
+        if L is None:
+            L = trace(tbl, lcfg, ro, rd, pixel, sample, seed)
 
         def cond(carry):
             i, o, d, P, C, alive, gr = carry
@@ -381,19 +387,36 @@ def make_replay_render(
 
         return acc + jnp.einsum("bc,kbc->k", g, tC)
 
+    # store per-sample radiance residuals up to this many floats
+    # (spp * B * 3); beyond it (e.g. very high spp at 1080p) the
+    # backward recomputes L per sample on the fast engine instead
+    _STORE_L_MAX = 1 << 28  # 256M floats = 1 GiB f32
+    store_L = spp * b * 3 <= _STORE_L_MAX
+
     @jax.custom_vjp
     def img_fn(params):
         return _forward(params)
 
     def img_fwd(params):
-        return _forward(params), params
+        if not store_L:
+            return _forward(params), (params, None)
+        tbl = apply_params(base, params)
 
-    def img_bwd(params, g):
+        def one(s):
+            ro, rd, sample = _rays(tbl, s.astype(jnp.uint32))
+            return trace(tbl, cfg, ro, rd, pixel, sample, seed)
+
+        Ls = jax.lax.map(one, jnp.arange(spp, dtype=jnp.uint32))
+        return jnp.sum(Ls, axis=0) / jnp.float32(spp), (params, Ls)
+
+    def img_bwd(res, g):
+        params, Ls = res
         gs = g / jnp.float32(spp)  # mean over samples
 
         def body(s, grads):
-            return _replay_sample_grads(params, gs, s.astype(jnp.uint32),
-                                        grads)
+            return _replay_sample_grads(
+                params, gs, s.astype(jnp.uint32), grads,
+                L=None if Ls is None else Ls[s])
 
         # NOTE: when params mix REPLAY_FIELDS and geom_spec fields, the
         # paths are re-simulated twice (suffix adjoint + tangent loop).
