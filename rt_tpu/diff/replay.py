@@ -100,6 +100,7 @@ def make_replay_render(
     geom_spec: Optional[Dict[str, Sequence[tuple]]] = None,
     bwd_depth: Optional[int] = None,
     bwd_early_exit: bool = False,
+    bwd_kernel: Optional[bool] = None,
 ):
     """Build img_fn(params) -> mean radiance [B,3] with a path-replay VJP.
 
@@ -137,7 +138,17 @@ def make_replay_render(
     with the early exit vs 0.94 fixed-trip; single-CPU-device step
     0.315 -> 0.243 s; real-TPU 1080p grad step identical to 1 ms).
     Turn it on for EXACT (bwd_depth=None) replays of deep configs on
-    scenes whose paths all die in the first few bounces."""
+    scenes whose paths all die in the first few bounces.
+
+    bwd_kernel selects the ADJOINT MEGAKERNEL for the radiometric
+    backward (pallas_mega.mega_trace_adjoint): the replay runs inside
+    the same Pallas bounce loop as the forward — dead-tile
+    short-circuit, live-ray group compaction, and chunk culling
+    included — accumulating parameter adjoints in-kernel by one-hot
+    contraction over gradient slots. None (default) = auto: on when
+    the forward engine is the megakernel on a TPU backend. It covers
+    REPLAY_FIELDS minus "images"; params containing "images" (texel
+    scatter) fall back to the XLA/hybrid per-bounce replay."""
     base = _device_tables(tables)
     width, height = cfg.width, cfg.height
     if bwd_engine is None:
@@ -409,6 +420,10 @@ def make_replay_render(
         Ls = jax.lax.map(one, jnp.arange(spp, dtype=jnp.uint32))
         return jnp.sum(Ls, axis=0) / jnp.float32(spp), (params, Ls)
 
+    use_kernel = (bwd_kernel if bwd_kernel is not None
+                  else (cfg.engine == "mega"
+                        and jax.default_backend() == "tpu"))
+
     def img_bwd(res, g):
         params, Ls = res
         gs = g / jnp.float32(spp)  # mean over samples
@@ -418,6 +433,28 @@ def make_replay_render(
                 params, gs, s.astype(jnp.uint32), grads,
                 L=None if Ls is None else Ls[s])
 
+        def kernel_radiometric(grads):
+            """Radiometric backward on the adjoint megakernel — one
+            kernel pass per sample, sharing the forward's compaction
+            machinery."""
+            from rt_tpu.ops.pallas_mega import mega_trace_adjoint
+
+            tbl = apply_params(base, params)
+
+            def kbody(s, grads):
+                s_ = s.astype(jnp.uint32)
+                ro, rd, sample = _rays(tbl, s_)
+                gk = mega_trace_adjoint(
+                    tbl, cfg, ro, rd, pixel, s_, seed,
+                    L=(Ls[s] if Ls is not None
+                       else trace(tbl, lcfg, ro, rd, pixel, sample,
+                                  seed)),
+                    gcot=gs, depth_bwd=depth_bwd, exhaust=exhaust_bwd)
+                return {k: (v + gk[k] if k in gk else v)
+                        for k, v in grads.items()}
+
+            return jax.lax.fori_loop(0, spp, kbody, grads)
+
         # NOTE: when params mix REPLAY_FIELDS and geom_spec fields, the
         # paths are re-simulated twice (suffix adjoint + tangent loop).
         # A shared primal sweep could feed both, but the adjoint replay
@@ -425,7 +462,10 @@ def make_replay_render(
         # needs the differentiable XLA form — kept separate.
         grads = jax.tree_util.tree_map(jnp.zeros_like, params)
         if set(params) & set(REPLAY_FIELDS):
-            grads = jax.lax.fori_loop(0, spp, body, grads)
+            if use_kernel and "images" not in params:
+                grads = kernel_radiometric(grads)
+            else:
+                grads = jax.lax.fori_loop(0, spp, body, grads)
 
         # a geom_spec field with an EMPTY component list means "the
         # forward should use this param but no tangent replay runs for
@@ -456,7 +496,8 @@ def make_replay_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int,
                         = None,
                         bwd_depth: Optional[int] = None,
                         n_valid: Optional[int] = None,
-                        bwd_early_exit: bool = False):
+                        bwd_early_exit: bool = False,
+                        bwd_kernel: Optional[bool] = None):
     """(params) -> scalar MSE against target rows [B,3], with the replay
     VJP underneath. jax.grad of this runs in O(B) memory at any depth.
     Geometry/fuzz/IOR components listed in geom_spec get forward-mode
@@ -467,7 +508,8 @@ def make_replay_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int,
     loss equals the unpadded single-device one."""
     img_fn = make_replay_render(tables, cfg, spp, px, py, bwd_engine,
                                 geom_spec=geom_spec, bwd_depth=bwd_depth,
-                                bwd_early_exit=bwd_early_exit)
+                                bwd_early_exit=bwd_early_exit,
+                                bwd_kernel=bwd_kernel)
     target = jnp.asarray(target, jnp.float32)
     n_rows = int(np.shape(px)[0])
     if n_valid is not None and n_valid == n_rows:

@@ -130,6 +130,15 @@ _U_COLS = 17
 _U_FAM = 16
 _FAM_SPH, _FAM_RECT, _FAM_CYL, _FAM_TRI = 0.0, 1.0, 2.0, 3.0
 
+# gradient-slot id (adjoint megakernel): every family table stores, in
+# its (otherwise spare) last column, the table row that receives this
+# primitive's radiometric adjoint — its texture row, or n_tex + its
+# material row when untextured. Extracted per winner (one extra 1-col
+# one-hot dot per chunk, adjoint kernel only) so the in-kernel backward
+# can scatter cotangents into parameter tables by one-hot contraction.
+_SLOT_COL = 31
+_SLOT_SLAB = 128  # gradient-slot slab width (one lane tile)
+
 _GOLD = np.int32(np.uint32(0x9E3779B9).astype(np.int64) - (1 << 32))
 _M1 = np.int32(np.uint32(0xED5AD4BB).astype(np.int64) - (1 << 32))
 _M2 = np.int32(np.uint32(0xAC4C1B51).astype(np.int64) - (1 << 32))
@@ -186,6 +195,14 @@ def _ext_block(tables: SceneTables, mat_ids, v=None, rad=None,
     return blk
 
 
+def _slot_ids(tables: SceneTables, mat_ids) -> jnp.ndarray:
+    """Per-primitive gradient-slot row (see _SLOT_COL): its texture row
+    if the material samples one, else n_tex + its material row."""
+    n_tex = tables.tex_color.shape[0]
+    tex = tables.mat_tex[mat_ids]
+    return jnp.where(tex >= 0, tex, n_tex + mat_ids).astype(jnp.float32)
+
+
 def sphere_table(tables: SceneTables) -> jnp.ndarray:
     n = tables.sph_center.shape[0]
     c = tables.sph_center
@@ -196,6 +213,7 @@ def sphere_table(tables: SceneTables) -> jnp.ndarray:
     cols = cols.at[:, _S_C2R].set((c * c).sum(-1) - r * r)
     cols = cols.at[:, _S_VALID].set(
         (tables.sph_obj >= 0).astype(jnp.float32))
+    cols = cols.at[:, _SLOT_COL].set(_slot_ids(tables, tables.sph_mat))
     return cols
 
 
@@ -220,6 +238,7 @@ def rect_table(tables: SceneTables) -> jnp.ndarray:
         (tables.rect_obj >= 0).astype(jnp.float32))
     cols = cols.at[:, _R_F1:_R_F1 + 3].set(oh1)
     cols = cols.at[:, _R_F2:_R_F2 + 3].set(oh2)
+    cols = cols.at[:, _SLOT_COL].set(_slot_ids(tables, tables.rect_mat))
     return cols
 
 
@@ -235,6 +254,7 @@ def cylinder_table(tables: SceneTables) -> jnp.ndarray:
     cols = cols.at[:, _Y_ZMAX].set(tables.cyl_zmax)
     cols = cols.at[:, _Y_VALID].set(
         (tables.cyl_obj >= 0).astype(jnp.float32))
+    cols = cols.at[:, _SLOT_COL].set(_slot_ids(tables, tables.cyl_mat))
     return cols
 
 
@@ -252,6 +272,7 @@ def triangle_table(tables: SceneTables) -> jnp.ndarray:
     cols = cols.at[:, _T_D0].set((v1 * n0).sum(-1))
     cols = cols.at[:, _T_VALID].set(
         (tables.tri_obj >= 0).astype(jnp.float32))
+    cols = cols.at[:, _SLOT_COL].set(_slot_ids(tables, tables.tri_mat))
     return cols
 
 
@@ -604,8 +625,19 @@ def _make_do_bounce(seed, pix, background,
                     t_min: float, p_rr: float,
                     has_img: bool, img_th: int, img_tw: int,
                     cull: bool = False, cull_t: bool = False,
-                    mxu: bool = False):
+                    mxu: bool = False,
+                    adjoint: bool = False, n_slots: int = 0,
+                    Lrgb=None, grgb=None, grad_bg: bool = False):
     """Build the per-bounce closure shared by both kernel drivers.
+
+    adjoint=True turns the bounce into the BACKWARD bounce of the
+    path-replay VJP (diff/replay.py suffix identity): the forward math
+    is replayed verbatim (bit-identical RNG streams), and additionally
+    each bounce's radiometric cotangents are accumulated into parameter
+    -table gradients by a one-hot contraction over `n_slots` gradient
+    slots (textures then materials then background — see _SLOT_COL).
+    Lrgb/grgb are the per-lane radiance L and loss cotangent g [S,L]x3;
+    st gains (accA [3-row slabs], accA2, bg 3-scalar) carry entries.
 
     `bounce` and `sample` are per-lane i32 vectors (pix.shape): the
     segmented driver (_mega_kernel) broadcasts its scalar loop counter,
@@ -615,6 +647,8 @@ def _make_do_bounce(seed, pix, background,
     s, l = pix.shape
 
     def do_bounce(bounce, sample, st):
+        if adjoint:
+            (st, accA, accA2, accbg) = st
         (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, cr, cg, cb, alive) = st
 
         live = alive > 0.0
@@ -637,14 +671,20 @@ def _make_do_bounce(seed, pix, background,
 
         n_uv = _U_COLS if has_img else 0
 
-        def with_uv(ext, uv_ref, sl, exact):
+        def with_uv(ext, uv_ref, sl, exact, blk=None):
             """Append the winner's 17-col UV parameter block (extracted
             by the same one-hot contraction) when the scene samples
-            image textures; UV math itself runs post-merge, once."""
-            if not n_uv:
-                return ext
-            return jnp.concatenate(
-                [ext, _dotg(uv_ref[sl, :], exact)], axis=0)
+            image textures; UV math itself runs post-merge, once. In
+            adjoint mode also append the winner's gradient-slot row
+            (_SLOT_COL) — one extra 1-col dot per chunk."""
+            if n_uv:
+                ext = jnp.concatenate(
+                    [ext, _dotg(uv_ref[sl, :], exact)], axis=0)
+            if adjoint:
+                ext = jnp.concatenate(
+                    [ext, _dotg(blk[:, _SLOT_COL:_SLOT_COL + 1], exact)],
+                    axis=0)
+            return ext
 
         if mxu:
             # per-bounce ray features for the MXU bilinear contraction
@@ -683,7 +723,7 @@ def _make_do_bounce(seed, pix, background,
                           & (col3(blk, _S_VALID) > 0.0), t, INF)
             exact = _chunk_winner(t, s_chunk, s, l)
             ext = _dotg(blk[:, :_X_COLS], exact)           # [15,S,L] MXU
-            return _merge(carry, t, with_uv(ext, suv_ref, sl, exact))
+            return _merge(carry, t, with_uv(ext, suv_ref, sl, exact, blk))
 
         def chunk_visible(bnd_ref, k, t_best_cur):
             # per-chunk slab test of every live lane against the chunk's
@@ -748,7 +788,7 @@ def _make_do_bounce(seed, pix, background,
             t = jnp.where(valid, t, INF)
             exact = _chunk_winner(t, r_chunk, s, l)
             ext = _dotg(blk[:, :_X_COLS], exact)
-            return _merge(carry, t, with_uv(ext, ruv_ref, sl, exact))
+            return _merge(carry, t, with_uv(ext, ruv_ref, sl, exact, blk))
 
         def cyl_body(k, carry):
             sl = pl.ds(k * y_chunk, y_chunk)
@@ -806,7 +846,7 @@ def _make_do_bounce(seed, pix, background,
                             jnp.sum(exact * nyv, axis=0),
                             jnp.sum(exact * nz, axis=0)])
             ext = jnp.concatenate([nw, ext[3:]], axis=0)
-            return _merge(carry, t, with_uv(ext, yuv_ref, sl, exact))
+            return _merge(carry, t, with_uv(ext, yuv_ref, sl, exact, blk))
 
         def _tri_chunk_math(k, carry):
             sl = pl.ds(k * t_chunk, t_chunk)
@@ -850,7 +890,7 @@ def _make_do_bounce(seed, pix, background,
             t = jnp.where(valid, t, INF)
             exact = _chunk_winner(t, t_chunk, s, l)
             ext = _dotg(blk[:, :_X_COLS], exact)
-            return _merge(carry, t, with_uv(ext, tuv_ref, sl, exact))
+            return _merge(carry, t, with_uv(ext, tuv_ref, sl, exact, blk))
 
         def tri_body(k, carry):
             if not cull_t:
@@ -859,8 +899,9 @@ def _make_do_bounce(seed, pix, background,
                                 lambda c: _tri_chunk_math(k, c),
                                 lambda c: c, carry)
 
+        n_attr = _X_COLS + n_uv + (1 if adjoint else 0)
         carry = (jnp.full((s, l), INF, jnp.float32),
-                 jnp.zeros((_X_COLS + n_uv, s, l), jnp.float32))
+                 jnp.zeros((n_attr, s, l), jnp.float32))
         if ns:
             carry = jax.lax.fori_loop(0, ns // s_chunk, sph_body, carry)
         if nr:
@@ -1076,6 +1117,62 @@ def _make_do_bounce(seed, pix, background,
         cg = cg + tpg * (em_scale * alb_g + jnp.where(missed, bgg, 0.0))
         cb = cb + tpb * (em_scale * alb_b + jnp.where(missed, bgb, 0.0))
 
+        if adjoint:
+            # ---- suffix-identity cotangents (diff/replay.py):
+            # scattered non-dielectric: d(g.L)/datt = g*(L - C_after)/att
+            # emitter (light):          d(g.L)/dalb = g*P
+            # missed:                   d(g.L)/dbg  = g*P
+            # P here is tp BEFORE this bounce's update; C_after = c
+            # after the contribution above. One-hot over gradient slots
+            # (winner's _SLOT_COL attr) scatters into parameter rows.
+            Lr_, Lg_, Lb_ = Lrgb
+            gr_, gg_, gb_ = grgb
+            slot = attrs[_X_COLS + n_uv].astype(jnp.int32)
+            s_mask = scattered & ~is_die
+
+            def _cot(g_, L_, C_, att_, P_):
+                ok = att_ != 0.0
+                catt = jnp.where(s_mask & ok,
+                                 g_ * (L_ - C_)
+                                 / jnp.where(ok, att_, 1.0), 0.0)
+                return catt + jnp.where(emitter, g_ * P_, 0.0)
+
+            cots = (_cot(gr_, Lr_, cr, att_r, tpr),
+                    _cot(gg_, Lg_, cg, att_g, tpg),
+                    _cot(gb_, Lb_, cb, att_b, tpb))
+            prim = jnp.where(use2, 0.0, 1.0)
+            secf = jnp.where(use2, 1.0, 0.0)
+            cp = tuple(c * prim for c in cots)
+            cs = tuple(c * secf for c in cots)
+            # slab the one-hot contraction: a full [n_slots,S,L] mask
+            # (8 MB at 1024 slots) blows scoped VMEM, and Mosaic
+            # supports neither both-trailing-dim reductions nor lane
+            # concats past the first 128-lane tile — so the accumulator
+            # is a STATIC LIST of per-slab [128] vectors (carried
+    # through the bounce loop as a pytree) and each slab reduces
+            # lanes then sublanes
+            nsl = n_slots // _SLOT_SLAB
+            pA = [list(ch) for ch in accA]    # [3][nsl] of [SLAB]
+            pA2 = [list(ch) for ch in accA2]
+            for k in range(nsl):
+                sid = k * _SLOT_SLAB + jax.lax.broadcasted_iota(
+                    jnp.int32, (_SLOT_SLAB, s, l), 0)
+                oh = (sid == slot[None]).astype(jnp.float32)
+
+                def _red(c):
+                    return jnp.sum(jnp.sum(oh * c[None], axis=2), axis=1)
+
+                for i in range(3):
+                    pA[i][k] = pA[i][k] + _red(cp[i])
+                    pA2[i][k] = pA2[i][k] + _red(cs[i])
+            accA = tuple(tuple(ch) for ch in pA)
+            accA2 = tuple(tuple(ch) for ch in pA2)
+            if not grad_bg:
+                accbg = tuple(
+                    a + jnp.sum(jnp.where(missed, g_, 0.0) * P_)
+                    for a, g_, P_ in zip(accbg, (gr_, gg_, gb_),
+                                         (tpr, tpg, tpb)))
+
         comp = np.float32(1.0 / p_rr) if p_rr > 0.0 else np.float32(1.0)
         tpr = jnp.where(scattered, tpr * att_r * comp, tpr)
         tpg = jnp.where(scattered, tpg * att_g * comp, tpg)
@@ -1087,7 +1184,10 @@ def _make_do_bounce(seed, pix, background,
         dy = jnp.where(scattered, new_dy, dy)
         dz = jnp.where(scattered, new_dz, dz)
         alive = scattered.astype(jnp.float32)
-        return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, cr, cg, cb, alive)
+        out = (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, cr, cg, cb, alive)
+        if adjoint:
+            return (out, accA, accA2, accbg)
+        return out
 
     return do_bounce
 
@@ -1158,6 +1258,104 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
     otpr_ref[0], otpg_ref[0], otpb_ref[0] = tpr, tpg, tpb
     ocr_ref[0], ocg_ref[0], ocb_ref[0] = cr, cg, cb
     oalive_ref[0] = alive
+
+
+def _adjoint_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
+                    tri_ref, sbnd_ref, tbnd_ref, hbco_ref, ctco_ref,
+                    suv_ref, ruv_ref, yuv_ref, tuv_ref,
+                    atr_ref, atg_ref, atb_ref,
+                    rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
+                    tpr_ref, tpg_ref, tpb_ref, cr_ref, cg_ref, cb_ref,
+                    alive_ref, pix_ref,
+                    lr_ref, lg_ref, lb_ref, gr_ref, gg_ref, gb_ref,
+                    oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
+                    otpr_ref, otpg_ref, otpb_ref, ocr_ref, ocg_ref,
+                    ocb_ref, oalive_ref, oacc_ref, *,
+                    ns: int, nr: int, ny_: int, nt: int,
+                    s_chunk: int, r_chunk: int, y_chunk: int, t_chunk: int,
+                    max_depth: int, t_min: float,
+                    p_rr: float, grad_bg: bool, exhaust_bg: bool,
+                    has_img: bool, img_th: int, img_tw: int,
+                    n_slots: int = 0,
+                    cull: bool = False, cull_t: bool = False,
+                    mxu: bool = False):
+    """The BACKWARD megakernel: _mega_kernel's bounce loop replayed with
+    the adjoint accumulation enabled (see _make_do_bounce adjoint=True).
+    Extra per-lane inputs: the sample's radiance L and loss cotangent g;
+    extra per-tile output: the [8, n_slots] gradient block (rows 0-2 =
+    primary color adjoint rgb, 3-5 = checker color2 adjoint rgb, row 6
+    lanes 0-2 = constant-background adjoint). Runs inside the SAME
+    segmented-compaction wrapper machinery as the forward, so dead-tile
+    short-circuit and live-ray packing accelerate the backward too."""
+    seed = scal_i_ref[0, 0]
+    sample = scal_i_ref[0, 1]
+    start_bounce = scal_i_ref[0, 2]
+    pix = pix_ref[0]
+    background = _make_background(scal_f_ref, grad_bg)
+    do_bounce = _make_do_bounce(
+        seed, pix, background, sph_ref, rect_ref, cyl_ref, tri_ref,
+        sbnd_ref, tbnd_ref, hbco_ref, ctco_ref, suv_ref, ruv_ref,
+        yuv_ref, tuv_ref, atr_ref, atg_ref, atb_ref,
+        ns=ns, nr=nr, ny_=ny_, nt=nt, s_chunk=s_chunk, r_chunk=r_chunk,
+        y_chunk=y_chunk, t_chunk=t_chunk, t_min=t_min, p_rr=p_rr,
+        has_img=has_img, img_th=img_th, img_tw=img_tw, cull=cull,
+        cull_t=cull_t, mxu=mxu,
+        adjoint=True, n_slots=n_slots,
+        Lrgb=(lr_ref[0], lg_ref[0], lb_ref[0]),
+        grgb=(gr_ref[0], gg_ref[0], gb_ref[0]), grad_bg=grad_bg)
+
+    def bounce_cond(bst):
+        b, (st_, _, _, _) = bst
+        return (b < max_depth) & (jnp.max(st_[-1]) > 0.0)
+
+    def bounce_body(bst):
+        b, st_ = bst
+        return b + 1, do_bounce(jnp.full_like(pix, start_bounce + b),
+                                jnp.full_like(pix, sample), st_)
+
+    st = (rox_ref[0], roy_ref[0], roz_ref[0],
+          rdx_ref[0], rdy_ref[0], rdz_ref[0],
+          tpr_ref[0], tpg_ref[0], tpb_ref[0],
+          cr_ref[0], cg_ref[0], cb_ref[0], alive_ref[0])
+    nsl = n_slots // _SLOT_SLAB
+    zvec = tuple(jnp.zeros((_SLOT_SLAB,), jnp.float32)
+                 for _ in range(nsl))
+    z1 = jnp.float32(0.0)
+    carry0 = (st, (zvec, zvec, zvec), (zvec, zvec, zvec), (z1, z1, z1))
+    _, (st, accA, accA2, accbg) = jax.lax.while_loop(
+        bounce_cond, bounce_body, (jnp.int32(0), carry0))
+    (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, cr, cg, cb, alive) = st
+
+    if exhaust_bg:
+        bgr, bgg, bgb = background(dx, dy, dz)
+        live = alive > 0.0
+        cr = cr + jnp.where(live, tpr * bgr, 0.0)
+        cg = cg + jnp.where(live, tpg * bgg, 0.0)
+        cb = cb + jnp.where(live, tpb * bgb, 0.0)
+        if not grad_bg:
+            # exhaust-to-background credit: d(g.L)/dbg += g*P on lanes
+            # still alive at depth exhaustion (replay.py exhaust_bwd)
+            gs_ = (gr_ref[0], gg_ref[0], gb_ref[0])
+            accbg = tuple(
+                a + jnp.sum(jnp.where(live, g_, 0.0) * P_)
+                for a, g_, P_ in zip(accbg, gs_, (tpr, tpg, tpb)))
+
+    oox_ref[0], ooy_ref[0], ooz_ref[0] = ox, oy, oz
+    odx_ref[0], ody_ref[0], odz_ref[0] = dx, dy, dz
+    otpr_ref[0], otpg_ref[0], otpb_ref[0] = tpr, tpg, tpb
+    ocr_ref[0], ocg_ref[0], ocb_ref[0] = cr, cg, cb
+    oalive_ref[0] = alive
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_SLOT_SLAB,), 0)
+    bg0 = (jnp.where(lane == 0, accbg[0], 0.0)
+           + jnp.where(lane == 1, accbg[1], 0.0)
+           + jnp.where(lane == 2, accbg[2], 0.0))
+    zrow = jnp.zeros((_SLOT_SLAB,), jnp.float32)
+    for k in range(n_slots // _SLOT_SLAB):
+        oacc_ref[0, :, pl.ds(k * _SLOT_SLAB, _SLOT_SLAB)] = jnp.stack(
+            [accA[0][k], accA[1][k], accA[2][k],
+             accA2[0][k], accA2[1][k], accA2[2][k],
+             bg0 if k == 0 else zrow, zrow], axis=0)
 
 
 def _regen_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
@@ -1420,6 +1618,91 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
     return tuple(o.reshape(b) for o in outs)
 
 
+def adjoint_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
+                    sph_co, uv_tabs, atlas, counts,
+                    background, state, pixel, Lg6, sample_idx, seed,
+                    start_bounce, max_depth: int, n_slots: int,
+                    t_min: float = 1e-3, p_rr: float = 0.0,
+                    grad_bg: bool = False, exhaust_bg: bool = False,
+                    has_img: bool = False, img_th: int = 1,
+                    img_tw: int = 1,
+                    cull: bool = False, cull_t: bool = False,
+                    mxu: bool = False,
+                    interpret: bool = False):
+    """Advance B replay lanes max_depth bounces AND accumulate the
+    radiometric parameter adjoints (see _adjoint_kernel). Lg6 = 6 [B]
+    f32 arrays (Lr,Lg,Lb,gr,gg,gb). Returns (state, grads [gtiles, 8,
+    n_slots]) — sum grads over axis 0 (and over segments) outside."""
+    b = state[0].shape[0]
+    ns, nr, ny_, nt = counts
+    assert b % RAY_TILE == 0
+    assert n_slots % _SLOT_SLAB == 0
+    g = b // RAY_TILE
+
+    def lanes(x, dtype=jnp.float32):
+        return x.reshape(g, 8, LANES).astype(dtype)
+
+    scal_i = jnp.stack([jnp.asarray(seed).astype(jnp.int32),
+                        jnp.asarray(sample_idx).astype(jnp.int32),
+                        jnp.asarray(start_bounce).astype(jnp.int32)]
+                       ).reshape(1, 3)
+    scal_f = jnp.asarray(background, jnp.float32).reshape(1, 3)
+
+    kernel = functools.partial(
+        _adjoint_kernel, ns=ns, nr=nr, ny_=ny_, nt=nt,
+        s_chunk=min(max(ns, 1), SPH_CHUNK),
+        r_chunk=min(max(nr, 1), AUX_CHUNK),
+        y_chunk=min(max(ny_, 1), AUX_CHUNK),
+        t_chunk=min(max(nt, 1), SPH_CHUNK),
+        max_depth=int(max_depth), n_slots=int(n_slots),
+        t_min=float(t_min), p_rr=float(p_rr), grad_bg=bool(grad_bg),
+        exhaust_bg=bool(exhaust_bg), has_img=bool(has_img),
+        img_th=int(img_th), img_tw=int(img_tw), cull=bool(cull),
+        cull_t=bool(cull_t), mxu=bool(mxu))
+
+    ray_spec = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((1, 8, n_slots), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scal_i
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scal_f
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rect table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cylinder table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle table
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # sphere chunk AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # triangle chunk AABBs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere hb coeffs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere ct coeffs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere UV params
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rect UV params
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cylinder UV params
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle UV params
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas R
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas G
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas B
+        ] + [ray_spec] * 20,
+        out_specs=(ray_spec,) * 13 + (acc_spec,),
+        out_shape=tuple(jax.ShapeDtypeStruct((g, 8, LANES), jnp.float32)
+                        for _ in range(13))
+        + (jax.ShapeDtypeStruct((g, 8, n_slots), jnp.float32),),
+        interpret=interpret,
+    )(
+        scal_i, scal_f, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
+        sph_co[0], sph_co[1],
+        uv_tabs[0], uv_tabs[1], uv_tabs[2], uv_tabs[3],
+        atlas[0], atlas[1], atlas[2],
+        *[lanes(s) for s in state],
+        lanes(pixel, jnp.int32),
+        *[lanes(x) for x in Lg6],
+    )
+    return tuple(o.reshape(b) for o in outs[:13]), outs[13]
+
+
 def _fresh_state(ro, rd):
     b = ro.shape[0]
     z = jnp.zeros((b,), jnp.float32)
@@ -1495,15 +1778,16 @@ def _compact(state, pixel, orig_g, group: int = 128,
         return jax.lax.bitcast_convert_type(x.astype(jnp.int32),
                                             jnp.float32)
 
+    n_state = len(state)
     cols = list(state) + [as_f32(pixel)] + [as_f32(x) for x in ints]
     packed = jnp.concatenate([c.reshape(g, group) for c in cols], axis=1)
     packed = packed[perm]                          # [g, n_cols*group]
     parts = [packed[:, i * group:(i + 1) * group].reshape(b)
              for i in range(len(cols))]
-    state = tuple(parts[:13])
-    pixel = jax.lax.bitcast_convert_type(parts[13], jnp.int32)
+    state = tuple(parts[:n_state])
+    pixel = jax.lax.bitcast_convert_type(parts[n_state], jnp.int32)
     ints_out = tuple(jax.lax.bitcast_convert_type(p, jnp.int32)
-                     for p in parts[14:])
+                     for p in parts[n_state + 1:])
     if ints:
         return state, pixel, orig_g[perm], ints_out
     return state, pixel, orig_g[perm]
@@ -1720,6 +2004,102 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     rgb = jnp.stack([packed[:, i * group:(i + 1) * group].reshape(bp)
                      for i in range(3)], axis=-1)
     return rgb[:b]
+
+
+def mega_trace_adjoint(tables: SceneTables, cfg, ro, rd, pixel,
+                       sample_idx, seed, L, gcot,
+                       depth_bwd: int, exhaust: bool):
+    """Backward megakernel pass for ONE sample of the path-replay VJP.
+
+    Replays the bounce loop (bit-identical RNG) while accumulating the
+    radiometric suffix-identity adjoints in-kernel (_adjoint_kernel),
+    with the SAME segmented live-ray compaction as the forward — the
+    backward inherits dead-tile short-circuit, group packing, and chunk
+    culling. L/gcot [B,3]: the sample's radiance and the loss cotangent
+    rows. Returns {"tex_color": [Nx,3], "tex_color2": [Nx,3],
+    "mat_albedo": [Nm,3], "background": [3]} gradient arrays.
+
+    Scope: REPLAY_FIELDS minus "images" (texel scatter stays on the
+    XLA/hybrid replay — an in-kernel atlas adjoint would need a
+    second atlas-sized accumulator per tile)."""
+    b = ro.shape[0]
+    pad = (-b) % RAY_TILE
+    if pad:
+        ro = jnp.concatenate([ro, jnp.zeros((pad, 3), jnp.float32)])
+        rd = jnp.concatenate(
+            [rd, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                                  (pad, 3))])
+        pixel = jnp.concatenate([pixel, jnp.zeros((pad,), pixel.dtype)])
+        L = jnp.concatenate([L, jnp.zeros((pad, 3), jnp.float32)])
+        gcot = jnp.concatenate([gcot, jnp.zeros((pad, 3), jnp.float32)])
+    bp = b + pad
+
+    (tbl, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
+     uv_tabs, atlas, counts, kw) = _prep_scene(tables, cfg)
+    n_tex = tables.tex_color.shape[0]
+    n_mat = tables.mat_albedo.shape[0]
+    n_slots = -(-(n_tex + n_mat) // LANES) * LANES
+    grad_bg = kw.get("grad_bg", False)
+
+    ce = getattr(cfg, "compact_every", 0)
+    explicit = tuple(getattr(cfg, "compact_schedule", ()) or ())
+    depth_bwd = int(depth_bwd)
+    if explicit:
+        schedule, left = [], depth_bwd
+        for s_ in explicit:
+            if s_ <= 0 or left == 0:
+                continue
+            s_ = min(s_, left)
+            schedule.append(s_)
+            left -= s_
+        if left:
+            schedule.append(left)
+    elif ce == 0 or ce >= depth_bwd:
+        schedule = [depth_bwd]
+    elif ce > 0:
+        schedule = [ce] * (depth_bwd // ce)
+        if depth_bwd % ce:
+            schedule.append(depth_bwd % ce)
+    else:
+        schedule, seg, left = [], 1, depth_bwd
+        while left > 0:
+            s_ = min(seg, left)
+            schedule.append(s_)
+            left -= s_
+            seg *= 2
+
+    group = getattr(cfg, "compact_group", 128)
+    state = _fresh_state(ro, rd)
+    Lg6 = (L[:, 0], L[:, 1], L[:, 2],
+           gcot[:, 0], gcot[:, 1], gcot[:, 2])
+    pixel = pixel.astype(jnp.int32)
+    orig_g = jnp.arange(bp // group, dtype=jnp.int32)
+    gsum = jnp.zeros((8, n_slots), jnp.float32)
+    done = 0
+    for i, seg in enumerate(schedule):
+        last = i == len(schedule) - 1
+        state, gseg = adjoint_segment(
+            sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
+            uv_tabs, atlas, counts, tbl.background, state, pixel, Lg6,
+            sample_idx, seed, jnp.int32(done),
+            max_depth=seg, n_slots=n_slots,
+            exhaust_bg=exhaust and last, **kw)
+        gsum = gsum + jnp.sum(gseg, axis=0)
+        done += seg
+        if not last:
+            packed, pixel, orig_g = _compact(
+                tuple(state) + Lg6, pixel, orig_g, group=group,
+                sort=getattr(cfg, "compact_sort", "dead"),
+                pending=state[12] > 0.0)
+            state, Lg6 = packed[:13], packed[13:]
+
+    return {
+        "tex_color": gsum[0:3, :n_tex].T,
+        "tex_color2": gsum[3:6, :n_tex].T,
+        "mat_albedo": gsum[0:3, n_tex:n_tex + n_mat].T,
+        "background": (jnp.zeros((3,), jnp.float32) if grad_bg
+                       else gsum[6, 0:3]),
+    }
 
 
 def camera_vec(cam) -> jnp.ndarray:
