@@ -146,9 +146,10 @@ def make_replay_render(
     short-circuit, live-ray group compaction, and chunk culling
     included — accumulating parameter adjoints in-kernel by one-hot
     contraction over gradient slots. None (default) = auto: on when
-    the forward engine is the megakernel on a TPU backend. It covers
-    REPLAY_FIELDS minus "images"; params containing "images" (texel
-    scatter) fall back to the XLA/hybrid per-bounce replay."""
+    the forward engine is the megakernel on a TPU backend. Covers ALL
+    REPLAY_FIELDS including "images" (in-kernel atlas adjoint); only
+    very large atlases (pallas_mega.adjoint_atlas_ok) fall back to the
+    XLA/hybrid per-bounce replay."""
     base = _device_tables(tables)
     width, height = cfg.width, cfg.height
     if bwd_engine is None:
@@ -462,7 +463,12 @@ def make_replay_render(
         # needs the differentiable XLA form — kept separate.
         grads = jax.tree_util.tree_map(jnp.zeros_like, params)
         if set(params) & set(REPLAY_FIELDS):
-            if use_kernel and "images" not in params:
+            kernel_ok = use_kernel
+            if kernel_ok and "images" in params:
+                from rt_tpu.ops.pallas_mega import adjoint_atlas_ok
+
+                kernel_ok = adjoint_atlas_ok(base)
+            if kernel_ok:
                 grads = kernel_radiometric(grads)
             else:
                 grads = jax.lax.fori_loop(0, spp, body, grads)

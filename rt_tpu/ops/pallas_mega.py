@@ -648,7 +648,7 @@ def _make_do_bounce(seed, pix, background,
 
     def do_bounce(bounce, sample, st):
         if adjoint:
-            (st, accA, accA2, accbg) = st
+            (st, accA, accA2, accbg, accImg) = st
         (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, cr, cg, cb, alive) = st
 
         live = alive > 0.0
@@ -1140,10 +1140,33 @@ def _make_do_bounce(seed, pix, background,
             cots = (_cot(gr_, Lr_, cr, att_r, tpr),
                     _cot(gg_, Lg_, cg, att_g, tpg),
                     _cot(gb_, Lb_, cb, att_b, tpb))
-            prim = jnp.where(use2, 0.0, 1.0)
-            secf = jnp.where(use2, 1.0, 0.0)
+            # texel-sampled winners differentiate into the ATLAS, not
+            # their tex_color row (ops/materials._texture_eval picks the
+            # gather for TEX_IMAGE) — exclude them from the slot scatter
+            img_lane = has if has_img else (use2 & ~use2)
+            slot_ok = jnp.where(img_lane, 0.0, 1.0)
+            prim = jnp.where(use2, 0.0, 1.0) * slot_ok
+            secf = jnp.where(use2, 1.0, 0.0) * slot_ok
             cp = tuple(c * prim for c in cots)
             cs = tuple(c * secf for c in cots)
+            if has_img:
+                # atlas adjoint: dA[r,c] += sum_{s,l} OHx[r]*OHy[c]*cot
+                # — per-sublane-row [R,L]x[C,L] MXU dots (the transpose
+                # of the forward's double-one-hot texel sample)
+                imgf = jnp.where(img_lane, 1.0, 0.0)
+                accImg = list(accImg)
+                for i3 in range(3):
+                    ci = cots[i3] * imgf
+                    d = accImg[i3]
+                    for si in range(s):
+                        d = d + jax.lax.dot_general(
+                            ohx[:, si, :] * ci[si][None, :],
+                            ohy[:, si, :],
+                            (((1,), (1,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+                    accImg[i3] = d
+                accImg = tuple(accImg)
             # slab the one-hot contraction: a full [n_slots,S,L] mask
             # (8 MB at 1024 slots) blows scoped VMEM, and Mosaic
             # supports neither both-trailing-dim reductions nor lane
@@ -1186,7 +1209,7 @@ def _make_do_bounce(seed, pix, background,
         alive = scattered.astype(jnp.float32)
         out = (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, cr, cg, cb, alive)
         if adjoint:
-            return (out, accA, accA2, accbg)
+            return (out, accA, accA2, accbg, accImg)
         return out
 
     return do_bounce
@@ -1270,7 +1293,8 @@ def _adjoint_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                     lr_ref, lg_ref, lb_ref, gr_ref, gg_ref, gb_ref,
                     oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
                     otpr_ref, otpg_ref, otpb_ref, ocr_ref, ocg_ref,
-                    ocb_ref, oalive_ref, oacc_ref, *,
+                    ocb_ref, oalive_ref, oacc_ref,
+                    oimr_ref, oimg_ref, oimb_ref, *,
                     ns: int, nr: int, ny_: int, nt: int,
                     s_chunk: int, r_chunk: int, y_chunk: int, t_chunk: int,
                     max_depth: int, t_min: float,
@@ -1305,7 +1329,7 @@ def _adjoint_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
         grgb=(gr_ref[0], gg_ref[0], gb_ref[0]), grad_bg=grad_bg)
 
     def bounce_cond(bst):
-        b, (st_, _, _, _) = bst
+        b, (st_, _, _, _, _) = bst
         return (b < max_depth) & (jnp.max(st_[-1]) > 0.0)
 
     def bounce_body(bst):
@@ -1321,8 +1345,10 @@ def _adjoint_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
     zvec = tuple(jnp.zeros((_SLOT_SLAB,), jnp.float32)
                  for _ in range(nsl))
     z1 = jnp.float32(0.0)
-    carry0 = (st, (zvec, zvec, zvec), (zvec, zvec, zvec), (z1, z1, z1))
-    _, (st, accA, accA2, accbg) = jax.lax.while_loop(
+    zimg = jnp.zeros(atr_ref.shape, jnp.float32)
+    carry0 = (st, (zvec, zvec, zvec), (zvec, zvec, zvec), (z1, z1, z1),
+              (zimg, zimg, zimg))
+    _, (st, accA, accA2, accbg, accImg) = jax.lax.while_loop(
         bounce_cond, bounce_body, (jnp.int32(0), carry0))
     (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, cr, cg, cb, alive) = st
 
@@ -1350,6 +1376,7 @@ def _adjoint_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
     bg0 = (jnp.where(lane == 0, accbg[0], 0.0)
            + jnp.where(lane == 1, accbg[1], 0.0)
            + jnp.where(lane == 2, accbg[2], 0.0))
+    oimr_ref[0], oimg_ref[0], oimb_ref[0] = accImg
     zrow = jnp.zeros((_SLOT_SLAB,), jnp.float32)
     for k in range(n_slots // _SLOT_SLAB):
         oacc_ref[0, :, pl.ds(k * _SLOT_SLAB, _SLOT_SLAB)] = jnp.stack(
@@ -1664,6 +1691,9 @@ def adjoint_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
                             memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec((1, 8, n_slots), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    rp_, twp_ = atlas[0].shape
+    img_spec = pl.BlockSpec((1, rp_, twp_), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
         grid=(g,),
@@ -1686,10 +1716,12 @@ def adjoint_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas G
             pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas B
         ] + [ray_spec] * 20,
-        out_specs=(ray_spec,) * 13 + (acc_spec,),
+        out_specs=(ray_spec,) * 13 + (acc_spec,) + (img_spec,) * 3,
         out_shape=tuple(jax.ShapeDtypeStruct((g, 8, LANES), jnp.float32)
                         for _ in range(13))
-        + (jax.ShapeDtypeStruct((g, 8, n_slots), jnp.float32),),
+        + (jax.ShapeDtypeStruct((g, 8, n_slots), jnp.float32),)
+        + tuple(jax.ShapeDtypeStruct((g, rp_, twp_), jnp.float32)
+                for _ in range(3)),
         interpret=interpret,
     )(
         scal_i, scal_f, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
@@ -1700,7 +1732,8 @@ def adjoint_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
         lanes(pixel, jnp.int32),
         *[lanes(x) for x in Lg6],
     )
-    return tuple(o.reshape(b) for o in outs[:13]), outs[13]
+    return (tuple(o.reshape(b) for o in outs[:13]), outs[13],
+            outs[14:17])
 
 
 def _fresh_state(ro, rd):
@@ -2019,9 +2052,11 @@ def mega_trace_adjoint(tables: SceneTables, cfg, ro, rd, pixel,
     rows. Returns {"tex_color": [Nx,3], "tex_color2": [Nx,3],
     "mat_albedo": [Nm,3], "background": [3]} gradient arrays.
 
-    Scope: REPLAY_FIELDS minus "images" (texel scatter stays on the
-    XLA/hybrid replay — an in-kernel atlas adjoint would need a
-    second atlas-sized accumulator per tile)."""
+    Covers ALL REPLAY_FIELDS including "images": texel cotangents
+    accumulate into per-tile atlas-plane accumulators by the transpose
+    of the forward's double-one-hot texel sample (per-sublane-row MXU
+    dots); adjoint_atlas_ok() gates very large atlases back to the
+    XLA/hybrid replay."""
     b = ro.shape[0]
     pad = (-b) % RAY_TILE
     if pad:
@@ -2075,16 +2110,20 @@ def mega_trace_adjoint(tables: SceneTables, cfg, ro, rd, pixel,
     pixel = pixel.astype(jnp.int32)
     orig_g = jnp.arange(bp // group, dtype=jnp.int32)
     gsum = jnp.zeros((8, n_slots), jnp.float32)
+    gimg = [jnp.zeros(atlas[0].shape, jnp.float32) for _ in range(3)]
     done = 0
     for i, seg in enumerate(schedule):
         last = i == len(schedule) - 1
-        state, gseg = adjoint_segment(
+        state, gseg, gimg_seg = adjoint_segment(
             sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
             uv_tabs, atlas, counts, tbl.background, state, pixel, Lg6,
             sample_idx, seed, jnp.int32(done),
             max_depth=seg, n_slots=n_slots,
             exhaust_bg=exhaust and last, **kw)
         gsum = gsum + jnp.sum(gseg, axis=0)
+        if kw.get("has_img"):
+            gimg = [a + jnp.sum(p, axis=0)
+                    for a, p in zip(gimg, gimg_seg)]
         done += seg
         if not last:
             packed, pixel, orig_g = _compact(
@@ -2093,13 +2132,32 @@ def mega_trace_adjoint(tables: SceneTables, cfg, ro, rd, pixel,
                 pending=state[12] > 0.0)
             state, Lg6 = packed[:13], packed[13:]
 
-    return {
+    out = {
         "tex_color": gsum[0:3, :n_tex].T,
         "tex_color2": gsum[3:6, :n_tex].T,
         "mat_albedo": gsum[0:3, n_tex:n_tex + n_mat].T,
         "background": (jnp.zeros((3,), jnp.float32) if grad_bg
                        else gsum[6, 0:3]),
     }
+    if kw.get("has_img"):
+        ni, th, tw = tables.images.shape[:3]
+        out["images"] = jnp.stack(
+            [p[:ni * th, :tw].reshape(ni, th, tw) for p in gimg],
+            axis=-1)
+    return out
+
+
+def adjoint_atlas_ok(tables: SceneTables) -> bool:
+    """True when the in-kernel atlas adjoint's per-tile accumulators
+    (3 x [Ni*TH, TWp] f32, carried through the bounce loop) fit
+    comfortably in scoped VMEM; bigger atlases fall back to the
+    XLA/hybrid replay for ALL fields (replay.py gates on this)."""
+    if not bool(tables.img_on):
+        return True
+    ni, th, tw = tables.images.shape[:3]
+    rp = -(-(ni * th) // 8) * 8
+    twp = -(-tw // 128) * 128
+    return rp * twp <= (1 << 17)  # 3 x 512 KB of VMEM accumulators
 
 
 def camera_vec(cam) -> jnp.ndarray:

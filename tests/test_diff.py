@@ -565,3 +565,30 @@ def test_adjoint_megakernel_matches_xla_replay():
             a, b = np.asarray(g_x[k]), np.asarray(g_k[k])
             mag = max(np.abs(a).max(), 1e-12)
             assert np.abs(a - b).max() <= 1e-5 + 1e-3 * mag, (name, k)
+
+    # image-texture scene: texel cotangents scatter into the ATLAS
+    # accumulators (the transpose of the double-one-hot sampler), and
+    # the textured winner's rows must NOT leak into tex_color
+    rs = np.random.RandomState(7)
+    s2 = SceneDef(width=32, height=24, samples_per_pixel=2, max_depth=4,
+                  background=(0.6, 0.7, 0.8))
+    s2.add_rect("xy_rect", -1.0, 1.0, -0.6, 0.6, -1.2,
+                s2.add_lambertian(s2.add_image_texture(
+                    rs.rand(8, 8, 3).astype(np.float32))))
+    s2.add_sphere((0.6, 0.1, -0.8), 0.25,
+                  s2.add_lambertian_color((0.2, 0.6, 0.3)))
+    s2.set_camera((0, 0, 1.0), (0, 0, -1.2), (0, 1, 0), 60, 0.0)
+    c2 = RenderConfig(width=32, height=24, samples_per_pixel=2,
+                      max_depth=4, loop="while", engine="mega",
+                      compact_every=2)
+    t2 = build_tables(s2)
+    p2 = {"tex_color": jnp.asarray(t2.tex_color, jnp.float32),
+          "images": jnp.asarray(t2.images, jnp.float32)}
+    g_x = jax.grad(make_replay_loss_fn(
+        t2, c2, 2, px, py, tgt, bwd_kernel=False))(p2)
+    g_k = jax.grad(make_replay_loss_fn(
+        t2, c2, 2, px, py, tgt, bwd_kernel=True))(p2)
+    for k in p2:
+        a, b = np.asarray(g_x[k]), np.asarray(g_k[k])
+        mag = max(np.abs(a).max(), 1e-12)
+        assert np.abs(a - b).max() <= 1e-5 + 1e-3 * mag, ("image", k)
