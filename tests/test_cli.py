@@ -299,3 +299,41 @@ def test_cli_fit_recovers_albedo(tmp_path):
     rec = np.load(os.path.join(outdir, "recovered.npz"))
     assert os.path.exists(os.path.join(outdir, "after.png"))
     assert np.abs(rec["tex_color"][0] - np.asarray(true_albedo)).max() < 0.12
+
+
+def test_cli_fit_hybrid_position(tmp_path):
+    """`rt_tpu fit --fd`: the CLI's hybrid path (replay VJP albedo +
+    CRN-FD geometry) parses component specs and recovers a shifted
+    sphere from an .npz target."""
+    from rt_tpu.config import RenderConfig
+    from rt_tpu.render.renderer import render
+    from rt_tpu.scene.parser import scene_to_dict
+    from rt_tpu.scene.types import SceneDef, build_tables
+
+    def make(cx):
+        s = SceneDef(width=48, height=27, samples_per_pixel=8, max_depth=3,
+                     background=(0.7, 0.8, 1.0))
+        s.add_sphere((cx, 0, -1), 0.5,
+                     s.add_lambertian_color((0.7, 0.2, 0.2)))
+        s.add_sphere((0, -100.5, -1), 100,
+                     s.add_lambertian_color((0.6, 0.6, 0.6)))
+        s.set_camera((0, 0.3, 1), (0, 0, -1), (0, 1, 0), 50, 0.0)
+        return s
+
+    cfg = RenderConfig(width=48, height=27, samples_per_pixel=8,
+                       max_depth=3, loop="while")
+    target = np.asarray(render(build_tables(make(0.15)), cfg)) / 8.0
+    tgt_path = str(tmp_path / "t.npz")
+    np.savez_compressed(tgt_path, img=target.astype(np.float32))
+    scene_path = str(tmp_path / "w.json")
+    with open(scene_path, "w") as f:
+        json.dump(scene_to_dict(make(-0.1)), f)
+
+    outdir = str(tmp_path / "out")
+    rc = main(["fit", "-f", scene_path, "--target", tgt_path,
+               "--fields", "tex_color", "--fd", "sph_center:0,0",
+               "-spp", "8", "--steps", "40", "--lr", "3e-2",
+               "--engine", "xla", "--out", outdir])
+    assert rc == 0
+    rec = np.load(os.path.join(outdir, "recovered.npz"))
+    assert abs(rec["sph_center"][0, 0] - 0.15) < 0.05
