@@ -59,6 +59,10 @@ def main():
                     help="demonstrate one full-HD gradient step via path "
                          "replay (impossible with O(B*depth) scan "
                          "residuals)")
+    ap.add_argument("--cover-albedo", action="store_true",
+                    help="MASS recovery: all ~480 cover-scene sphere "
+                         "albedos jointly from ONE 1080p depth-50 "
+                         "target, via the adjoint-megakernel backward")
     ap.add_argument("--texture", action="store_true",
                     help="TEXTURE RECOVERY: reconstruct the reference's "
                          "100x100 bricks image texture from a render of "
@@ -80,6 +84,8 @@ def main():
         return joint_1080p_demo(args)
     if args.texture:
         return texture_demo(args)
+    if args.cover_albedo:
+        return cover_albedo_demo(args)
     if args.grad_1080p:
         return grad_1080p_demo(args)
     if args.material_geom:
@@ -336,6 +342,87 @@ def joint_1080p_demo(args):
     pos_err = max(abs(cx - true_x), abs(cy - true_y))
     alb_err = float(np.abs(alb - np.asarray(true_albedo)).max())
     return 0 if (pos_err < 0.05 and alb_err < 0.08) else 1
+
+
+def cover_albedo_demo(args):
+    """Recover EVERY lambertian sphere's albedo in the cover scene —
+    ~1440 parameters — jointly from ONE 1920x1080 depth-50 target
+    image. Each sphere's albedo receives gradient only from the pixels
+    whose paths touched it; the adjoint megakernel scatters all of
+    them per bounce through the gradient-slot one-hot, so the cost per
+    step is one forward + ~1.6 forwards of backward, independent of
+    the parameter count. The production inverse-rendering shape of
+    BASELINE.json config #5."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from rt_tpu.diff.inverse import fit
+    from rt_tpu.scene.builders import cover_scene
+    from rt_tpu.scene.types import MAT_LAMBERTIAN, TEX_SOLID
+
+    w, h = 1920, 1080
+    sdef, cfg = cover_scene(width=w, height=h, spp=1, max_depth=50)
+    cfg = cfg.replace(engine=("mega" if jax.default_backend() == "tpu"
+                              else "xla"), loop="while",
+                      compact_schedule=(2, 3, 5, 10), compact_group=16)
+    tables = build_tables(sdef)
+
+    outdir = args.outdir
+    os.makedirs(outdir, exist_ok=True)
+    t0 = time.perf_counter()
+    target = render(tables, cfg.replace(samples_per_pixel=32)) / 32.0
+    print(f"target 1080p d50 spp32: {time.perf_counter() - t0:.1f}s")
+
+    # gray out every SOLID-textured lambertian (the ~480 small spheres
+    # + the big center one); checker ground / metal / glass untouched
+    mt = np.asarray(tables.mat_type)
+    tex = np.asarray(tables.mat_tex)
+    ttype = np.asarray(tables.tex_type)
+    lam_tex = np.unique(tex[(mt == MAT_LAMBERTIAN) & (tex >= 0)])
+    lam_tex = lam_tex[ttype[lam_tex] == TEX_SOLID]
+    true_colors = np.asarray(tables.tex_color)[lam_tex]
+    import dataclasses
+
+    init_tc = np.asarray(tables.tex_color).copy()
+    init_tc[lam_tex] = 0.5
+    wrong = dataclasses.replace(
+        jax.tree_util.tree_map(jnp.asarray, tables),
+        tex_color=jnp.asarray(init_tc, jnp.float32))
+    before = render(wrong, cfg.replace(samples_per_pixel=8)) / 8.0
+    write_png(os.path.join(outdir, "cover_before.png"),
+              film.finalize(np.asarray(before), 1, gamma=True))
+
+    t0 = time.perf_counter()
+    rec, hist = fit(wrong, cfg, np.asarray(target),
+                    fields=("tex_color",), spp=args.spp,
+                    steps=args.steps, learning_rate=5e-2,
+                    method="replay", bwd_depth=12, resample=True)
+    dt = time.perf_counter() - t0
+    print(f"{args.steps} steps x {len(lam_tex)} spheres "
+          f"({3 * len(lam_tex)} params): {dt:.1f}s "
+          f"({dt / args.steps:.2f}s/step)")
+    print(f"loss: {hist[0]:.6f} -> {hist[-1]:.7f}")
+    got = np.clip(rec["tex_color"][lam_tex], 0.0, 1.0)
+    err = np.abs(got - true_colors).max(axis=-1)
+    # a single view cannot constrain spheres it barely/never sees:
+    # report over spheres whose parameters actually received signal
+    moved = np.abs(got - 0.5).max(axis=-1) > 0.05
+    print(f"albedo error over ALL {len(lam_tex)} spheres: "
+          f"median {np.median(err):.4f}, p90 {np.percentile(err, 90):.4f},"
+          f" max {err.max():.4f}")
+    print(f"over the {int(moved.sum())} observable (trained) spheres: "
+          f"median {np.median(err[moved]):.4f}, "
+          f"p90 {np.percentile(err[moved], 90):.4f}")
+
+    after_t = dataclasses.replace(
+        wrong, tex_color=jnp.asarray(rec["tex_color"], jnp.float32))
+    after = render(after_t, cfg.replace(samples_per_pixel=8)) / 8.0
+    write_png(os.path.join(outdir, "cover_after.png"),
+              film.finalize(np.asarray(after), 1, gamma=True))
+    print(f"wrote {outdir}/cover_{{before,after}}.png")
+    return 0 if float(np.median(err[moved])) < 0.08 else 1
 
 
 def texture_demo(args):

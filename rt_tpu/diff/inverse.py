@@ -159,6 +159,7 @@ def fit(
     method: str = "ad",
     geom_spec: Optional[Dict[str, Sequence[tuple]]] = None,
     bwd_depth: Optional[int] = None,
+    resample: bool = False,
 ) -> Tuple[Dict[str, np.ndarray], list]:
     """Inverse-rendering loop: recover `fields` of the scene from a
     target mean-radiance image [H,W,3] (row 0 = bottom scanline).
@@ -216,14 +217,20 @@ def fit(
             n_valid=n_pix)
 
         @jax.jit
-        def step(params, opt_state):
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+        def step(params, opt_state, s0):
+            loss, grads = jax.value_and_grad(loss_fn)(params, s0)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
         history = []
-        for _ in range(steps):
-            params, opt_state, loss = step(params, opt_state)
+        for k_ in range(steps):
+            # resample=True rotates the sample window every step (true
+            # SGD over fresh Monte-Carlo samples); with a fixed window
+            # the optimizer eventually fits the FIXED sample noise (the
+            # cover-scene mass recovery plateaus at ~0.10 median albedo
+            # error fixed vs converging rotated — BASELINE.md)
+            s0 = jnp.float32(k_ * spp if resample else 0)
+            params, opt_state, loss = step(params, opt_state, s0)
             history.append(float(loss))
         return {k: np.asarray(v) for k, v in params.items()}, history
 
@@ -369,6 +376,7 @@ def fit_hybrid(
     eps: float = 2e-2,
     bwd_depth: Optional[int] = None,
     mesh: Optional[Mesh] = None,
+    resample: bool = False,
 ) -> Tuple[Dict[str, np.ndarray], list]:
     """Joint radiometric + geometry recovery in ONE Adam loop
     (BASELINE.json config #5: "recover albedo + sphere positions from
@@ -438,9 +446,10 @@ def fit_hybrid(
                 for idx in idxs]
     k = len(flat_idx)
 
-    def fd_loss(pp):
+    def fd_loss(pp, s0):
         tbl = apply_params(tables, pp)
-        acc = render_block(tbl, cfg, px, py, jnp.uint32(0), fd_spp,
+        acc = render_block(tbl, cfg, px, py, s0.astype(jnp.uint32),
+                           fd_spp,
                            jnp.uint32(cfg.seed), cfg.width, cfg.height)
         se = (acc / jnp.float32(fd_spp) - tgt) ** 2
         if n_pix == px.shape[0]:
@@ -460,10 +469,11 @@ def fit_hybrid(
         return out
 
     @jax.jit
-    def step(params, opt_state):
-        loss, grads = jax.value_and_grad(replay_loss)(params)
+    def step(params, opt_state, s0):
+        loss, grads = jax.value_and_grad(replay_loss)(params, s0)
         if k:
-            losses = jax.lax.map(fd_loss, stacked_probes(params))
+            losses = jax.lax.map(lambda pp: fd_loss(pp, s0),
+                                 stacked_probes(params))
             for j, (f, idx) in enumerate(flat_idx):
                 fd = (losses[2 * j] - losses[2 * j + 1]) / (2 * eps)
                 grads[f] = grads[f].at[idx].set(fd)
@@ -471,7 +481,11 @@ def fit_hybrid(
         return optax.apply_updates(params, updates), opt_state, loss
 
     history = []
-    for _ in range(steps):
-        params, opt_state, loss = step(params, opt_state)
+    for k_ in range(steps):
+        # rotate the sample window when resample=True (fresh Monte-
+        # Carlo samples each step — see fit); CRN cancellation in the
+        # FD probes is per-step, so rotation costs nothing there
+        s0 = jnp.float32(k_ * max(spp, fd_spp) if resample else 0)
+        params, opt_state, loss = step(params, opt_state, s0)
         history.append(float(loss))
     return {k2: np.asarray(v) for k2, v in params.items()}, history

@@ -183,11 +183,11 @@ def make_replay_render(
                                seed, cfg.enable_defocus)
         return ro, rd, sample
 
-    def _forward(params):
+    def _forward(params, s0):
         tbl = apply_params(base, params)
 
         def body(i, acc):
-            ro, rd, sample = _rays(tbl, i.astype(jnp.uint32))
+            ro, rd, sample = _rays(tbl, s0 + i.astype(jnp.uint32))
             return acc + trace(tbl, cfg, ro, rd, pixel, sample, seed)
 
         acc = jax.lax.fori_loop(0, spp, body,
@@ -405,33 +405,42 @@ def make_replay_render(
     _STORE_L_MAX = 1 << 28  # 256M floats = 1 GiB f32
     store_L = spp * b * 3 <= _STORE_L_MAX
 
+    # s0f: the sample-index base as a FLOAT scalar (floored to uint32
+    # inside) so per-step sample rotation — true SGD over fresh Monte-
+    # Carlo samples — threads through the custom VJP with an ordinary
+    # zero cotangent. With a FIXED base the optimizer fits the fixed
+    # sample noise: the cover-scene mass-albedo recovery plateaus at
+    # median error ~0.10 with fixed samples vs converging with rotation
+    # (see fit(..., resample=True)).
     @jax.custom_vjp
-    def img_fn(params):
-        return _forward(params)
+    def img_fn(params, s0f):
+        return _forward(params, s0f.astype(jnp.uint32))
 
-    def img_fwd(params):
+    def img_fwd(params, s0f):
+        s0 = s0f.astype(jnp.uint32)
         if not store_L:
-            return _forward(params), (params, None)
+            return _forward(params, s0), (params, None, s0)
         tbl = apply_params(base, params)
 
         def one(s):
             ro, rd, sample = _rays(tbl, s.astype(jnp.uint32))
             return trace(tbl, cfg, ro, rd, pixel, sample, seed)
 
-        Ls = jax.lax.map(one, jnp.arange(spp, dtype=jnp.uint32))
-        return jnp.sum(Ls, axis=0) / jnp.float32(spp), (params, Ls)
+        Ls = jax.lax.map(one, s0 + jnp.arange(spp, dtype=jnp.uint32))
+        return (jnp.sum(Ls, axis=0) / jnp.float32(spp),
+                (params, Ls, s0))
 
     use_kernel = (bwd_kernel if bwd_kernel is not None
                   else (cfg.engine == "mega"
                         and jax.default_backend() == "tpu"))
 
     def img_bwd(res, g):
-        params, Ls = res
+        params, Ls, s0 = res
         gs = g / jnp.float32(spp)  # mean over samples
 
         def body(s, grads):
             return _replay_sample_grads(
-                params, gs, s.astype(jnp.uint32), grads,
+                params, gs, s0 + s.astype(jnp.uint32), grads,
                 L=None if Ls is None else Ls[s])
 
         def kernel_radiometric(grads):
@@ -443,7 +452,7 @@ def make_replay_render(
             tbl = apply_params(base, params)
 
             def kbody(s, grads):
-                s_ = s.astype(jnp.uint32)
+                s_ = s0 + s.astype(jnp.uint32)
                 ro, rd, sample = _rays(tbl, s_)
                 gk = mega_trace_adjoint(
                     tbl, cfg, ro, rd, pixel, s_, seed,
@@ -482,14 +491,14 @@ def make_replay_render(
 
             def gbody(s, acc):
                 return _replay_sample_geom(params, tans, gs,
-                                           s.astype(jnp.uint32), acc)
+                                           s0 + s.astype(jnp.uint32), acc)
 
             dirs = jax.lax.fori_loop(
                 0, spp, gbody, jnp.zeros((_n_dirs,), jnp.float32))
             grads = dict(grads)
             for j, (f, idx) in enumerate(_geom_flat):
                 grads[f] = grads[f].at[idx].add(dirs[j])
-        return (grads,)
+        return (grads, jnp.float32(0.0))
 
     img_fn.defvjp(img_fwd, img_bwd)
     return img_fn
@@ -522,7 +531,7 @@ def make_replay_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int,
         n_valid = None
     geom_ok = set(geom_spec) if geom_spec else set()
 
-    def loss_fn(params):
+    def loss_fn(params, sample_base=0.0):
         bad = set(params) - set(REPLAY_FIELDS) - geom_ok
         if bad:
             raise ValueError(
@@ -534,7 +543,7 @@ def make_replay_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int,
         if missing:
             raise ValueError(
                 f"geom_spec fields {sorted(missing)} are not in params")
-        img = img_fn(params)
+        img = img_fn(params, jnp.asarray(sample_base, jnp.float32))
         se = (img - target) ** 2
         if n_valid is None:
             return jnp.mean(se)
