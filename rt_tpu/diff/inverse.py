@@ -175,6 +175,12 @@ def fit(
                  forward-mode tangent replay. With a mesh, the pixel
                  batch is sharded over all devices and GSPMD inserts
                  the gradient all-reduce.
+      "tape"   — winner-tape reverse mode (diff/tape.py): capture each
+                 bounce's closest-hit winner, differentiate the smooth
+                 replay with plain AD under two-level remat — EVERY
+                 continuous field (geometry tables included, whole-table
+                 at once) in one backward pass at O(B*sqrt(depth))
+                 memory. Same detached-sampling scope as "ad".
 
     Returns (recovered params, per-step loss history)."""
     optimizer = optax.adam(learning_rate)
@@ -183,9 +189,7 @@ def fit(
     params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
     opt_state = optimizer.init(params)
 
-    if method == "replay":
-        from rt_tpu.diff.replay import make_replay_loss_fn
-
+    if method in ("replay", "tape"):
         flat_tgt = np.asarray(target_image, np.float32).reshape(-1, 3)
         if mesh is None:
             n_pix = cfg.width * cfg.height
@@ -211,10 +215,18 @@ def fit(
             sh = pixel_sharding(mesh)
             rpx, rpy, tgt = (jax.device_put(jnp.asarray(x), sh)
                              for x in (px_, py_, flat_tgt))
-        loss_fn = make_replay_loss_fn(
-            tables, cfg, spp, px=rpx, py=rpy,
-            target=tgt, geom_spec=geom_spec, bwd_depth=bwd_depth,
-            n_valid=n_pix)
+        if method == "tape":
+            from rt_tpu.diff.tape import make_tape_loss_fn
+
+            loss_fn = make_tape_loss_fn(tables, cfg, spp, px=rpx, py=rpy,
+                                        target=tgt, n_valid=n_pix)
+        else:
+            from rt_tpu.diff.replay import make_replay_loss_fn
+
+            loss_fn = make_replay_loss_fn(
+                tables, cfg, spp, px=rpx, py=rpy,
+                target=tgt, geom_spec=geom_spec, bwd_depth=bwd_depth,
+                n_valid=n_pix)
 
         @jax.jit
         def step(params, opt_state, s0):

@@ -1,0 +1,341 @@
+"""Winner-tape reverse-mode gradients: record the path's discrete
+structure, differentiate the smooth remainder with plain AD.
+
+The scan estimator (diff/inverse.py, method="ad") reverse-differentiates
+the FULL bounce loop — including the closest-hit candidate pass over
+every primitive ([B,N] quadratics per bounce, stored as residuals) — so
+its memory AND its backward compute scale with the primitive count. The
+replay VJP (diff/replay.py) fixes memory for the radiometric fields but
+covers geometry only in FORWARD mode: K one-hot tangent directions, one
+pushed chain each — fine for a handful of components, useless for
+"recover every sphere's center" (K ~ thousands).
+
+This module closes that gap with a two-pass design:
+
+  1. CAPTURE (non-differentiable, any engine): trace the path once and
+     record, per bounce, only its DISCRETE outcome — the closest-hit
+     winner's (family, index) packed in one int32 per ray per bounce
+     (-1 = miss). Every other discrete decision (RR survival, the
+     Schlick coin, scatter-vs-absorb, the sampled unit-ball vector) is
+     a pure function of the counter RNG's (pixel, sample, bounce)
+     coordinates (ops/rng.py), so it needs no storage at all.
+  2. REPLAY (differentiable): re-run the bounce loop where the hit is
+     recomputed against the KNOWN winner only — the per-lane leaf tests
+     of ops/intersect.py — making each bounce an O(1)-per-ray smooth
+     closed-form function of the scene tables. Plain `jax.grad`
+     through this replay yields REVERSE-mode gradients for EVERY
+     continuous parameter at once: geometry (sphere centers/radii,
+     rect extents, cylinder caps/radii, triangle vertices), materials
+     (albedo, fuzz, IOR, emission), background, and the image-texture
+     atlas — one backward pass, cost independent of the parameter
+     count.
+
+Memory is held at O(B * sqrt(depth)) by two-level rematerialization:
+the bounce scan is chunked into ~sqrt(depth) segments, each segment is
+a `jax.checkpoint` (storing only its entry carry), and each bounce
+inside a segment is checkpointed again (its shading one-hots are
+recomputed during the backward instead of stored).
+
+Estimator semantics are IDENTICAL to method="ad": with the same
+parameters the taped winner is the winner the full intersect would
+pick, the comparisons AD detaches are exactly the decisions the tape
+froze, and the interior chains (hit distance, normal, UV, scatter
+direction, Schlick blend) carry the same derivatives — test_tape pins
+the gradients against scan-AD. Like every detached-sampling estimator
+here, visibility-boundary (silhouette) terms are not captured; compose
+with the CRN finite-difference estimator (diff/inverse.fit_fd /
+fit_hybrid) when silhouettes dominate.
+
+The reference renderer has no gradients of any kind (BASELINE.json's
+north star adds differentiability on top of parity); the closest-hit
+semantics replayed here are the CUDA scan's
+(gpu-version/object.cuh:23-37, main.cu:17-70).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rt_tpu.config import RenderConfig
+from rt_tpu.diff.inverse import _device_tables, apply_params
+from rt_tpu.ops import materials, rng
+from rt_tpu.ops.camera import generate_rays
+from rt_tpu.ops.intersect import (
+    PTYPE_CYLINDER,
+    PTYPE_RECT,
+    PTYPE_SPHERE,
+    PTYPE_TRIANGLE,
+    _attributes,
+    _cylinder_leaf_test,
+    _rect_leaf_test,
+    _sphere_leaf_test,
+    _triangle_leaf_test,
+    intersect,
+)
+from rt_tpu.render.integrator import background_color
+from rt_tpu.scene.types import SceneTables
+
+TAPE_SHIFT = 24                     # code = ptype << 24 | pid ; -1 = miss
+_PID_MASK = (1 << TAPE_SHIFT) - 1
+_T_MIN = 1e-3                       # the reference's shadow-acne epsilon
+                                    # (gpu-version/main.cu:45)
+
+# every continuous scene parameter the tape replay differentiates.
+# Geometry fields beyond the sphere tables are included because the
+# leaf tests + attribute recompute are closed-form in them too; their
+# scope is the same interior-chain one. Note rect_lo/hi, cyl_zmin/zmax
+# and tri_v2/v3 act ONLY through the hit UV, and every UV consumer is
+# nearest-neighbor (image textures) or hit-point-based (checker) — so
+# their interior gradient is zero almost everywhere (AD through the
+# full intersect agrees; test_tape pins it): use fit_fd for those, like
+# any silhouette-driven parameter. rect_k, cyl_radius and tri_v1 carry
+# real plane/quadric chains. cyl_w2o is a 4x4 affine with a baked
+# analytic inverse — treat pose via fit_fd instead of differentiating
+# the matrix entries.
+TAPE_FIELDS = (
+    "mat_albedo", "mat_fuzz", "mat_ior",
+    "tex_color", "tex_color2", "background", "images",
+    "sph_center", "sph_radius",
+    "rect_k", "rect_lo", "rect_hi",
+    "cyl_radius", "cyl_zmin", "cyl_zmax",
+    "tri_v1", "tri_v2", "tri_v3",
+)
+
+
+def capture_tape(tables: SceneTables, cfg: RenderConfig, ro, rd, pixel,
+                 sample, seed, engine: Optional[str] = None):
+    """Trace (ro, rd) and record each bounce's closest-hit winner.
+
+    Returns codes [max_depth, B] int32: ptype << 24 | pid on a hit, -1
+    on a miss. NON-differentiable by construction (inputs are
+    stop_gradient'ed; the outputs are integers), so it can run any
+    forward engine — default the Pallas per-bounce intersector on TPU,
+    XLA elsewhere. Dead lanes keep recording whatever their stale ray
+    intersects, exactly like the wavefront loop's masked lanes — the
+    replay masks them identically."""
+    if engine is None:
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    tables = jax.tree_util.tree_map(jax.lax.stop_gradient, tables)
+    ro = jax.lax.stop_gradient(ro)
+    rd = jax.lax.stop_gradient(rd)
+    b = ro.shape[0]
+
+    def body(st, i):
+        o, d, alive = st
+        survive = jnp.ones_like(alive)
+        if cfg.p_rr > 0.0:
+            u_rr = rng.uniform(jnp, seed, pixel, sample, i, rng.RR)
+            survive = u_rr <= cfg.p_rr
+        hit = intersect(tables, o, d, engine=engine,
+                        traversal=cfg.traversal)
+        ball = rng.in_unit_ball(jnp, seed, pixel, sample, i)
+        refl_u = rng.uniform(jnp, seed, pixel, sample, i, rng.DIEL_REFL)
+        sc, _ = materials.shade(tables, hit.mat, d, hit.normal,
+                                hit.front_face, hit.u, hit.v, hit.p,
+                                ball, refl_u)
+        code = jnp.where(
+            hit.hit,
+            (hit.ptype << TAPE_SHIFT) | hit.pid,
+            -1).astype(jnp.int32)
+        scattered = alive & survive & hit.hit & sc.ok
+        o2 = jnp.where(scattered[:, None], hit.p, o)
+        d2 = jnp.where(scattered[:, None], sc.direction, d)
+        return (o2, d2, scattered), code
+
+    _, codes = jax.lax.scan(
+        body, (ro, rd, jnp.ones((b,), bool)),
+        jnp.arange(cfg.max_depth, dtype=jnp.uint32))
+    return codes
+
+
+def _known_t(tables: SceneTables, o, d, ptype, pid):
+    """Hit distance against each lane's KNOWN winner primitive — the
+    per-lane leaf tests of ops/intersect.py, family-selected by ptype.
+    O(1) work per ray; differentiable in the primitive parameters."""
+    n_sph, n_rect, n_cyl, n_tri = tables.counts
+    fams = []
+    if n_sph:
+        fams.append((PTYPE_SPHERE, _sphere_leaf_test, n_sph))
+    if n_rect:
+        fams.append((PTYPE_RECT, _rect_leaf_test, n_rect))
+    if n_cyl:
+        fams.append((PTYPE_CYLINDER, _cylinder_leaf_test, n_cyl))
+    if n_tri:
+        fams.append((PTYPE_TRIANGLE, _triangle_leaf_test, n_tri))
+    t = jnp.full(o.shape[:1], np.float32(np.inf))
+    for pt, factory, n in fams:
+        # clamp out-of-family pids before the gather: the jnp.where
+        # zeroes both the value and (via its VJP) the cotangent of
+        # non-selected lanes, so the clamped row receives no gradient
+        pc = jnp.clip(pid, 0, n - 1)
+        tf = factory(tables)(pc, o, d, _T_MIN)
+        t = jnp.where(ptype == pt, tf, t)
+    return t
+
+
+def _tape_bounce(tables: SceneTables, cfg: RenderConfig, st, code, pixel,
+                 sample, seed, bounce, rr_comp):
+    """One differentiable bounce against the taped winner — the
+    integrator's _bounce (render/integrator.py) with the full intersect
+    replaced by the known-winner recompute."""
+    o, d, tp, rgb, alive = st
+
+    survive = jnp.ones_like(alive)
+    if cfg.p_rr > 0.0:
+        u_rr = rng.uniform(jnp, seed, pixel, sample, bounce, rng.RR)
+        survive = u_rr <= cfg.p_rr
+
+    hit_mask = code >= 0
+    ptype = jnp.where(hit_mask, code >> TAPE_SHIFT, 0).astype(jnp.int32)
+    pid = jnp.where(hit_mask, code & _PID_MASK, 0).astype(jnp.int32)
+    t = _known_t(tables, o, d, ptype, pid)
+    # isfinite guards ulp disagreements between the batched candidate
+    # pass and the per-lane leaf form at grazing/t_min edges: such a
+    # lane drops dead (contributing nothing) instead of poisoning the
+    # batch with inf hit points
+    valid = hit_mask & jnp.isfinite(t)
+    t = jnp.where(valid, t, 1.0)
+    hit = _attributes(tables, o, d, valid, t, ptype, pid,
+                      jnp.where(valid, pid, -1))
+
+    ball = rng.in_unit_ball(jnp, seed, pixel, sample, bounce)
+    refl_u = rng.uniform(jnp, seed, pixel, sample, bounce, rng.DIEL_REFL)
+    sc, em = materials.shade(tables, hit.mat, d, hit.normal,
+                             hit.front_face, hit.u, hit.v, hit.p,
+                             ball, refl_u)
+    bg = background_color(tables, cfg, d)
+
+    live = alive & survive
+    scattered = live & valid & sc.ok
+    emitter = live & valid & ~sc.ok
+    missed = live & ~hit_mask
+
+    contrib = (jnp.where((scattered | emitter)[:, None], em, 0.0)
+               + jnp.where(missed[:, None], bg, 0.0))
+    rgb = rgb + tp * contrib
+    tp = jnp.where(scattered[:, None], tp * sc.attenuation * rr_comp, tp)
+    o = jnp.where(scattered[:, None], hit.p, o)
+    d = jnp.where(scattered[:, None], sc.direction, d)
+    return (o, d, tp, rgb, scattered)
+
+
+def replay_tape(tables: SceneTables, cfg: RenderConfig, ro, rd, codes,
+                pixel, sample, seed, segment: Optional[int] = None):
+    """Differentiable radiance [B,3] of the taped paths.
+
+    Two-level remat: the depth loop runs as ~sqrt(depth) checkpointed
+    segments of checkpointed bounces, so reverse-mode residues are
+    O(B * (depth/segment + segment)) ray states instead of every
+    bounce's shading internals."""
+    depth = codes.shape[0]
+    if segment is None:
+        segment = max(1, int(round(depth ** 0.5)))
+    segment = min(segment, depth)
+    rr_comp = (jnp.float32(1.0 / cfg.p_rr) if cfg.p_rr > 0.0
+               else jnp.float32(1.0))
+    b = ro.shape[0]
+    st = (ro, rd,
+          jnp.ones((b, 3), jnp.float32),
+          jnp.zeros((b, 3), jnp.float32),
+          jnp.ones((b,), bool))
+
+    def one_bounce(st, xs):
+        code, i = xs
+        return _tape_bounce(tables, cfg, st, code, pixel, sample, seed,
+                            i, rr_comp), None
+
+    ckpt_bounce = jax.checkpoint(one_bounce)
+
+    def seg_body(st, xs):
+        seg_codes, seg_idx = xs
+        st, _ = jax.lax.scan(ckpt_bounce, st, (seg_codes, seg_idx))
+        return st, None
+
+    idx = jnp.arange(depth, dtype=jnp.uint32)
+    n_full, rem = divmod(depth, segment)
+    head = n_full * segment
+    if n_full:
+        st, _ = jax.lax.scan(
+            jax.checkpoint(seg_body), st,
+            (codes[:head].reshape(n_full, segment, b),
+             idx[:head].reshape(n_full, segment)))
+    if rem:
+        st, _ = jax.lax.scan(ckpt_bounce, st, (codes[head:], idx[head:]))
+
+    o, d, tp, rgb, alive = st
+    if cfg.exhaust_mode == "background":
+        bg = background_color(tables, cfg, d)
+        rgb = rgb + jnp.where(alive[:, None], tp * bg, 0.0)
+    return rgb
+
+
+def make_tape_render(tables: SceneTables, cfg: RenderConfig, spp: int,
+                     px, py, tape_engine: Optional[str] = None,
+                     segment: Optional[int] = None):
+    """img_fn(params, sample_base) -> mean taped-replay radiance [B,3],
+    reverse-differentiable in every TAPE_FIELDS entry of params by plain
+    jax.grad — no custom VJP needed: the capture is integer-valued and
+    detached, the replay is an ordinary smooth computation."""
+    base = _device_tables(tables)
+    width, height = cfg.width, cfg.height
+    px = jnp.asarray(px, jnp.int32)
+    py = jnp.asarray(py, jnp.int32)
+    pixel = (py * width + px).astype(jnp.uint32)
+    seed = jnp.uint32(cfg.seed)
+    b = px.shape[0]
+
+    def img_fn(params, sample_base=0.0):
+        tbl = apply_params(base, params)
+        s0 = jnp.asarray(sample_base, jnp.float32).astype(jnp.uint32)
+
+        def one(acc, s):
+            sample = jnp.full(px.shape, s, jnp.uint32)
+            ro, rd = generate_rays(tbl.camera, width, height, px, py,
+                                   sample, seed, cfg.enable_defocus)
+            codes = capture_tape(tbl, cfg, ro, rd, pixel, sample, seed,
+                                 engine=tape_engine)
+            L = replay_tape(tbl, cfg, ro, rd, codes, pixel, sample, seed,
+                            segment=segment)
+            return acc + L, None
+
+        acc, _ = jax.lax.scan(jax.checkpoint(one),
+                              jnp.zeros((b, 3), jnp.float32),
+                              s0 + jnp.arange(spp, dtype=jnp.uint32))
+        return acc / jnp.float32(spp)
+
+    return img_fn
+
+
+def make_tape_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int,
+                      px, py, target,
+                      tape_engine: Optional[str] = None,
+                      segment: Optional[int] = None,
+                      n_valid: Optional[int] = None):
+    """(params, sample_base) -> scalar MSE against target rows [B,3];
+    jax.grad of this yields reverse-mode gradients for every continuous
+    parameter in params (TAPE_FIELDS) in ONE backward pass. n_valid
+    masks sharding-pad rows like make_replay_loss_fn."""
+    img_fn = make_tape_render(tables, cfg, spp, px, py,
+                              tape_engine=tape_engine, segment=segment)
+    target = jnp.asarray(target, jnp.float32)
+    n_rows = int(np.shape(px)[0])
+    if n_valid is not None and n_valid == n_rows:
+        n_valid = None
+
+    def loss_fn(params, sample_base=0.0):
+        bad = set(params) - set(TAPE_FIELDS)
+        if bad:
+            raise ValueError(
+                f"tape gradients cover {TAPE_FIELDS}; got {sorted(bad)}")
+        img = img_fn(params, sample_base)
+        se = (img - target) ** 2
+        if n_valid is None:
+            return jnp.mean(se)
+        keep = (jnp.arange(se.shape[0]) < n_valid)[:, None]
+        return jnp.sum(jnp.where(keep, se, 0.0)) / jnp.float32(3 * n_valid)
+
+    return loss_fn
