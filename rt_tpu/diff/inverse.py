@@ -375,6 +375,120 @@ def fit_fd(
     return {k2: np.asarray(v) for k2, v in params.items()}, history
 
 
+def fit_camera(
+    tables: SceneTables,
+    cfg: RenderConfig,
+    target_image: np.ndarray,
+    init: Dict[str, object],
+    recover: Sequence[str] = ("lookfrom",),
+    spp: int = 8,
+    steps: int = 120,
+    learning_rate: float = 4e-3,
+    eps=None,
+):
+    """CAMERA POSE recovery via common-random-numbers finite
+    differences + Adam: find the thin-lens camera that produced a
+    target image.
+
+    The camera frame is differentiable end-to-end (CameraDef leaves are
+    f32; `ops.camera.make_camera_jnp` chains raw pose into it, and the
+    tape estimator's gradients through it equal scan-AD — test_tape).
+    But pose recovery by interior gradients alone fails the same way
+    sphere positions do: translating the camera translates the IMAGE,
+    and a photometric shift loss is dominated by edge (winner-flip)
+    terms that detached estimators drop. CRN central differences see
+    them; with the counter RNG the +-eps probes consume identical
+    sample streams, so the estimate is clean at low spp, and all
+    2K+1 probes render batched in one `lax.map` (forward-only — any
+    engine, megakernel included).
+
+    init: the starting raw camera: {"lookfrom": [3], "lookat": [3],
+    "vup": [3], "vfov_deg": float, "aperture": float, optional
+    "focus_dist"}. `recover` lists which of lookfrom/lookat/vfov_deg/
+    aperture to optimize (the rest stay at init). NOTE lookfrom-z and
+    vfov are a near-gauge pair (dolly-zoom): recovering both from one
+    view needs strong depth parallax in the scene.
+
+    Returns (recovered init dict, loss history). The reference has no
+    gradients and no pose estimation of any kind."""
+    import optax
+
+    from rt_tpu.ops.camera import make_camera_jnp
+
+    tables = _device_tables(tables)
+    n_pix = cfg.width * cfg.height
+    pix = np.arange(n_pix, dtype=np.int32)
+    px = jnp.asarray(pix % cfg.width)
+    py = jnp.asarray(pix // cfg.width)
+    tgt = jnp.asarray(np.asarray(target_image, np.float32).reshape(-1, 3))
+    aspect = cfg.width / cfg.height
+
+    spec = {"lookfrom": 3, "lookat": 3, "vfov_deg": 1, "aperture": 1}
+    bad = set(recover) - set(spec)
+    if bad:
+        raise ValueError(f"recover must be among {sorted(spec)}; "
+                         f"got {sorted(bad)}")
+    slots = []  # (name, offset into raw vector)
+    raw0 = []
+    for name in recover:
+        v = np.atleast_1d(np.asarray(init[name], np.float32))
+        slots.append((name, len(raw0), v.size))
+        raw0.extend(v.tolist())
+    k = len(raw0)
+    raw0 = jnp.asarray(raw0, jnp.float32)
+    if eps is None:
+        # degrees move the image ~50x less per unit than scene units
+        eps = jnp.asarray(
+            [2e-2 if n == "vfov_deg" else 2e-3
+             for n, off, sz in slots for _ in range(sz)], jnp.float32)
+    else:
+        eps = jnp.broadcast_to(jnp.asarray(eps, jnp.float32), (k,))
+
+    def camera_of(raw):
+        vals = {n: jnp.asarray(init[n], jnp.float32)
+                for n in ("lookfrom", "lookat", "vup", "vfov_deg",
+                          "aperture")}
+        for name, off, sz in slots:
+            vals[name] = (raw[off] if sz == 1
+                          else jax.lax.dynamic_slice(raw, (off,), (sz,)))
+        return make_camera_jnp(vals["lookfrom"], vals["lookat"],
+                               vals["vup"], vals["vfov_deg"], aspect,
+                               vals["aperture"],
+                               focus_dist=init.get("focus_dist"))
+
+    def loss_of(raw):
+        tbl = dataclasses.replace(tables, camera=camera_of(raw))
+        acc = render_block(tbl, cfg, px, py, jnp.uint32(0), spp,
+                           jnp.uint32(cfg.seed), cfg.width, cfg.height)
+        return jnp.mean((acc / jnp.float32(spp) - tgt) ** 2)
+
+    optimizer = optax.adam(learning_rate)
+
+    @jax.jit
+    def step(raw, opt_state):
+        probes = jnp.broadcast_to(raw, (2 * k + 1, k))
+        for j in range(k):
+            probes = (probes.at[2 * j, j].add(eps[j])
+                      .at[2 * j + 1, j].add(-eps[j]))
+        losses = jax.lax.map(loss_of, probes)
+        g = (losses[0:2 * k:2] - losses[1:2 * k:2]) / (2.0 * eps)
+        updates, opt_state = optimizer.update(g, opt_state, raw)
+        return optax.apply_updates(raw, updates), opt_state, losses[-1]
+
+    opt_state = optimizer.init(raw0)
+    raw, history = raw0, []
+    for _ in range(steps):
+        raw, opt_state, base = step(raw, opt_state)
+        history.append(float(base))
+
+    out = dict(init)
+    raw_np = np.asarray(raw)
+    for name, off, sz in slots:
+        out[name] = (float(raw_np[off]) if sz == 1
+                     else raw_np[off:off + sz].copy())
+    return out, history
+
+
 def fit_hybrid(
     tables: SceneTables,
     cfg: RenderConfig,

@@ -15,6 +15,42 @@ from rt_tpu.ops import rng
 from rt_tpu.scene.types import CameraDef
 
 
+def make_camera_jnp(lookfrom, lookat, vup, vfov_deg, aspect_ratio,
+                    aperture, focus_dist=None) -> CameraDef:
+    """Differentiable (traced) twin of scene.types.make_camera
+    (gpu-version/camera.cuh:9-28): same math on jnp values, so camera
+    POSE parameters (lookfrom/lookat/vup/vfov/aperture) can be
+    optimized by gradient descent — chain it in front of a loss whose
+    params include the derived "camera" CameraDef (diff/tape.py
+    TAPE_FIELDS). The host make_camera stays NumPy for scene building;
+    this one exists for inverse rendering."""
+    lookfrom = jnp.asarray(lookfrom, jnp.float32)
+    lookat = jnp.asarray(lookat, jnp.float32)
+    vup = jnp.asarray(vup, jnp.float32)
+    if focus_dist is None:
+        focus_dist = jnp.linalg.norm(lookfrom - lookat)
+    focus_dist = jnp.asarray(focus_dist, jnp.float32)
+    theta = jnp.asarray(vfov_deg, jnp.float32) * (jnp.pi / 180.0)
+    h = jnp.tan(theta / 2.0)
+    viewport_height = 2.0 * h
+    viewport_width = aspect_ratio * viewport_height
+
+    w = lookfrom - lookat
+    w = w / jnp.linalg.norm(w)
+    u = jnp.cross(vup, w)
+    u = u / jnp.linalg.norm(u)
+    v = jnp.cross(w, u)
+
+    origin = lookfrom
+    horizontal = focus_dist * viewport_width * u
+    vertical = focus_dist * viewport_height * v
+    lower_left = origin - horizontal / 2 - vertical / 2 - focus_dist * w
+    return CameraDef(origin=origin, lower_left=lower_left,
+                     horizontal=horizontal, vertical=vertical,
+                     u=u, v=v,
+                     lens_radius=jnp.asarray(aperture, jnp.float32) / 2.0)
+
+
 def generate_rays(cam: CameraDef, width, height, px, py, sample_idx, seed,
                   enable_defocus: bool):
     """px, py: [B] integer pixel coords (x right, y up from bottom — the

@@ -282,3 +282,77 @@ def test_fit_tape_recovers_fuzz_and_ior():
     assert hist[-1] < hist[0] * 0.25
     assert abs(float(rec["mat_fuzz"][1]) - 0.15) < 0.08
     assert abs(float(rec["mat_ior"][0]) - 1.5) < 0.12
+
+
+def test_tape_camera_gradient_matches_scan_ad():
+    """The camera frame is a differentiable input: primary rays are
+    generated inside the tape's differentiable region, so pose
+    cotangents flow through every bounce's hit-point chain. Must equal
+    scan-AD leaf for leaf."""
+    sdef, cfg = _mixed_scene()
+    tables = jax.tree_util.tree_map(jnp.asarray, build_tables(sdef))
+    px, py, *_ = _rays_of(tables, cfg)
+    p0 = {"camera": tables.camera}
+
+    img_fn = make_tape_render(tables, cfg, 2, px, py)
+    tgt = jax.lax.stop_gradient(img_fn(p0)) * 0.9
+    g_tape = jax.grad(lambda p: jnp.mean((img_fn(p) - tgt) ** 2))(p0)
+    ad = _ad_img(tables, cfg, px, py, 2)
+    g_ad = jax.grad(lambda p: jnp.mean((ad(p) - tgt) ** 2))(p0)
+
+    leaves_t, treedef_t = jax.tree_util.tree_flatten(g_tape["camera"])
+    leaves_a, treedef_a = jax.tree_util.tree_flatten(g_ad["camera"])
+    assert treedef_t == treedef_a
+    nonzero = 0
+    for lt, la in zip(leaves_t, leaves_a):
+        scale = float(jnp.abs(la).max())
+        if scale > 0.0:
+            nonzero += 1
+        np.testing.assert_allclose(np.asarray(lt), np.asarray(la),
+                                   rtol=0, atol=max(scale, 1e-12) * 1e-4)
+    assert nonzero >= 4  # origin/lower_left/horizontal/vertical at least
+
+
+def test_fit_camera_recovers_lookfrom():
+    """Camera pose recovery: CRN finite differences see the image-shift
+    (winner-flip) term that interior estimators drop — the supported
+    estimator for pose, exactly as for sphere positions (fit_fd). The
+    probes are forward-only renders, batched in one lax.map."""
+    from rt_tpu.diff.inverse import fit_camera
+    from rt_tpu.render.renderer import render
+
+    s = SceneDef(width=48, height=27, samples_per_pixel=8, max_depth=4,
+                 background=(0.7, 0.8, 1.0))
+    s.add_sphere((0, 0, -1), 0.5, s.add_lambertian_color((0.5, 0.3, 0.2)))
+    s.add_sphere((-1.1, 0, -1.4), 0.5, s.add_metal((0.8, 0.7, 0.6), 0.2))
+    s.add_sphere((0, -100.5, -1), 100,
+                 s.add_lambertian_color((0.6, 0.6, 0.6)))
+    s.set_camera(lookfrom=(0, 0, 1), lookat=(0, 0, -1), vup=(0, 1, 0),
+                 vfov_deg=45.0, aperture=0.0)
+    cfg = RenderConfig(width=48, height=27, samples_per_pixel=8,
+                       max_depth=4, loop="while",
+                       background_mode="gradient", engine="xla")
+    tables = build_tables(s)
+    target = np.asarray(render(tables, cfg)) / 8.0
+
+    init = {"lookfrom": np.asarray([0.04, -0.03, 1.05], np.float32),
+            "lookat": (0, 0, -1), "vup": (0, 1, 0), "vfov_deg": 45.0,
+            "aperture": 0.0}
+    rec, hist = fit_camera(tables, cfg, target, init,
+                           recover=("lookfrom",), spp=8, steps=80,
+                           learning_rate=4e-3)
+    assert hist[-1] < hist[0] * 0.05
+    assert np.abs(rec["lookfrom"] - np.array([0, 0, 1.0])).max() < 0.01
+
+
+def test_fit_camera_rejects_unknown_param():
+    from rt_tpu.diff.inverse import fit_camera
+
+    sdef, cfg = _mixed_scene()
+    tables = build_tables(sdef)
+    with pytest.raises(ValueError, match="recover must be among"):
+        fit_camera(tables, cfg,
+                   np.zeros((cfg.height, cfg.width, 3), np.float32),
+                   {"lookfrom": (0, 0, 1), "lookat": (0, 0, -1),
+                    "vup": (0, 1, 0), "vfov_deg": 45.0, "aperture": 0.0},
+                   recover=("vup",), steps=1)
