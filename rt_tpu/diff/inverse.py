@@ -57,6 +57,38 @@ def apply_params(tables: SceneTables, params: Dict[str, jax.Array]) -> SceneTabl
     return dataclasses.replace(tables, **params)
 
 
+def _flatten_fd_components(fd_params) -> list:
+    """[(field, component_tuple), ...] for the CRN-FD estimators, with
+    bare-int components normalized to 1-tuples so 1-D fields read
+    naturally ({"sph_radius": [0]} as valid as {"sph_center": [(0, 0)]})."""
+    out = []
+    for f, idxs in fd_params.items():
+        for idx in idxs:
+            out.append((f, tuple(idx)
+                        if isinstance(idx, (tuple, list, np.ndarray))
+                        else (int(idx),)))
+    return out
+
+
+def _stack_fd_probes(params, flat_idx, eps, base_row: bool):
+    """Probe pytree for one batched `lax.map` FD dispatch: rows 2j/2j+1
+    are +-eps on component j of its field; base_row appends the
+    unperturbed parameters as a final row (for the loss history).
+    Shared by fit_fd and fit_hybrid — the single place probe
+    construction lives."""
+    k = len(flat_idx)
+    n_rows = 2 * k + (1 if base_row else 0)
+    out = {}
+    for f, v in params.items():
+        rows = jnp.broadcast_to(v, (n_rows,) + v.shape)
+        for j, (f2, idx) in enumerate(flat_idx):
+            if f2 == f:
+                rows = rows.at[(2 * j,) + idx].add(eps)
+                rows = rows.at[(2 * j + 1,) + idx].add(-eps)
+        out[f] = rows
+    return out
+
+
 def _diff_cfg(cfg: RenderConfig) -> RenderConfig:
     """PLAIN reverse-mode needs the fixed-trip scan loop (lax.while_loop
     has no transpose rule) and the XLA intersector. This constraint
@@ -86,9 +118,10 @@ def make_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int,
     cfg = _diff_cfg(cfg)
     tables = _device_tables(tables)
 
-    def loss_fn(params, px, py, target):
+    def loss_fn(params, px, py, target, sample_base=0.0):
         tbl = apply_params(tables, params)
-        acc = render_block(tbl, cfg, px, py, jnp.uint32(0), spp,
+        s0 = jnp.asarray(sample_base, jnp.float32).astype(jnp.uint32)
+        acc = render_block(tbl, cfg, px, py, s0, spp,
                            jnp.uint32(cfg.seed), cfg.width, cfg.height)
         img = acc / jnp.float32(spp)
         se = (img - target) ** 2
@@ -124,9 +157,10 @@ def make_train_step(
     cfg = _diff_cfg(cfg)
     tables = _device_tables(tables)
 
-    def step(params, opt_state, px, py, target):
+    def step(params, opt_state, px, py, target, sample_base=0.0):
         loss, grads = jax.value_and_grad(
-            make_loss_fn(tables, cfg, spp, n_valid))(params, px, py, target)
+            make_loss_fn(tables, cfg, spp, n_valid))(params, px, py,
+                                                     target, sample_base)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -183,10 +217,17 @@ def fit(
                  memory. Same detached-sampling scope as "ad".
 
     Returns (recovered params, per-step loss history)."""
+    if method not in ("ad", "replay", "tape"):
+        raise ValueError(
+            f"method must be 'ad', 'replay' or 'tape'; got {method!r} "
+            "(camera pose recovery is fit_camera; geometry FD is fit_fd)")
     optimizer = optax.adam(learning_rate)
     params = (dict(init_params) if init_params is not None
               else extract_params(tables, fields))
-    params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    # tree_map, not bare asarray: "camera" (tape) is a CameraDef pytree
+    params = {k: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32), v)
+        for k, v in params.items()}
     opt_state = optimizer.init(params)
 
     if method in ("replay", "tape"):
@@ -244,7 +285,8 @@ def fit(
             s0 = jnp.float32(k_ * spp if resample else 0)
             params, opt_state, loss = step(params, opt_state, s0)
             history.append(float(loss))
-        return {k: np.asarray(v) for k, v in params.items()}, history
+        return {k: jax.tree_util.tree_map(np.asarray, v)
+                for k, v in params.items()}, history
 
     n_shards = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     px, py, n_pix = _padded_pixel_list(cfg.width, cfg.height, n_shards)
@@ -264,26 +306,13 @@ def fit(
     step = make_train_step(tables, cfg, spp, optimizer, mesh,
                            n_valid=n_pix)
     history = []
-    for _ in range(steps):
-        params, opt_state, loss = step(params, opt_state, px_j, py_j, tgt_j)
+    for k_ in range(steps):
+        s0 = jnp.float32(k_ * spp if resample else 0)
+        params, opt_state, loss = step(params, opt_state, px_j, py_j,
+                                       tgt_j, s0)
         history.append(float(loss))
-    return {k: np.asarray(v) for k, v in params.items()}, history
-
-
-def make_forward_loss(tables: SceneTables, cfg: RenderConfig, spp: int):
-    """Jitted forward-only MSE (any engine, incl. the megakernel) —
-    used by the finite-difference estimator below."""
-    tables = _device_tables(tables)
-
-    @jax.jit
-    def loss_fn(params, px, py, target):
-        tbl = apply_params(tables, params)
-        acc = render_block(tbl, cfg, px, py, jnp.uint32(0), spp,
-                           jnp.uint32(cfg.seed), cfg.width, cfg.height)
-        img = acc / jnp.float32(spp)
-        return jnp.mean((img - target) ** 2)
-
-    return loss_fn
+    return {k: jax.tree_util.tree_map(np.asarray, v)
+            for k, v in params.items()}, history
 
 
 def fit_fd(
@@ -333,7 +362,7 @@ def fit_fd(
 
     params = {f: jnp.asarray(getattr(tables, f), jnp.float32)
               for f in fd_params}
-    flat_idx = [(f, idx) for f, idxs in fd_params.items() for idx in idxs]
+    flat_idx = _flatten_fd_components(fd_params)
     k = len(flat_idx)
 
     def loss_of(pp):
@@ -342,24 +371,14 @@ def fit_fd(
                            jnp.uint32(cfg.seed), cfg.width, cfg.height)
         return jnp.mean((acc / jnp.float32(spp) - tgt) ** 2)
 
-    def stacked_probes(params):
-        """[2K+1, ...] probe pytree: rows 2j/2j+1 are +-eps on component
-        j; the last row is the unperturbed base (for the history)."""
-        out = {}
-        for f, v in params.items():
-            rows = jnp.broadcast_to(v, (2 * k + 1,) + v.shape)
-            for j, (f2, idx) in enumerate(flat_idx):
-                if f2 == f:
-                    rows = rows.at[(2 * j,) + tuple(idx)].add(eps)
-                    rows = rows.at[(2 * j + 1,) + tuple(idx)].add(-eps)
-            out[f] = rows
-        return out
-
     optimizer = optax.adam(learning_rate)
 
     @jax.jit
     def step(params, opt_state):
-        losses = jax.lax.map(loss_of, stacked_probes(params))  # [2K+1]
+        # [2K+1] losses: rows 2j/2j+1 per component, last = base row
+        losses = jax.lax.map(
+            loss_of, _stack_fd_probes(params, flat_idx, eps,
+                                      base_row=True))
         grads = {f: jnp.zeros_like(v) for f, v in params.items()}
         for j, (f, idx) in enumerate(flat_idx):
             fd = (losses[2 * j] - losses[2 * j + 1]) / (2 * eps)
@@ -568,8 +587,7 @@ def fit_hybrid(
         geom_spec={f: [] for f in fd_params}, bwd_depth=bwd_depth,
         n_valid=n_pix)
 
-    flat_idx = [(f, tuple(idx)) for f, idxs in fd_params.items()
-                for idx in idxs]
+    flat_idx = _flatten_fd_components(fd_params)
     k = len(flat_idx)
 
     def fd_loss(pp, s0):
@@ -583,23 +601,13 @@ def fit_hybrid(
         keep = (jnp.arange(se.shape[0]) < n_pix)[:, None]
         return jnp.sum(jnp.where(keep, se, 0.0)) / jnp.float32(3 * n_pix)
 
-    def stacked_probes(pp):
-        out = {}
-        for f, v in pp.items():
-            rows = jnp.broadcast_to(v, (2 * k,) + v.shape)
-            for j, (f2, idx) in enumerate(flat_idx):
-                if f2 == f:
-                    rows = rows.at[(2 * j,) + idx].add(eps)
-                    rows = rows.at[(2 * j + 1,) + idx].add(-eps)
-            out[f] = rows
-        return out
-
     @jax.jit
     def step(params, opt_state, s0):
         loss, grads = jax.value_and_grad(replay_loss)(params, s0)
         if k:
-            losses = jax.lax.map(lambda pp: fd_loss(pp, s0),
-                                 stacked_probes(params))
+            losses = jax.lax.map(
+                lambda pp: fd_loss(pp, s0),
+                _stack_fd_probes(params, flat_idx, eps, base_row=False))
             for j, (f, idx) in enumerate(flat_idx):
                 fd = (losses[2 * j] - losses[2 * j + 1]) / (2 * eps)
                 grads[f] = grads[f].at[idx].set(fd)

@@ -59,8 +59,11 @@ def generate_rays(cam: CameraDef, width, height, px, py, sample_idx, seed,
     pixel = (py * width + px).astype(jnp.uint32)
     ru = rng.uniform(jnp, seed, pixel, sample_idx, 0, rng.PIXEL_U)
     rv = rng.uniform(jnp, seed, pixel, sample_idx, 0, rng.PIXEL_V)
-    s = (px.astype(jnp.float32) + ru) / (width - 1)
-    t = (py.astype(jnp.float32) + rv) / (height - 1)
+    # ((w-1) or 1): a 1-pixel-wide/tall frame would otherwise divide by
+    # zero and poison every ray direction with NaN (single-scanline
+    # debug renders)
+    s = (px.astype(jnp.float32) + ru) / ((width - 1) or 1)
+    t = (py.astype(jnp.float32) + rv) / ((height - 1) or 1)
 
     if enable_defocus:
         disk = rng.in_unit_disk(jnp, seed, pixel, sample_idx, 0)
