@@ -67,6 +67,10 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--bvh", action="store_true",
                    help="build + traverse a BVH for every primitive "
                         "family (spheres/rects/cylinders/triangles)")
+    p.add_argument("--taichi-uv", action="store_true",
+                   help="replicate the Taichi reference's swapped "
+                        "triangle-UV barycentrics (hittable.py:57-60,233) "
+                        "for pixel-comparable textured-mesh renders")
     p.add_argument("--checkpoint", default=None,
                    help="progressive checkpoint file (.npz); resumes "
                         "exactly if it exists")
@@ -94,6 +98,9 @@ def _load(args):
         }[name]
         sdef, cfg = mk()
         out = "main.png"
+
+    if getattr(args, "taichi_uv", False):
+        sdef.taichi_tri_uv = True
 
     updates = {}
     if args.width:

@@ -248,6 +248,19 @@ class SceneDef:
     images: List[np.ndarray] = dataclasses.field(default_factory=list)
     camera_params: Optional[dict] = None
 
+    # Opt-in Taichi triangle-UV quirk: the reference interpolates
+    # triangle UVs with the vertex-1 / vertex-3 barycentric weights
+    # SWAPPED (taichi-version/hittable.py:57-60 computes w1=area(p,v1,v2)
+    # — the weight opposite v3 — yet hittable.py:233 applies it to u1,
+    # and symmetrically w3 to u3). Since every weight denominator there
+    # is the same 2*triangle-area, the quirk is exactly equivalent to
+    # interpolating with uv1 and uv3 exchanged, so build_tables()
+    # implements it by swapping the uv1/uv3 attribute columns — all
+    # engines (oracle, xla, pallas, mega) and all diff estimators then
+    # reproduce Taichi's textured-mesh pixels with zero kernel changes.
+    # Default off: standard barycentric interpolation.
+    taichi_tri_uv: bool = False
+
     # --- object adders (each records the original object index) -----------
 
     def add_sphere(self, center, radius, material: int) -> int:
@@ -433,7 +446,10 @@ def build_tables(s: SceneDef, bvh_types: Sequence[str] = ()) -> SceneTables:
             v3 = np.asarray(obj["v3"], np.float32)
             n = np.cross(v2 - v1, v3 - v1)
             n = (n / np.linalg.norm(n)).astype(np.float32)
-            tri.append((v1, v2, v3, obj["uv1"], obj["uv2"], obj["uv3"], n,
+            uv1, uv3 = obj["uv1"], obj["uv3"]
+            if s.taichi_tri_uv:  # swap = the reference's w1/w3 quirk
+                uv1, uv3 = uv3, uv1
+            tri.append((v1, v2, v3, uv1, obj["uv2"], uv3, n,
                         obj["material"], idx))
         else:
             raise ValueError(f"unknown object type: {kind}")

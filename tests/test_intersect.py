@@ -144,6 +144,48 @@ def test_triangle_hit_and_barycentric_uv():
     assert bool(h.hit[0])
 
 
+def test_triangle_taichi_uv_quirk():
+    """Opt-in Taichi quirk: UVs interpolated with the v1/v3 barycentric
+    weights swapped (taichi-version/hittable.py:57-60 computes
+    w1 = |cross(p-v1, p-v2)| / |cross(v3-v1, v3-v2)| — the weight
+    opposite v3 — and hittable.py:233 applies it to u1). Pin our
+    quirk-mode UV against that exact formula evaluated by hand."""
+    v1 = np.array([0, 0, -2], np.float64)
+    v2 = np.array([2, 0, -2], np.float64)
+    v3 = np.array([0, 2, -2], np.float64)
+    uv = {1: np.array([0.1, 0.2]), 2: np.array([0.9, 0.1]),
+          3: np.array([0.3, 0.8])}
+
+    def add(s, m):
+        s.add_triangle(v1, v2, v3, m, uv1=tuple(uv[1]), uv2=tuple(uv[2]),
+                       uv3=tuple(uv[3]))
+
+    # hit point p=(0.5, 0.5, -2): reference weights
+    p = np.array([0.5, 0.5, -2], np.float64)
+    w1 = (np.linalg.norm(np.cross(p - v1, p - v2))
+          / np.linalg.norm(np.cross(v3 - v1, v3 - v2)))
+    w2 = (np.linalg.norm(np.cross(p - v1, p - v3))
+          / np.linalg.norm(np.cross(v2 - v1, v2 - v3)))
+    w3 = (np.linalg.norm(np.cross(p - v3, p - v2))
+          / np.linalg.norm(np.cross(v1 - v3, v1 - v2)))
+    expect = uv[1] * w1 + uv[2] * w2 + uv[3] * w3
+
+    s = SceneDef(taichi_tri_uv=True)
+    m = s.add_lambertian_color((0.5, 0.5, 0.5))
+    add(s, m)
+    s.set_camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 90, 1.0)
+    h = _shoot(build_tables(s), (0.5, 0.5, 0), (0, 0, -1))
+    assert bool(h.hit[0])
+    np.testing.assert_allclose(float(h.u[0]), expect[0], atol=1e-5)
+    np.testing.assert_allclose(float(h.v[0]), expect[1], atol=1e-5)
+
+    # default mode: standard barycentrics (weights NOT swapped) differ
+    h0 = _shoot(_scene_with(add), (0.5, 0.5, 0), (0, 0, -1))
+    std = uv[1] * w3 + uv[2] * w2 + uv[3] * w1
+    np.testing.assert_allclose(float(h0.u[0]), std[0], atol=1e-5)
+    assert abs(float(h0.u[0]) - expect[0]) > 0.02
+
+
 def test_triangle_miss_outside():
     t = _scene_with(
         lambda s, m: s.add_triangle((0, 0, -2), (2, 0, -2), (0, 2, -2), m))
