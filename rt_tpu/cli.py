@@ -277,6 +277,44 @@ def cmd_fit(args) -> int:
         raise SystemExit("--fd and --geom are mutually exclusive "
                          "(CRN-FD vs tangent-replay geometry)")
 
+    if args.camera:
+        # camera-pose recovery (fit_camera): the scene JSON's camera is
+        # the initial guess; recovered pose re-derives the frame for the
+        # after image. The reference family has no pose estimation.
+        if fd_params or geom_spec:
+            raise SystemExit("--camera is exclusive with --fd/--geom")
+        from rt_tpu.diff.inverse import fit_camera
+
+        p = sdef.camera_params
+        init = {"lookfrom": p["lookfrom"], "lookat": p["lookat"],
+                "vup": p["vup"], "vfov_deg": p["vfov"],
+                "aperture": p["aperture"]}
+        if "focus_dist" in p:
+            init["focus_dist"] = p["focus_dist"]
+        t0 = time.time()
+        rec, hist = fit_camera(
+            tables, cfg, target, init, recover=tuple(dict.fromkeys(
+                args.camera)), spp=args.spp, steps=args.steps,
+            learning_rate=args.lr)
+        dt = time.time() - t0
+
+        os.makedirs(args.out, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(args.out, "recovered.npz"),
+            **{k: np.asarray(v) for k, v in rec.items()})
+        sdef.set_camera(rec["lookfrom"], rec["lookat"], rec["vup"],
+                        rec["vfov_deg"], rec["aperture"],
+                        rec.get("focus_dist"))
+        after = render(build_tables(sdef), cfg) / cfg.samples_per_pixel
+        write_png(os.path.join(args.out, "after.png"),
+                  film.finalize(np.asarray(after), 1, gamma=True))
+        print(f"loss: {hist[0]:.6f} -> {hist[-1]:.7f} "
+              f"({args.steps} steps, {dt:.1f}s, {dt / args.steps:.2f}s/step)")
+        for name in dict.fromkeys(args.camera):
+            print(f"  {name}: {np.round(np.asarray(rec[name]), 5).tolist()}")
+        print(f"wrote {args.out}/recovered.npz and {args.out}/after.png")
+        return 0 if hist[-1] < hist[0] else 1
+
     t0 = time.time()
     if fd_params:
         from rt_tpu.diff.inverse import fit_hybrid
@@ -380,6 +418,12 @@ def main(argv=None) -> int:
                     help="geometry component for CRN finite differences "
                          "(sees silhouettes), field:i[,j] — repeatable, "
                          "e.g. --fd sph_center:0,0 --fd sph_center:0,2")
+    fp.add_argument("--camera", action="append", default=[],
+                    choices=["lookfrom", "lookat", "vfov_deg", "aperture"],
+                    help="recover the named CAMERA POSE parameter via "
+                         "CRN finite differences (fit_camera; repeatable; "
+                         "the scene JSON's camera is the initial guess). "
+                         "Exclusive with --fd/--geom/--fields")
     fp.add_argument("--geom", action="append", default=[],
                     help="geometry component for the forward-mode "
                          "tangent replay (interior chain only), same "

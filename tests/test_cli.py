@@ -337,3 +337,42 @@ def test_cli_fit_hybrid_position(tmp_path):
     assert rc == 0
     rec = np.load(os.path.join(outdir, "recovered.npz"))
     assert abs(rec["sph_center"][0, 0] - 0.15) < 0.05
+
+
+def test_cli_fit_camera_pose(tmp_path):
+    """`rt_tpu fit --camera lookfrom`: CLI camera-pose recovery. The
+    scene JSON's camera is the initial (wrong) guess; CRN-FD pulls
+    lookfrom back toward the pose that rendered the target."""
+    from rt_tpu.config import RenderConfig
+    from rt_tpu.render.renderer import render
+    from rt_tpu.scene.parser import scene_to_dict
+    from rt_tpu.scene.types import SceneDef, build_tables
+
+    def make(lookfrom):
+        s = SceneDef(width=48, height=27, samples_per_pixel=8, max_depth=3,
+                     background=(0.7, 0.8, 1.0))
+        s.add_sphere((0, 0, -1), 0.5, s.add_lambertian_color((0.7, 0.2, 0.2)))
+        s.add_sphere((0, -100.5, -1), 100,
+                     s.add_lambertian_color((0.6, 0.6, 0.6)))
+        s.set_camera(lookfrom, (0, 0, -1), (0, 1, 0), 50, 0.0)
+        return s
+
+    true_from = (0.0, 0.2, 1.0)
+    cfg = RenderConfig(width=48, height=27, samples_per_pixel=8,
+                       max_depth=3, loop="while")
+    target = np.asarray(render(build_tables(make(true_from)), cfg)) / 8.0
+    tgt_path = str(tmp_path / "t.npz")
+    np.savez_compressed(tgt_path, img=target.astype(np.float32))
+    scene_path = str(tmp_path / "w.json")
+    with open(scene_path, "w") as f:
+        json.dump(scene_to_dict(make((0.06, 0.26, 1.0))), f)
+
+    outdir = str(tmp_path / "out")
+    rc = main(["fit", "-f", scene_path, "--target", tgt_path,
+               "--camera", "lookfrom", "-spp", "8", "--steps", "60",
+               "--lr", "4e-3", "--engine", "xla", "--out", outdir])
+    assert rc == 0
+    rec = np.load(os.path.join(outdir, "recovered.npz"))
+    err = np.abs(rec["lookfrom"] - np.asarray(true_from)).max()
+    assert err < 0.04, err  # initial offset was 0.06
+    assert os.path.exists(os.path.join(outdir, "after.png"))
