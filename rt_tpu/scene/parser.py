@@ -56,6 +56,9 @@ def parse_scene_dict(data: dict, base_dir: str = ".") -> Tuple[SceneDef, RenderC
         max_depth=int(data["max_depth"]),
         background=tuple(float(c) for c in data["background"]),
         output_file=str(data.get("output_file", "main.png")),
+        # schema extension: opt-in Taichi swapped-weight triangle UVs
+        # (taichi-version/hittable.py:57-60,233; see SceneDef.taichi_tri_uv)
+        taichi_tri_uv=bool(data.get("taichi_tri_uv", False)),
     )
 
     cam = data["camera"]
@@ -139,7 +142,7 @@ def scene_to_dict(s: SceneDef) -> dict:
     """Serialize a SceneDef back to the JSON schema (the inverse surface
     the animation drivers need, cf. gpu-version/blue.py:17-22 mutating
     scene dicts in place)."""
-    return {
+    out = {
         "output_file": s.output_file,
         "background": list(s.background),
         "max_depth": s.max_depth,
@@ -151,6 +154,9 @@ def scene_to_dict(s: SceneDef) -> dict:
         "material": {"data": [dict(m) for m in s.materials]},
         "texture": {"data": [dict(t) for t in s.textures]},
     }
+    if s.taichi_tri_uv:  # schema extension; omitted when default
+        out["taichi_tri_uv"] = True
+    return out
 
 
 def _camera_to_dict(s: SceneDef) -> dict:

@@ -113,6 +113,12 @@ def test_round_trip_through_dict():
     assert sdef2.objects == sdef.objects
     assert sdef2.materials == sdef.materials
     assert sdef2.textures == sdef.textures
+    assert sdef2.taichi_tri_uv is False  # default omitted from the dict
+    assert "taichi_tri_uv" not in data
+
+    sdef.taichi_tri_uv = True  # the quirk survives a round trip
+    sdef3, _ = parse_scene_dict(scene_to_dict(sdef))
+    assert sdef3.taichi_tri_uv is True
 
 
 def test_scene_round_trip_camera():
