@@ -474,6 +474,11 @@ def main(argv=None) -> int:
     anp.add_argument("--texture", default=None,
                      help="PNG image texture for the mesh (points mode; "
                           "e.g. the reference's asset/tex/bricks2.png)")
+    anp.add_argument("--taichi-uv", action="store_true",
+                     help="swapped-weight triangle UVs "
+                          "(taichi-version/hittable.py:57-60,233) for "
+                          "pixel-comparable frames vs the reference's "
+                          "checked-in taichi-version/output/ JPGs")
     anp.add_argument("--farm", type=int, default=0,
                      help="one-command local process farm: spawn N "
                           "workers over the frame range and wait "

@@ -241,6 +241,8 @@ def run_points(args) -> int:
                                height=args.height, spp=args.spp,
                                max_depth=args.max_depth, points=pts,
                                texture_path=getattr(args, "texture", None))
+        if getattr(args, "taichi_uv", False):
+            sdef.taichi_tri_uv = True  # pixel-comparable vs taichi output/
         cfg = _frame_cfg(args, cfg)
         _render_frame(build_tables(sdef), cfg,
                       os.path.join(args.outdir, f"out{i}.png"),
@@ -307,6 +309,8 @@ def _farm(args) -> int:
         v = getattr(args, opt, None)
         if v:
             cmd_base += [f"--{opt.replace('_', '-')}", v]
+    if getattr(args, "taichi_uv", False):
+        cmd_base.append("--taichi-uv")
     env = dict(os.environ)
     if getattr(args, "farm_platform", "cpu") == "cpu":
         env["JAX_PLATFORMS"] = "cpu"
