@@ -133,16 +133,18 @@ def _write_outputs(img, spp, out_path, both=False, view_gamma=False):
     (gpu-version/main.cu:510-517 calls output_image(...ppm) then
     write_image(...png))."""
     from rt_tpu.render import film
-    from rt_tpu.io.image import write_png
+    from rt_tpu.io.image import write_image
 
-    base = out_path[:-4] if out_path.endswith((".png", ".ppm")) else out_path
+    base = (out_path[:-4] if out_path.endswith((".png", ".ppm", ".jpg"))
+            else out_path)
     paths = ([base + ".ppm", base + ".png"] if both else [out_path])
     for p in paths:
         if p.endswith(".ppm"):
             with open(p, "w") as f:
                 f.write(film.to_ppm(img, spp))
         else:
-            write_png(p, film.finalize(img, spp, gamma=view_gamma))
+            # PNG or (via Pillow) JPEG by extension
+            write_image(p, film.finalize(img, spp, gamma=view_gamma))
     return paths
 
 
@@ -487,6 +489,9 @@ def main(argv=None) -> int:
                      choices=["cpu", "inherit"],
                      help="backend for farmed workers (cpu default: the "
                           "TPU tunnel is single-process)")
+    anp.add_argument("--format", default="png", choices=["png", "jpg"],
+                     help="frame file format (jpg = the Taichi "
+                          "reference's ti.imwrite frames, main.py:216)")
     anp.add_argument("--video", default=None,
                      help="assemble frames into a video after rendering "
                           "(.mp4 via ffmpeg when available, else MJPEG "

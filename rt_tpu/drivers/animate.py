@@ -111,7 +111,7 @@ class FramePipeline:
         import numpy as np
 
         from rt_tpu.render import film
-        from rt_tpu.io.image import write_png
+        from rt_tpu.io.image import write_image
 
         img, tables, cfg, path, t0 = self._pending
         try:
@@ -119,8 +119,8 @@ class FramePipeline:
         except Exception:
             from rt_tpu.render.renderer import render
             host = render(tables, cfg)  # sync retry
-        write_png(path, film.finalize(host, cfg.samples_per_pixel,
-                                      gamma=True))
+        write_image(path, film.finalize(host, cfg.samples_per_pixel,
+                                        gamma=True))
         self._pending = None
         return path, time.time() - t0
 
@@ -137,7 +137,7 @@ def _render_frame(tables, cfg, path, progress=False, pipeline=None,
     import jax
 
     from rt_tpu.render import film
-    from rt_tpu.io.image import write_png
+    from rt_tpu.io.image import write_image
 
     spp = cfg.samples_per_pixel
     if len(jax.devices()) > 1:
@@ -153,7 +153,7 @@ def _render_frame(tables, cfg, path, progress=False, pipeline=None,
     else:
         from rt_tpu.render.renderer import render
         img = render(tables, cfg, progress=progress)
-    write_png(path, film.finalize(img, spp, gamma=True))
+    write_image(path, film.finalize(img, spp, gamma=True))
     if t0 is not None:
         print(f"wrote {os.path.basename(path)}: "
               f"{time.time() - t0:.2f}s", flush=True)
@@ -193,7 +193,7 @@ def run_blue(args) -> int:
         sdef.resize(args.width, args.height)
         _with_retries(args, lambda: _render_frame(
             build_tables(sdef), cfg,
-            os.path.join(args.outdir, f"frame_{i:04d}.png"),
+            os.path.join(args.outdir, f"frame_{i:04d}.{_ext(args)}"),
             pipeline=pipe, t0=time.time()), i)
     _log_done(pipe.flush())
     return 0
@@ -216,7 +216,7 @@ def run_dna(args) -> int:
         cfg = _frame_cfg(args, cfg)
         _with_retries(args, lambda: _render_frame(
             build_tables(sdef), cfg,
-            os.path.join(args.outdir, f"frame_{i:04d}.png"),
+            os.path.join(args.outdir, f"frame_{i:04d}.{_ext(args)}"),
             pipeline=pipe, t0=time.time()), i)
     _log_done(pipe.flush())
     print(f"total: {time.time() - t_all:.2f}s")
@@ -245,7 +245,7 @@ def run_points(args) -> int:
             sdef.taichi_tri_uv = True  # pixel-comparable vs taichi output/
         cfg = _frame_cfg(args, cfg)
         _render_frame(build_tables(sdef), cfg,
-                      os.path.join(args.outdir, f"out{i}.png"),
+                      os.path.join(args.outdir, f"out{i}.{_ext(args)}"),
                       pipeline=pipe, t0=time.time())
     _log_done(pipe.flush())
     return 0
@@ -274,14 +274,20 @@ def run_dolly(args) -> int:
         cfg = _frame_cfg(args, cfg)
         _with_retries(args, lambda: _render_frame(
             build_tables(sdef), cfg,
-            os.path.join(args.outdir, f"dolly_{i:04d}.png"),
+            os.path.join(args.outdir, f"dolly_{i:04d}.{_ext(args)}"),
             pipeline=pipe, t0=time.time()), i)
     _log_done(pipe.flush())
     return 0
 
 
-_FRAME_GLOBS = {"blue": "frame_*.png", "dna": "frame_*.png",
-                "points": "out*.png", "dolly": "dolly_*.png"}
+def _ext(args) -> str:
+    """Frame file extension. Default PNG; --format jpg gives the Taichi
+    reference's frame format (ti.imwrite out{i}.jpg, main.py:216)."""
+    return getattr(args, "format", "png") or "png"
+
+
+_FRAME_GLOBS = {"blue": "frame_*.{ext}", "dna": "frame_*.{ext}",
+                "points": "out*.{ext}", "dolly": "dolly_*.{ext}"}
 
 
 def _farm(args) -> int:
@@ -311,6 +317,8 @@ def _farm(args) -> int:
             cmd_base += [f"--{opt.replace('_', '-')}", v]
     if getattr(args, "taichi_uv", False):
         cmd_base.append("--taichi-uv")
+    if _ext(args) != "png":
+        cmd_base += ["--format", _ext(args)]
     env = dict(os.environ)
     if getattr(args, "farm_platform", "cpu") == "cpu":
         env["JAX_PLATFORMS"] = "cpu"
@@ -341,8 +349,8 @@ def run_animation(args) -> int:
 
         from rt_tpu.io.video import assemble_video
 
-        frames = glob.glob(os.path.join(args.outdir,
-                                        _FRAME_GLOBS[args.kind]))
+        frames = glob.glob(os.path.join(
+            args.outdir, _FRAME_GLOBS[args.kind].format(ext=_ext(args))))
         written = assemble_video(frames, args.video,
                                  fps=getattr(args, "fps", 30))
         print(f"wrote {written} ({len(frames)} frames)", flush=True)

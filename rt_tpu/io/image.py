@@ -111,3 +111,28 @@ def read_png(path: str) -> np.ndarray:
         out[y] = cur.astype(np.uint8).reshape(w, nc)
         prev = cur
     return out[..., :3]
+
+
+def write_jpg(path: str, u8_topdown: np.ndarray, quality: int = 95) -> None:
+    """JPEG writer (via Pillow). The Taichi/naive references emit JPG
+    frames (ti.imwrite out{i}.jpg, taichi-version/main.py:216; cv2
+    JPGs, 朴素光线追踪/4_0_path_tracing.py:150); this gives their frame
+    format parity. Gated: raises with a clear message if Pillow is
+    unavailable (PNG/PPM writers have no dependencies)."""
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - PIL ships in CI image
+        raise RuntimeError(
+            "JPEG output requires Pillow; use .png or .ppm instead") from e
+    Image.fromarray(np.ascontiguousarray(u8_topdown.astype(np.uint8)),
+                    "RGB").save(path, quality=quality)
+
+
+def write_image(path: str, u8_topdown: np.ndarray) -> None:
+    """Write by extension: .ppm (text P3), .jpg/.jpeg (Pillow), else PNG."""
+    if path.endswith(".ppm"):
+        write_ppm(path, u8_topdown)
+    elif path.endswith((".jpg", ".jpeg")):
+        write_jpg(path, u8_topdown)
+    else:
+        write_png(path, u8_topdown)

@@ -82,3 +82,27 @@ def test_native_ppm_matches_python(tmp_path):
         f.write(f"P3\n11 7\n255\n")
         f.writelines(f"{r} {g} {b}\n" for r, g, b in img.reshape(-1, 3))
     assert native.read_bytes() == py.read_bytes()
+
+
+def test_write_image_extension_dispatch(tmp_path):
+    """write_image routes by extension: .png (stdlib codec, lossless),
+    .jpg (Pillow, lossy — the Taichi/naive references' frame format,
+    taichi-version/main.py:216, 朴素光线追踪/4_0_path_tracing.py:150)."""
+    from rt_tpu.io.image import read_png, write_image
+
+    # smooth gradient (noise is JPEG's worst case; frames are smooth)
+    y, x = np.mgrid[0:32, 0:40]
+    img = np.stack([x * 6, y * 7, (x + y) * 3], axis=-1).astype(np.uint8)
+
+    png = str(tmp_path / "x.png")
+    write_image(png, img)
+    np.testing.assert_array_equal(read_png(png)[..., :3], img)
+
+    jpg = str(tmp_path / "x.jpg")
+    write_image(jpg, img)
+    from PIL import Image
+
+    back = np.asarray(Image.open(jpg).convert("RGB"))
+    assert back.shape == img.shape
+    # lossy but recognizably the same image
+    assert np.abs(back.astype(int) - img.astype(int)).mean() < 8
