@@ -15,9 +15,13 @@ equivalent:
     with the reference's "<tag>, width .. time: %lf s" lines.
   - profile(): context manager around jax.profiler for deep TPU traces.
 
-NOTE (axon tunnel): `jax.block_until_ready` does NOT wait for device
-completion over the remote-TPU tunnel; Phase(sync=True) forces a D2H
-transfer of a scalar instead, which does.
+NOTE (axon tunnel): `jax.block_until_ready` DOES wait for device
+completion over the remote-TPU tunnel — the round-1 claim that it
+returned early was wrong; BASELINE.md's round-2 "device timing" section
+re-measured it (back-to-back block_until_ready frame times match the
+sustained per-sample rate, and bench.py's timing relies on it).
+Phase(sync=True)'s scalar D2H remains as a belt-and-braces sync for
+timing scripts that want an explicit round-trip.
 """
 
 from __future__ import annotations

@@ -67,18 +67,55 @@ def main():
                           "paths_per_s": round(pps)}), flush=True)
 
     t1 = results[sizes[0]]
-    effs = {}
+    effs, raw_effs = {}, {}
     for n in sizes[1:]:
         ideal = t1 * n if virtual else t1
         # >1.0 happens on the virtual mesh when a single "device" does
         # not saturate the host's cores; clamp — the bar being tested is
-        # the ABSENCE of per-launch syncs / serialization (eff < 0.9)
-        effs[n] = min(1.0, ideal / results[n])
+        # the ABSENCE of per-launch syncs / serialization (eff < 0.9).
+        # raw_eff is reported unclamped so the normalization is auditable
+        # (BASELINE.md round-3 note; VERDICT r2 weak #5).
+        raw_effs[n] = ideal / results[n]
+        effs[n] = min(1.0, raw_effs[n])
     print(json.dumps({
         "metric": "weak_scaling_efficiency",
         "mode": "virtual-cpu-mesh" if virtual else "real-chips",
         "eff": {str(n): round(e, 3) for n, e in effs.items()},
+        "raw_eff": {str(n): round(e, 3) for n, e in raw_effs.items()},
         "min_eff": round(min(effs.values()), 3) if effs else 1.0,
+    }), flush=True)
+
+    # ---- strong scaling: FIXED total work, growing mesh ----
+    # Complements the clamped weak-scaling number (VERDICT r2 weak #5):
+    # total spp is fixed, the sample axis splits it, so per-device
+    # throughput vs N is directly meaningful even on the oversubscribed
+    # virtual mesh (all N configurations run the same total work on the
+    # same cores; ideal wall time is FLAT in N there, T(1)/N on chips).
+    total_spp = spp_per_dev * max(sizes)
+    sres = {}
+    for n in sizes:
+        mesh = make_mesh((1, n), jax.devices()[:n])
+        c = cfg.replace(samples_per_pixel=total_spp,
+                        engine="xla", rays_per_batch=1 << 22)
+        render_sharded_ex(tables, c, mesh)  # compile + warm
+        t0 = time.perf_counter()
+        img, spp_done = render_sharded_ex(tables, c, mesh)
+        dt = time.perf_counter() - t0
+        sres[n] = dt
+        pps = cfg.width * cfg.height * spp_done / dt
+        print(json.dumps({"strong_devices": n, "wall_s": round(dt, 3),
+                          "spp": spp_done, "paths_per_s": round(pps),
+                          "paths_per_s_per_device": round(pps / n)}),
+              flush=True)
+    st1 = sres[sizes[0]]
+    print(json.dumps({
+        "metric": "strong_scaling",
+        "mode": "virtual-cpu-mesh" if virtual else "real-chips",
+        "speedup_raw": {str(n): round(st1 / sres[n], 3)
+                        for n in sizes[1:]},
+        "note": ("virtual mesh shares one host's cores: ideal raw "
+                 "speedup ~1.0 (flat wall time); on real chips ideal "
+                 "is N"),
     }), flush=True)
 
     # ---- train-step weak scaling: replay backward + gradient psum ----

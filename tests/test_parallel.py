@@ -25,10 +25,30 @@ def small_scene():
 
 
 @pytest.mark.parametrize("shape", [(1, 1), (8, 1), (4, 2), (2, 4)])
-def test_sharded_matches_single_device(small_scene, shape):
+@pytest.mark.parametrize("engine", ["xla", "mega"])
+def test_sharded_matches_single_device(small_scene, shape, engine):
+    """Every mesh shape x engine: the PRODUCTION engine ("mega", the CLI
+    default, cli.py) must shard exactly like the slow one — the
+    composition a real multi-chip user hits first (Pallas megakernel
+    traced inside shard_map; interpret-mode on the CPU mesh)."""
     tables, cfg = small_scene
+    cfg = cfg.replace(engine=engine)
     ref = render(tables, cfg)
     mesh = make_mesh(shape, jax.devices()[: shape[0] * shape[1]])
+    img, spp = render_sharded_ex(tables, cfg, mesh)
+    assert spp == cfg.samples_per_pixel
+    np.testing.assert_allclose(img, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_mega_with_compaction(small_scene):
+    """The full production configuration — megakernel + segmented
+    live-ray group compaction — under shard_map: the in-segment group
+    permutation must stay shard-local and invert correctly."""
+    tables, cfg = small_scene
+    cfg = cfg.replace(engine="mega", compact_schedule=(2,),
+                      compact_group=16)
+    ref = render(tables, cfg.replace(compact_schedule=()))
+    mesh = make_mesh((4, 2), jax.devices())
     img, spp = render_sharded_ex(tables, cfg, mesh)
     assert spp == cfg.samples_per_pixel
     np.testing.assert_allclose(img, ref, rtol=1e-5, atol=1e-5)
