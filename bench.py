@@ -26,6 +26,28 @@ import numpy as np
 
 TAICHI_BASELINE_PATHS_PER_S = 400 * 225 * 50 / 9.25
 
+# ---- kernel-efficiency model constants (VERDICT r2 #6) ----
+# Speed-of-light definition: every ray does exactly its own live bounces
+# of full-table closest-hit work at the standalone Pallas intersect
+# kernel's measured rate. Effective useful test rate
+#   tests/s = paths/s x RAY_AVG_WORK_BOUNCES x PADDED_SPHERE_ROWS
+# divided by the standalone rate = roofline_frac. Regressions in KERNEL
+# efficiency (vs scene-shape flattery) move this number.
+RAY_AVG_WORK_BOUNCES = 2.591  # cover@1080p depth-50, measured per-lane
+#   death bounces (scripts/exp_tilework_r3.py, r3). For context the same
+#   measurement gives ACTUAL tile work 6.768 bounce-equiv/ray at the prod
+#   schedule (group-granularity packing waste 2.6x) — the useful-work
+#   fraction charges that waste to us, as it should.
+PADDED_SPHERE_ROWS = 512      # 488 spheres -> 4 chunks of 128
+STANDALONE_GTESTS = 48e9      # standalone closest-hit kernel, measured
+#   131k rays x 512 spheres (BASELINE.md r1; exp_bounce_ablate.py)
+# Model MFU: sphere candidate math ~30 VPU flops/test (hb/c_term dot
+# terms, disc, sqrt, two roots, winner min/one-hot); v5e VPU peak
+# ~12.3e12 flops/s (8 sublanes x 128 lanes x 4 ALUs x 2 FMA x 1.5 GHz).
+# Path tracing is VPU-bound by design — MXU-FLOPs MFU would be ~0.
+FLOPS_PER_TEST = 30.0
+VPU_PEAK_FLOPS = 12.3e12
+
 
 def main():
     import os
@@ -102,15 +124,39 @@ def main():
     paths_per_s = paths / dt
     per_chip = paths_per_s / len(jax.devices())
 
+    tests_per_s = per_chip * RAY_AVG_WORK_BOUNCES * PADDED_SPHERE_ROWS
     out = {
         "metric": "cover_scene_1080p_depth50_paths_per_s_per_chip",
         "value": round(per_chip, 1),
         "unit": "paths/s/chip",
         "vs_baseline": round(per_chip / TAICHI_BASELINE_PATHS_PER_S, 3),
+        # machine-readable kernel efficiency (VERDICT r2 #6): useful
+        # closest-hit work per second vs the standalone intersect
+        # kernel's own measured rate; and a model-based VPU-flops MFU
+        "roofline_frac": round(tests_per_s / STANDALONE_GTESTS, 3),
+        "mfu": round(tests_per_s * FLOPS_PER_TEST / VPU_PEAK_FLOPS, 4),
     }
     if n_dev == 1:
         out["run_spread"] = spread  # tunnel-noise dispersion over 3 runs
         out["host_e2e_paths_per_s"] = round(e2e, 1)  # incl. tunnel download
+
+        # sharded leg (VERDICT r2 #1): the production megakernel traced
+        # THROUGH shard_map on the real chip — a (1,1) mesh compiles and
+        # runs the same GSPMD program a pod would partition. Small frame:
+        # this guards the composition, not the throughput.
+        try:
+            mesh = make_mesh((1, 1), jax.devices()[:1])
+            scfg = cfg.replace(width=480, height=272, samples_per_pixel=2,
+                               max_depth=8, compact_schedule=(2,))
+            t0 = time.perf_counter()
+            img, spp_sh = render_sharded_ex(tables, scfg, mesh)
+            dt_sh = time.perf_counter() - t0
+            assert np.isfinite(img).all()
+            out["sharded_mega_ok"] = True
+            out["sharded_mega_wall_s"] = round(dt_sh, 2)
+        except Exception as e:  # noqa: BLE001
+            out["sharded_mega_ok"] = False
+            out["sharded_mega_error"] = type(e).__name__
     print(json.dumps(out))
 
 
