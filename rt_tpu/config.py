@@ -70,6 +70,15 @@ class RenderConfig:
     # sphere bilinear terms (hb, c_term) on the MXU via a [C,16]x[16,S,L]
     # coefficient contraction instead of broadcast VPU FMAs
     mxu_intersect: bool = False
+    # between-segment prefix shrink: after each compaction (live groups
+    # are a prefix) run the next segment on only the smallest static
+    # tile bucket covering every live ray, via lax.switch on a device
+    # scalar (no host sync). Bit-identical images — the skipped suffix
+    # is dead and its state passes through untouched; what it saves is
+    # the dead tiles' ~7.4 us/tile grid-step fixed cost (measured,
+    # scripts/exp_deadtile_r3.py: ~22 ms of a ~147 ms 1080p depth-50
+    # frame). Costs one compiled kernel per (segment, bucket) pair.
+    compact_shrink: bool = True
     # compaction sort key: "dead" (liveness only) or "spatial"
     # (liveness, then direction octant + Morton cell of each group's
     # mean live-ray origin — packs tiles into coherent ray bundles so

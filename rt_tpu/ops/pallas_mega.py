@@ -1736,6 +1736,49 @@ def adjoint_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
             outs[14:17])
 
 
+def _shrink_buckets(g_tiles: int):
+    """Static tile-count ladder for the between-segment prefix shrink.
+
+    ~x0.4-0.5 geometric steps: the smallest bucket covering the live
+    prefix bounds the dead-tile overhead at <~2.5x the live tile count,
+    while keeping the lax.switch branch count (= compiled kernel
+    variants per segment) at five. Always includes the full grid, so
+    any liveness is covered."""
+    fr = (0.05, 0.13, 0.32, 0.63, 1.0)
+    return sorted({max(1, int(np.ceil(g_tiles * f))) for f in fr})
+
+
+def _segment_shrunk(buckets, live_tiles, args, state, pixel, sample_idx,
+                    seed, start_bounce, seg_kw):
+    """Run one segment on only the first K tiles, K = the smallest
+    static bucket covering every live ray (live rays are a prefix after
+    _compact's any-live-first group sort). The suffix is dead — its
+    state passes through untouched, so results are bit-identical to the
+    full-grid segment; what the bucket saves is the dead tiles'
+    ~7.4 us/tile grid-step + DMA fixed cost (measured,
+    scripts/exp_deadtile_r3.py). lax.switch on a device scalar: no host
+    sync; every branch is compiled once (persistent-cache friendly)."""
+    idx = jnp.minimum(
+        jnp.sum(live_tiles > jnp.asarray(buckets, jnp.int32)),
+        len(buckets) - 1)
+
+    def make_branch(k):
+        bt = buckets[k] * RAY_TILE
+
+        def branch(state, pixel):
+            sub = tuple(s[:bt] for s in state)
+            sub = mega_segment(*args, sub, pixel[:bt], sample_idx, seed,
+                               start_bounce, **seg_kw)
+            return tuple(
+                jnp.concatenate([n, s[bt:]]) if bt < s.shape[0] else n
+                for n, s in zip(sub, state))
+
+        return branch
+
+    return jax.lax.switch(
+        idx, [make_branch(k) for k in range(len(buckets))], state, pixel)
+
+
 def _fresh_state(ro, rd):
     b = ro.shape[0]
     z = jnp.zeros((b,), jnp.float32)
@@ -2007,20 +2050,36 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     state = _fresh_state(ro, rd)
     pixel = pixel.astype(jnp.int32)
     orig_g = jnp.arange(bp // group, dtype=jnp.int32)
+    g_tiles = bp // RAY_TILE
+    shrink = (bool(getattr(cfg, "compact_shrink", True))
+              and len(schedule) > 1 and g_tiles > 1)
+    buckets = _shrink_buckets(g_tiles) if shrink else None
+    live_tiles = None
     done = 0
     for i, seg in enumerate(schedule):
         last = i == len(schedule) - 1
-        state = mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd,
-                             tbnd, sph_co, uv_tabs,
-                             atlas, counts, tbl.background, state, pixel,
-                             sample_idx, seed, jnp.int32(done),
-                             max_depth=seg,
-                             exhaust_bg=exhaust and last, **kw)
+        seg_args = (sph_tab, rect_tab, cyl_tab, tri_tab, sbnd,
+                    tbnd, sph_co, uv_tabs, atlas, counts, tbl.background)
+        seg_kw = dict(max_depth=seg, exhaust_bg=exhaust and last, **kw)
+        if live_tiles is None or buckets is None:
+            state = mega_segment(*seg_args, state, pixel,
+                                 sample_idx, seed, jnp.int32(done),
+                                 **seg_kw)
+        else:
+            state = _segment_shrunk(buckets, live_tiles, seg_args, state,
+                                    pixel, sample_idx, seed,
+                                    jnp.int32(done), seg_kw)
         done += seg
         if not last:
             state, pixel, orig_g = _compact(
                 state, pixel, orig_g, group=group,
                 sort=getattr(cfg, "compact_sort", "dead"))
+            if shrink:
+                ag = (state[12].reshape(bp // group, group) > 0.0).any(-1)
+                n_live_g = ag.sum().astype(jnp.int32)
+                live_tiles = ((n_live_g * jnp.int32(group)
+                               + jnp.int32(RAY_TILE - 1))
+                              // jnp.int32(RAY_TILE))
 
     cr, cg, cb = state[9], state[10], state[11]
     if len(schedule) == 1:
