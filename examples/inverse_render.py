@@ -50,6 +50,13 @@ def main():
     ap.add_argument("--steps", type=int, default=80)
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--outdir", default="inverse_out")
+    ap.add_argument("--sharded", action="store_true",
+                    help="run the fit through the device-mesh SPMD path "
+                         "(pixel rows sharded over all devices; GSPMD "
+                         "inserts the gradient/loss all-reduces) — the "
+                         "literal multi-host shape of BASELINE.json "
+                         "config #5; with one device it still exercises "
+                         "the sharded program")
     ap.add_argument("--position", action="store_true",
                     help="run the FD position-recovery demo instead")
     ap.add_argument("--replay", action="store_true",
@@ -327,11 +334,20 @@ def joint_1080p_demo(args):
               film.finalize(np.asarray(before), 1, gamma=True))
 
     t0 = time.perf_counter()
+    mesh = None
+    if args.sharded:
+        import jax as _jax
+
+        from rt_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh((len(_jax.devices()), 1))
+        print(f"sharded fit over {len(_jax.devices())} device(s)")
     rec, hist = fit_hybrid(tables_w, cfg, np.asarray(target),
                            replay_fields=("tex_color",),
                            fd_params={"sph_center": [(0, 0), (0, 1)]},
                            spp=args.spp, fd_spp=2,
-                           steps=args.steps, learning_rate=3e-2)
+                           steps=args.steps, learning_rate=3e-2,
+                           mesh=mesh)
     dt = time.perf_counter() - t0
     print(f"{args.steps} joint steps at 1080p: {dt:.1f}s "
           f"({dt / args.steps:.2f}s/step)")

@@ -101,6 +101,7 @@ def make_replay_render(
     bwd_depth: Optional[int] = None,
     bwd_early_exit: bool = False,
     bwd_kernel: Optional[bool] = None,
+    geom_tape: Optional[bool] = None,
 ):
     """Build img_fn(params) -> mean radiance [B,3] with a path-replay VJP.
 
@@ -149,7 +150,18 @@ def make_replay_render(
     the forward engine is the megakernel on a TPU backend. Covers ALL
     REPLAY_FIELDS including "images" (in-kernel atlas adjoint); only
     very large atlases (pallas_mega.adjoint_atlas_ok) fall back to the
-    XLA/hybrid per-bounce replay."""
+    XLA/hybrid per-bounce replay.
+
+    geom_tape routes the TANGENT replay's per-bounce intersection
+    through the taped winner (VERDICT r2 #7): the winner codes are
+    captured once per sample (the in-kernel mega_capture on TPU), and
+    each linearized bounce recomputes the hit against the KNOWN winner
+    only (tape.py's per-lane leaf tests) — O(1) per ray instead of the
+    full O(N) XLA candidate pass. The tape freezes exactly the
+    decisions the tangent estimator detaches anyway (comparisons), so
+    the tangents agree with the full-intersect form wherever winners
+    agree (everywhere but ulp-flip grazing lanes). None (default) =
+    auto: on for TPU backends with a megakernel-supported scene."""
     base = _device_tables(tables)
     width, height = cfg.width, cfg.height
     if bwd_engine is None:
@@ -283,6 +295,12 @@ def make_replay_render(
             grads = jax.tree_util.tree_map(jnp.add, grads, vjp2(cot)[0])
         return grads
 
+    if geom_tape is None:
+        from rt_tpu.ops.pallas_mega import mega_supported
+
+        geom_tape = (jax.default_backend() == "tpu"
+                     and mega_supported(base))
+
     _geom_flat, _n_dirs = [], 0
     if geom_spec:
         _geom_flat = [(f, tuple(idx)) for f, idxs in sorted(geom_spec.items())
@@ -329,6 +347,17 @@ def make_replay_render(
         tbl = apply_params(base, params)
         ro, rd, sample = _rays(tbl, s)
 
+        if geom_tape:
+            # capture the winner tape once per sample (in-kernel on
+            # TPU); every linearized bounce then recomputes the hit
+            # against the KNOWN winner — O(1)/ray vs the O(N) candidate
+            # pass (VERDICT r2 #7)
+            from rt_tpu.diff.tape import (
+                _PID_MASK, TAPE_SHIFT, _attributes_for_tape, capture_tape)
+
+            codes_all = capture_tape(tbl, cfg, ro, rd, pixel, sample,
+                                     seed)
+
         def cond(carry):
             i, o, d, P, C, alive, tst = carry
             if bwd_early_exit:
@@ -346,11 +375,17 @@ def make_replay_render(
             ball = rng.in_unit_ball(jnp, seed, pixel, sample, bounce)
             refl_u = rng.uniform(jnp, seed, pixel, sample, bounce,
                                  rng.DIEL_REFL)
+            if geom_tape:
+                code_i = jax.lax.dynamic_index_in_dim(
+                    codes_all, i, axis=0, keepdims=False)
 
             def f(o, d, P, C, pp):
                 t2 = apply_params(base, pp)
-                hit = intersect(t2, o, d, engine="xla",
-                                traversal=cfg.traversal)
+                if geom_tape:
+                    hit = _attributes_for_tape(t2, o, d, code_i)
+                else:
+                    hit = intersect(t2, o, d, engine="xla",
+                                    traversal=cfg.traversal)
                 sc, em = materials.shade(
                     t2, hit.mat, d, hit.normal, hit.front_face,
                     hit.u, hit.v, hit.p, ball, refl_u)
@@ -512,7 +547,8 @@ def make_replay_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int,
                         bwd_depth: Optional[int] = None,
                         n_valid: Optional[int] = None,
                         bwd_early_exit: bool = False,
-                        bwd_kernel: Optional[bool] = None):
+                        bwd_kernel: Optional[bool] = None,
+                        geom_tape: Optional[bool] = None):
     """(params) -> scalar MSE against target rows [B,3], with the replay
     VJP underneath. jax.grad of this runs in O(B) memory at any depth.
     Geometry/fuzz/IOR components listed in geom_spec get forward-mode
@@ -524,7 +560,8 @@ def make_replay_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int,
     img_fn = make_replay_render(tables, cfg, spp, px, py, bwd_engine,
                                 geom_spec=geom_spec, bwd_depth=bwd_depth,
                                 bwd_early_exit=bwd_early_exit,
-                                bwd_kernel=bwd_kernel)
+                                bwd_kernel=bwd_kernel,
+                                geom_tape=geom_tape)
     target = jnp.asarray(target, jnp.float32)
     n_rows = int(np.shape(px)[0])
     if n_valid is not None and n_valid == n_rows:

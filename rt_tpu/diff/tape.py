@@ -124,12 +124,28 @@ def capture_tape(tables: SceneTables, cfg: RenderConfig, ro, rd, pixel,
     XLA elsewhere. Dead lanes keep recording whatever their stale ray
     intersects, exactly like the wavefront loop's masked lanes — the
     replay masks them identically."""
+    from rt_tpu.ops.pallas_mega import mega_capture, mega_supported
+
     if engine is None:
-        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        engine = ("mega" if (jax.default_backend() == "tpu"
+                             and mega_supported(tables))
+                  else "pallas" if jax.default_backend() == "tpu"
+                  else "xla")
     tables = jax.tree_util.tree_map(jax.lax.stop_gradient, tables)
     ro = jax.lax.stop_gradient(ro)
     rd = jax.lax.stop_gradient(rd)
     b = ro.shape[0]
+
+    if engine == "mega" and mega_supported(tables):
+        # in-kernel capture (VERDICT r2 #3): one megakernel launch per
+        # sample instead of max_depth hybrid intersect dispatches.
+        # Post-death lanes record -1 where the hybrid records the stale
+        # winner — masked identically by the replay's alive chain.
+        sample_scalar = jnp.asarray(sample).reshape(-1)[0]
+        codes, _ = mega_capture(tables, cfg, ro, rd,
+                                jnp.asarray(pixel).astype(jnp.int32),
+                                sample_scalar, seed)
+        return codes
 
     def body(st, i):
         o, d, alive = st
@@ -184,6 +200,23 @@ def _known_t(tables: SceneTables, o, d, ptype, pid):
     return t
 
 
+def _attributes_for_tape(tables: SceneTables, o, d, code):
+    """Differentiable hit record against the taped winner `code` [B]:
+    the known-winner recompute _tape_bounce is built on, also used by
+    the tangent replay's per-bounce linearization (replay.py geom_tape).
+    The isfinite guard drops ulp-disagreement lanes (batched candidate
+    pass vs per-lane leaf form at grazing/t_min edges) dead instead of
+    poisoning the batch with inf hit points."""
+    hit_mask = code >= 0
+    ptype = jnp.where(hit_mask, code >> TAPE_SHIFT, 0).astype(jnp.int32)
+    pid = jnp.where(hit_mask, code & _PID_MASK, 0).astype(jnp.int32)
+    t = _known_t(tables, o, d, ptype, pid)
+    valid = hit_mask & jnp.isfinite(t)
+    t = jnp.where(valid, t, 1.0)
+    return _attributes(tables, o, d, valid, t, ptype, pid,
+                       jnp.where(valid, pid, -1))
+
+
 def _tape_bounce(tables: SceneTables, cfg: RenderConfig, st, code, pixel,
                  sample, seed, bounce, rr_comp):
     """One differentiable bounce against the taped winner — the
@@ -197,17 +230,8 @@ def _tape_bounce(tables: SceneTables, cfg: RenderConfig, st, code, pixel,
         survive = u_rr <= cfg.p_rr
 
     hit_mask = code >= 0
-    ptype = jnp.where(hit_mask, code >> TAPE_SHIFT, 0).astype(jnp.int32)
-    pid = jnp.where(hit_mask, code & _PID_MASK, 0).astype(jnp.int32)
-    t = _known_t(tables, o, d, ptype, pid)
-    # isfinite guards ulp disagreements between the batched candidate
-    # pass and the per-lane leaf form at grazing/t_min edges: such a
-    # lane drops dead (contributing nothing) instead of poisoning the
-    # batch with inf hit points
-    valid = hit_mask & jnp.isfinite(t)
-    t = jnp.where(valid, t, 1.0)
-    hit = _attributes(tables, o, d, valid, t, ptype, pid,
-                      jnp.where(valid, pid, -1))
+    hit = _attributes_for_tape(tables, o, d, code)
+    valid = hit.hit
 
     ball = rng.in_unit_ball(jnp, seed, pixel, sample, bounce)
     refl_u = rng.uniform(jnp, seed, pixel, sample, bounce, rng.DIEL_REFL)
@@ -349,6 +373,151 @@ def make_tape_render(tables: SceneTables, cfg: RenderConfig, spp: int,
         return acc / jnp.float32(spp)
 
     return img_fn
+
+
+def make_tape_vg(tables: SceneTables, cfg: RenderConfig, px, py, target,
+                 schedule=(1, 1, 2, 4, 8, 16),
+                 min_width: int = 1 << 16):
+    """Fast all-params gradient step: in-kernel capture + death-sorted
+    shrinking replay (VERDICT r2 #3). Returns step(params, sample_base=0)
+    -> (loss, grads) for a ONE-sample tape estimate of the MSE against
+    `target` rows [B,3].
+
+    Two phases, two jits:
+
+      1. CAPTURE (jit #1): ONE megakernel launch per step
+         (ops/pallas_mega.mega_capture) records every bounce's winner
+         code AND each lane's exact death count — replacing the hybrid
+         per-bounce intersector (measured round 2: 2.3 s of the 12.6 s
+         step at 1080p depth-50).
+      2. REPLAY-GRAD (jit #2, cached per width signature): lanes are
+         sorted by death (descending, stable — a cheap device argsort),
+         so live lanes are a PREFIX whose length at each depth is known
+         on the host from the death histogram. The replay then runs as
+         host-unrolled segments, each sliced to the smallest bucketed
+         static width covering its live prefix (+1 bounce of slack for
+         ulp-level alive-chain divergence between the kernel and the
+         XLA leaf replay). Dead suffixes freeze; the loss compares
+         against the same-order-sorted target, so no unsort enters the
+         differentiated path. Work drops from B*depth lane-bounces to
+         ~B*avg_depth (19x at the cover scene's 2.59 avg), and the
+         shrunken widths make per-bounce residuals affordable — no
+         outer remat level, so the backward recomputes each bounce once
+         instead of twice.
+
+    Width buckets are powers of two (floored at min_width), so the
+    replay jit recompiles at most a handful of times across a fit run.
+    Requires mega_supported(tables); silhouette terms are detached as in
+    every tape estimate."""
+    import functools as _ft
+
+    from rt_tpu.ops.pallas_mega import mega_capture, mega_supported
+
+    assert mega_supported(tables), "mega_capture needs a megakernel scene"
+    base = _device_tables(tables)
+    width, height = cfg.width, cfg.height
+    px = jnp.asarray(px, jnp.int32)
+    py = jnp.asarray(py, jnp.int32)
+    pixel = (py * width + px).astype(jnp.int32)
+    seed = jnp.uint32(cfg.seed)
+    b = int(px.shape[0])
+    target_j = jnp.asarray(target, jnp.float32)
+
+    depth = cfg.max_depth
+    # segment schedule (bounce counts); remainder appended
+    sched = []
+    left = depth
+    for s in schedule:
+        if left <= 0:
+            break
+        s = min(s, left)
+        sched.append(s)
+        left -= s
+    if left:
+        sched.append(left)
+    # boundary start bounces (first segment always runs full width)
+    starts = np.cumsum([0] + sched[:-1])
+
+    @jax.jit
+    def cap_fn(params, sample_base):
+        tbl = apply_params(base, params)
+        s0 = jnp.asarray(sample_base, jnp.float32).astype(jnp.uint32)
+        sample = jnp.full(px.shape, s0, jnp.uint32)
+        ro, rd = generate_rays(tbl.camera, width, height, px, py,
+                               sample, seed, cfg.enable_defocus)
+        codes, death = mega_capture(tbl, cfg,
+                                    jax.lax.stop_gradient(ro),
+                                    jax.lax.stop_gradient(rd),
+                                    pixel, s0, seed)
+        # +1 bounce slack: a lane whose replay alive-chain outlives the
+        # kernel's by one ulp-flipped discrete decision still finishes
+        # (its next code is -1, so it dies in that extra bounce)
+        d_eff = jnp.minimum(death + 1, depth - 1)
+        order = jnp.argsort(-d_eff, stable=True)
+        cnt = jnp.stack([(d_eff >= s).sum() for s in starts[1:]])
+        return codes, order, cnt
+
+    def _bucket(n):
+        n = int(n)
+        if n <= min_width:
+            return min(min_width, b)
+        return min(b, 1 << int(np.ceil(np.log2(n))))
+
+    @_ft.lru_cache(maxsize=32)
+    def _vg_fn(widths):
+        def loss_fn(params, codes, order, sample_base):
+            tbl = apply_params(base, params)
+            s0 = jnp.asarray(sample_base, jnp.float32).astype(jnp.uint32)
+            pid_s = jnp.take(pixel, order)          # non-diff int gather
+            pxs = pid_s % width
+            pys = pid_s // width
+            sample = jnp.full(pid_s.shape, s0, jnp.uint32)
+            ro, rd = generate_rays(tbl.camera, width, height, pxs, pys,
+                                   sample, seed, cfg.enable_defocus)
+            rr_comp = (jnp.float32(1.0 / cfg.p_rr) if cfg.p_rr > 0.0
+                       else jnp.float32(1.0))
+            st = (ro, rd,
+                  jnp.ones((b, 3), jnp.float32),
+                  jnp.zeros((b, 3), jnp.float32),
+                  jnp.ones((b,), bool))
+            upid = pid_s.astype(jnp.uint32)
+
+            done = 0
+            for k, seg in enumerate(sched):
+                w_k = b if k == 0 else widths[k - 1]
+                sub = tuple(x[:w_k] for x in st)
+                codes_seg = jnp.take(codes[done:done + seg],
+                                     order[:w_k], axis=1)
+                idx = jnp.arange(done, done + seg, dtype=jnp.uint32)
+
+                def one_bounce(s_, xs, _w=w_k):
+                    code, i = xs
+                    return _tape_bounce(
+                        tbl, cfg, s_, code, upid[:_w], sample[:_w],
+                        seed, i, rr_comp), None
+
+                sub, _ = jax.lax.scan(jax.checkpoint(one_bounce), sub,
+                                      (codes_seg, idx))
+                st = tuple(
+                    jnp.concatenate([n_, x[w_k:]]) if w_k < b else n_
+                    for n_, x in zip(sub, st))
+                done += seg
+
+            o, d, tp, rgb, alive = st
+            if cfg.exhaust_mode == "background":
+                bg = background_color(tbl, cfg, d)
+                rgb = rgb + jnp.where(alive[:, None], tp * bg, 0.0)
+            tgt = jnp.take(target_j, order, axis=0)  # non-diff gather
+            return jnp.mean((rgb - tgt) ** 2)
+
+        return jax.jit(jax.value_and_grad(loss_fn))
+
+    def step(params, sample_base=0.0):
+        codes, order, cnt = cap_fn(params, sample_base)
+        widths = tuple(_bucket(n) for n in np.asarray(cnt))
+        return _vg_fn(widths)(params, codes, order, sample_base)
+
+    return step
 
 
 def make_tape_loss_fn(tables: SceneTables, cfg: RenderConfig, spp: int,

@@ -627,8 +627,15 @@ def _make_do_bounce(seed, pix, background,
                     cull: bool = False, cull_t: bool = False,
                     mxu: bool = False,
                     adjoint: bool = False, n_slots: int = 0,
-                    Lrgb=None, grgb=None, grad_bg: bool = False):
+                    Lrgb=None, grgb=None, grad_bg: bool = False,
+                    capture: bool = False, code_refs=None):
     """Build the per-bounce closure shared by both kernel drivers.
+
+    capture=True (the in-kernel tape capture, diff/tape.py): each family
+    appends its winner-code column (orig_pid*4 + family, exact in f32 up
+    to 4M primitives) to the one-hot extraction — code_refs = per-family
+    [N,1] tables — and do_bounce additionally returns the bounce's
+    int32 tape code (ptype << TAPE_SHIFT | pid, -1 on miss).
 
     adjoint=True turns the bounce into the BACKWARD bounce of the
     path-replay VJP (diff/replay.py suffix identity): the forward math
@@ -671,12 +678,16 @@ def _make_do_bounce(seed, pix, background,
 
         n_uv = _U_COLS if has_img else 0
 
-        def with_uv(ext, uv_ref, sl, exact, blk=None):
+        def _cr(fam_i):
+            return code_refs[fam_i] if capture else None
+
+        def with_uv(ext, uv_ref, sl, exact, blk=None, cref=None):
             """Append the winner's 17-col UV parameter block (extracted
             by the same one-hot contraction) when the scene samples
             image textures; UV math itself runs post-merge, once. In
             adjoint mode also append the winner's gradient-slot row
-            (_SLOT_COL) — one extra 1-col dot per chunk."""
+            (_SLOT_COL); in capture mode the winner's tape-code row —
+            one extra 1-col dot per chunk each."""
             if n_uv:
                 ext = jnp.concatenate(
                     [ext, _dotg(uv_ref[sl, :], exact)], axis=0)
@@ -684,6 +695,9 @@ def _make_do_bounce(seed, pix, background,
                 ext = jnp.concatenate(
                     [ext, _dotg(blk[:, _SLOT_COL:_SLOT_COL + 1], exact)],
                     axis=0)
+            if capture:
+                ext = jnp.concatenate(
+                    [ext, _dotg(cref[sl, :], exact)], axis=0)
             return ext
 
         if mxu:
@@ -723,7 +737,8 @@ def _make_do_bounce(seed, pix, background,
                           & (col3(blk, _S_VALID) > 0.0), t, INF)
             exact = _chunk_winner(t, s_chunk, s, l)
             ext = _dotg(blk[:, :_X_COLS], exact)           # [15,S,L] MXU
-            return _merge(carry, t, with_uv(ext, suv_ref, sl, exact, blk))
+            return _merge(carry, t, with_uv(ext, suv_ref, sl, exact, blk,
+                                            _cr(0)))
 
         def chunk_visible(bnd_ref, k, t_best_cur):
             # per-chunk slab test of every live lane against the chunk's
@@ -788,7 +803,8 @@ def _make_do_bounce(seed, pix, background,
             t = jnp.where(valid, t, INF)
             exact = _chunk_winner(t, r_chunk, s, l)
             ext = _dotg(blk[:, :_X_COLS], exact)
-            return _merge(carry, t, with_uv(ext, ruv_ref, sl, exact, blk))
+            return _merge(carry, t, with_uv(ext, ruv_ref, sl, exact, blk,
+                                            _cr(1)))
 
         def cyl_body(k, carry):
             sl = pl.ds(k * y_chunk, y_chunk)
@@ -846,7 +862,8 @@ def _make_do_bounce(seed, pix, background,
                             jnp.sum(exact * nyv, axis=0),
                             jnp.sum(exact * nz, axis=0)])
             ext = jnp.concatenate([nw, ext[3:]], axis=0)
-            return _merge(carry, t, with_uv(ext, yuv_ref, sl, exact, blk))
+            return _merge(carry, t, with_uv(ext, yuv_ref, sl, exact, blk,
+                                            _cr(2)))
 
         def _tri_chunk_math(k, carry):
             sl = pl.ds(k * t_chunk, t_chunk)
@@ -890,7 +907,8 @@ def _make_do_bounce(seed, pix, background,
             t = jnp.where(valid, t, INF)
             exact = _chunk_winner(t, t_chunk, s, l)
             ext = _dotg(blk[:, :_X_COLS], exact)
-            return _merge(carry, t, with_uv(ext, tuv_ref, sl, exact, blk))
+            return _merge(carry, t, with_uv(ext, tuv_ref, sl, exact, blk,
+                                            _cr(3)))
 
         def tri_body(k, carry):
             if not cull_t:
@@ -899,7 +917,8 @@ def _make_do_bounce(seed, pix, background,
                                 lambda c: _tri_chunk_math(k, c),
                                 lambda c: c, carry)
 
-        n_attr = _X_COLS + n_uv + (1 if adjoint else 0)
+        n_attr = (_X_COLS + n_uv + (1 if adjoint else 0)
+                  + (1 if capture else 0))
         carry = (jnp.full((s, l), INF, jnp.float32),
                  jnp.zeros((n_attr, s, l), jnp.float32))
         if ns:
@@ -1210,6 +1229,19 @@ def _make_do_bounce(seed, pix, background,
         out = (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, cr, cg, cb, alive)
         if adjoint:
             return (out, accA, accA2, accbg, accImg)
+        if capture:
+            # tape code (diff/tape.py): ptype << TAPE_SHIFT | orig pid,
+            # -1 on miss. The extracted code row is orig_pid*4 + family
+            # (exact in f32); decode in int32.
+            # static positive index: attrs[-1] lowers via dynamic_slice,
+            # which Mosaic can't lower inside a while body
+            ci = attrs[n_attr - 1].astype(jnp.int32)
+            code = jnp.where(
+                hit,
+                jax.lax.shift_left(ci & 3, jnp.full_like(ci, 24))
+                | _shr(ci, 2),
+                jnp.full_like(ci, -1))
+            return out, code
         return out
 
     return do_bounce
@@ -1281,6 +1313,209 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
     otpr_ref[0], otpg_ref[0], otpb_ref[0] = tpr, tpg, tpb
     ocr_ref[0], ocg_ref[0], ocb_ref[0] = cr, cg, cb
     oalive_ref[0] = alive
+
+
+def _capture_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
+                    tri_ref, sbnd_ref, tbnd_ref, hbco_ref, ctco_ref,
+                    suv_ref, ruv_ref, yuv_ref, tuv_ref,
+                    scode_ref, rcode_ref, ycode_ref, tcode_ref,
+                    atr_ref, atg_ref, atb_ref,
+                    rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
+                    pix_ref,
+                    ocode_ref, odepth_ref, *,
+                    ns: int, nr: int, ny_: int, nt: int,
+                    s_chunk: int, r_chunk: int, y_chunk: int,
+                    t_chunk: int, max_depth: int, t_min: float,
+                    p_rr: float, has_img: bool, img_th: int, img_tw: int,
+                    cull: bool = False, cull_t: bool = False,
+                    mxu: bool = False):
+    """Tape-capture megakernel (VERDICT r2 #3): one full-path trace that
+    emits, per bounce, the closest-hit winner's tape code (the integer
+    diff/tape.capture_tape records with the hybrid per-bounce
+    intersector) plus each lane's death count d (#bounces still alive
+    AFTER the bounce — a lane does bounce b work iff d >= b), which the
+    death-sorted shrinking replay uses. Radiance is not an output: the
+    capture is integer-valued and non-differentiable by design."""
+    seed = scal_i_ref[0, 0]
+    sample = scal_i_ref[0, 1]
+    start_bounce = scal_i_ref[0, 2]
+    pix = pix_ref[0]
+
+    def background(dx, dy, dz):  # capture never consumes radiance
+        z = jnp.zeros_like(dx)
+        return z, z, z
+
+    do_bounce = _make_do_bounce(
+        seed, pix, background, sph_ref, rect_ref, cyl_ref, tri_ref,
+        sbnd_ref, tbnd_ref, hbco_ref, ctco_ref, suv_ref, ruv_ref,
+        yuv_ref, tuv_ref, atr_ref, atg_ref, atb_ref,
+        ns=ns, nr=nr, ny_=ny_, nt=nt, s_chunk=s_chunk, r_chunk=r_chunk,
+        y_chunk=y_chunk, t_chunk=t_chunk, t_min=t_min, p_rr=p_rr,
+        has_img=has_img, img_th=img_th, img_tw=img_tw, cull=cull,
+        cull_t=cull_t, mxu=mxu,
+        capture=True,
+        code_refs=(scode_ref, rcode_ref, ycode_ref, tcode_ref))
+
+    # codes ride the while carry as a [max_depth, 8, LANES] value updated
+    # by per-bounce select (Mosaic has no dynamic-index ref store inside
+    # while bodies). Dead bounces keep code -1 (the replay masks dead
+    # lanes by its own alive chain, so any fill works; -1 = "miss").
+    brow = jax.lax.broadcasted_iota(jnp.int32,
+                                    (max_depth,) + pix.shape, 0)
+
+    def bounce_cond(bst):
+        b, st_, dep, acc = bst
+        return (b < max_depth) & (jnp.max(st_[-1]) > 0.0)
+
+    def bounce_body(bst):
+        b, st_, dep, acc = bst
+        st_, code = do_bounce(jnp.full_like(pix, start_bounce + b),
+                              jnp.full_like(pix, sample), st_)
+        acc = jnp.where(brow == b, code[None], acc)
+        dep = dep + (st_[-1] > 0.0).astype(jnp.int32)
+        return b + 1, st_, dep, acc
+
+    one = jnp.ones(pix.shape, jnp.float32)
+    zero = jnp.zeros(pix.shape, jnp.float32)
+    st = (rox_ref[0], roy_ref[0], roz_ref[0],
+          rdx_ref[0], rdy_ref[0], rdz_ref[0],
+          one, one, one, zero, zero, zero, one)
+    acc0 = jnp.full((max_depth,) + pix.shape, -1, jnp.int32)
+    _, _, dep, acc = jax.lax.while_loop(
+        bounce_cond, bounce_body,
+        (jnp.int32(0), st, jnp.zeros(pix.shape, jnp.int32), acc0))
+    ocode_ref[0] = acc
+    odepth_ref[0] = dep
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("counts", "max_depth", "t_min", "p_rr", "has_img",
+                     "img_th", "img_tw", "cull", "cull_t", "mxu",
+                     "interpret"))
+def capture_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
+                    sph_co, uv_tabs, code_tabs, atlas, counts,
+                    ro3, rd3, pixel, sample_idx, seed,
+                    max_depth: int,
+                    t_min: float = 1e-3, p_rr: float = 0.0,
+                    has_img: bool = False, img_th: int = 1,
+                    img_tw: int = 1,
+                    cull: bool = False, cull_t: bool = False,
+                    mxu: bool = False, interpret: bool = False):
+    """Run the capture kernel over B primary rays (B % RAY_TILE == 0).
+    Returns (codes [max_depth, B] int32, death [B] int32)."""
+    b = ro3[0].shape[0]
+    ns, nr, ny_, nt = counts
+    assert b % RAY_TILE == 0
+    g = b // RAY_TILE
+
+    def lanes(x, dtype=jnp.float32):
+        return x.reshape(g, 8, LANES).astype(dtype)
+
+    scal_i = jnp.stack([jnp.asarray(seed).astype(jnp.int32),
+                        jnp.asarray(sample_idx).astype(jnp.int32),
+                        jnp.zeros((), jnp.int32)]).reshape(1, 3)
+    scal_f = jnp.zeros((1, 3), jnp.float32)
+
+    kernel = functools.partial(
+        _capture_kernel, ns=ns, nr=nr, ny_=ny_, nt=nt,
+        s_chunk=min(max(ns, 1), SPH_CHUNK),
+        r_chunk=min(max(nr, 1), AUX_CHUNK),
+        y_chunk=min(max(ny_, 1), AUX_CHUNK),
+        t_chunk=min(max(nt, 1), SPH_CHUNK),
+        max_depth=int(max_depth), t_min=float(t_min), p_rr=float(p_rr),
+        has_img=bool(has_img), img_th=int(img_th), img_tw=int(img_tw),
+        cull=bool(cull), cull_t=bool(cull_t), mxu=bool(mxu))
+
+    ray_spec = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    code_spec = pl.BlockSpec((1, max_depth, 8, LANES),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    codes, death = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scal_i
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scal_f
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rect table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cylinder table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle table
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # sphere chunk AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # triangle chunk AABBs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere hb coeffs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere ct coeffs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere UV params
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rect UV params
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cylinder UV params
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle UV params
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sphere tape codes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rect tape codes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cylinder tape codes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle tape codes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas R
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas G
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas B
+        ] + [ray_spec] * 7,
+        out_specs=(code_spec, ray_spec),
+        out_shape=(jax.ShapeDtypeStruct((g, max_depth, 8, LANES),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((g, 8, LANES), jnp.int32)),
+        interpret=interpret,
+    )(
+        scal_i, scal_f, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
+        sph_co[0], sph_co[1],
+        uv_tabs[0], uv_tabs[1], uv_tabs[2], uv_tabs[3],
+        code_tabs[0], code_tabs[1], code_tabs[2], code_tabs[3],
+        atlas[0], atlas[1], atlas[2],
+        lanes(ro3[0]), lanes(ro3[1]), lanes(ro3[2]),
+        lanes(rd3[0]), lanes(rd3[1]), lanes(rd3[2]),
+        lanes(pixel, jnp.int32),
+    )
+    # [g, depth, 8, LANES] -> [depth, B]
+    codes = jnp.transpose(codes.reshape(g, max_depth, RAY_TILE),
+                          (1, 0, 2)).reshape(max_depth, b)
+    return codes, death.reshape(b)
+
+
+def mega_capture(tables: SceneTables, cfg, ro, rd, pixel, sample_idx,
+                 seed):
+    """In-kernel tape capture: codes [max_depth, B] int32 in
+    diff/tape.py's format (ptype << TAPE_SHIFT | pid; -1 = miss) plus
+    each lane's death count (#bounces alive after each bounce, summed).
+
+    Replaces capture_tape's hybrid per-bounce intersector with ONE
+    megakernel launch (single segment, no compaction — codes stay in
+    ray order). Codes match the host capture bit-for-bit on live lanes
+    (same RNG streams, same later-wins tie-break, modulo the
+    measure-zero Morton-order exact-t ties cull_chunks always had);
+    post-death lanes record -1 where the host records the stale
+    winner — both are masked identically by the replay.
+
+    Pre-condition: mega_supported(tables)."""
+    b = ro.shape[0]
+    pad = (-b) % RAY_TILE
+    if pad:
+        ro = jnp.concatenate([ro, jnp.zeros((pad, 3), jnp.float32)])
+        rd = jnp.concatenate(
+            [rd, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0],
+                                              jnp.float32), (pad, 3))])
+        pixel = jnp.concatenate([pixel, jnp.zeros((pad,), pixel.dtype)])
+
+    (tbl, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
+     uv_tabs, code_tabs, atlas, counts, kw) = _prep_scene(
+         tables, cfg, want_codes=True)
+    kw = dict(kw)
+    kw.pop("grad_bg", None)
+    codes, death = capture_segment(
+        sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
+        uv_tabs, code_tabs, atlas, counts,
+        (ro[:, 0], ro[:, 1], ro[:, 2]),
+        (rd[:, 0], rd[:, 1], rd[:, 2]),
+        pixel.astype(jnp.int32), sample_idx, seed,
+        max_depth=cfg.max_depth, **kw)
+    return codes[:, :b], death[:b]
 
 
 def _adjoint_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
@@ -1894,10 +2129,14 @@ def _pad_chunked(tab, max_chunk):
     return _pad_rows(tab, max_chunk)
 
 
-def _prep_scene(tables: SceneTables, cfg):
+def _prep_scene(tables: SceneTables, cfg, want_codes: bool = False):
     """Padded SoA tables + static kernel kwargs: the scene-side
     setup shared by the segmented (mega_trace) and regeneration
-    (mega_trace_regen) drivers."""
+    (mega_trace_regen) drivers.
+
+    want_codes=True (the capture kernel) additionally returns per-family
+    [N,1] tape-code tables (orig_pid*4 + family — original indices, so
+    codes refer to SceneTables rows even after the Morton sorts)."""
     n_sph, n_rect, n_cyl, n_tri = tables.counts
     tbl = jax.tree_util.tree_map(jnp.asarray, tables)
     sph_tab = _pad_chunked(sphere_table(tbl) if n_sph
@@ -1948,9 +2187,10 @@ def _prep_scene(tables: SceneTables, cfg):
         # (The sphere UV-param table needs no reorder: its rows carry no
         # per-sphere data, only the family code.)
         s_chunk_val = min(max(sph_tab.shape[0], 1), SPH_CHUNK)
-        sph_tab, sbnd, _ = sort_spheres_morton(sph_tab, s_chunk_val)
+        sph_tab, sbnd, sorder = sort_spheres_morton(sph_tab, s_chunk_val)
     else:
         sbnd = jnp.zeros((1, 8), jnp.float32)
+        sorder = None
 
     # triangle culling pays only with >=2 chunks (a single chunk's cond
     # can never skip: some lane always wants the scene's only cell)
@@ -1965,6 +2205,7 @@ def _prep_scene(tables: SceneTables, cfg):
             uv_tabs = uv_tabs[:3] + (uv_tabs[3][torder],)
     else:
         tbnd = jnp.zeros((1, 8), jnp.float32)
+        torder = None
 
     mxu = bool(getattr(cfg, "mxu_intersect", False)) and n_sph > 0
     if mxu:
@@ -1980,6 +2221,19 @@ def _prep_scene(tables: SceneTables, cfg):
               grad_bg=cfg.background_mode == "gradient",
               has_img=has_img, img_th=img_th, img_tw=img_tw,
               cull=cull, cull_t=cull_t, mxu=mxu, interpret=interpret)
+    if want_codes:
+        def codes_for(tab, fam, order):
+            n = tab.shape[0]
+            ids = (order.astype(jnp.float32) if order is not None
+                   else jnp.arange(n, dtype=jnp.float32))
+            return (ids * 4.0 + jnp.float32(fam)).reshape(n, 1)
+
+        code_tabs = (codes_for(sph_tab, _FAM_SPH, sorder),
+                     codes_for(rect_tab, _FAM_RECT, None),
+                     codes_for(cyl_tab, _FAM_CYL, None),
+                     codes_for(tri_tab, _FAM_TRI, torder))
+        return (tbl, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
+                sph_co, uv_tabs, code_tabs, atlas, counts, kw)
     return (tbl, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
             sph_co, uv_tabs, atlas, counts, kw)
 

@@ -619,3 +619,98 @@ def test_inverse_render_recovers_light_emission():
     assert hist[-1] < hist[0] * 0.1
     got = rec["tex_color"][li]
     assert np.abs(got - np.asarray(true_em)).max() < 0.25, got
+
+
+def test_replay_geom_tape_matches_full_intersect():
+    """geom_tape=True (VERDICT r2 #7): the tangent replay with its
+    per-bounce intersection replaced by the taped-winner recompute
+    (capture once, O(1)-per-ray leaf tests) produces the same geometry
+    tangents as the full-intersect form — the tape freezes exactly the
+    comparisons the estimator detaches anyway."""
+    from rt_tpu.scene.builders import cover_scene
+    from rt_tpu.scene.types import MAT_DIELECTRIC, MAT_METAL
+    from rt_tpu.diff.inverse import _device_tables
+    from rt_tpu.diff.replay import make_replay_loss_fn
+    from rt_tpu.render.renderer import render_block
+
+    sdef, cfg = cover_scene(width=32, height=24, spp=1, max_depth=8,
+                            grid=3)
+    tables = _device_tables(build_tables(sdef))
+    spp = 2
+    px, py = _pixel_list(cfg)
+    tgt = render_block(tables, cfg.replace(engine="xla", loop="scan"),
+                       px, py, jnp.uint32(0), spp, jnp.uint32(cfg.seed),
+                       cfg.width, cfg.height) / spp
+
+    met = int(np.nonzero(np.asarray(tables.mat_type) == MAT_METAL)[0][-1])
+    die = int(np.nonzero(
+        np.asarray(tables.mat_type) == MAT_DIELECTRIC)[0][-1])
+    params = {"sph_center": tables.sph_center.at[0, 1].add(0.05),
+              "sph_radius": tables.sph_radius.at[0].add(0.02),
+              "mat_fuzz": jnp.asarray(tables.mat_fuzz),
+              "mat_ior": tables.mat_ior.at[die].add(0.1),
+              "tex_color": jnp.asarray(tables.tex_color)}
+    spec = {"sph_center": [(0, 0), (0, 1)], "sph_radius": [(0,)],
+            "mat_fuzz": [(met,)], "mat_ior": [(die,)]}
+
+    g = {}
+    for tape in (False, True):
+        loss = make_replay_loss_fn(
+            tables, cfg.replace(engine="xla"), spp,
+            np.asarray(px), np.asarray(py), np.asarray(tgt),
+            geom_spec=spec, geom_tape=tape)
+        g[tape] = jax.grad(loss)(params)
+
+    checked = nonzero = 0
+    for f, idxs in spec.items():
+        for idx in idxs:
+            a = float(g[False][f][idx])
+            b_ = float(g[True][f][idx])
+            # the known-winner leaf recompute is a different fp
+            # formulation of the same chain (tape.py module docstring);
+            # components agree to a few percent, not ulps
+            assert abs(a - b_) <= 1e-6 + 4e-2 * abs(a), (f, idx, a, b_)
+            checked += 1
+            nonzero += a != 0.0
+    assert checked == 5 and nonzero >= 3
+
+
+def test_fit_hybrid_sharded_mega_forward():
+    """BASELINE.json config #5's sharded composition in CI: fit_hybrid
+    with the PRODUCTION megakernel forward under a full 8-device mesh
+    (pixel rows sharded, GSPMD all-reduces) recovers albedo + a sphere
+    position — the combination VERDICT r2 flagged as never executed."""
+    import jax
+
+    from rt_tpu.parallel.mesh import make_mesh
+    from rt_tpu.diff.inverse import fit_hybrid
+    from rt_tpu.scene.types import SceneDef
+
+    w, h = 96, 54
+    true_albedo = (0.7, 0.15, 0.35)
+
+    def make(cx, albedo):
+        s = SceneDef(width=w, height=h, samples_per_pixel=4, max_depth=4,
+                     background=(0.7, 0.8, 1.0))
+        s.add_sphere((cx, 0.0, -1.2), 0.5, s.add_lambertian_color(albedo))
+        s.add_sphere((0, -100.5, -1), 100,
+                     s.add_lambertian_color((0.55, 0.6, 0.5)))
+        s.set_camera((0, 0.35, 1), (0, 0, -1.2), (0, 1, 0), 50, 0.0)
+        cfg = RenderConfig(width=w, height=h, samples_per_pixel=4,
+                           max_depth=4, background_mode="gradient",
+                           loop="while", engine="mega")
+        return s, cfg
+
+    sdef_t, cfg = make(0.15, true_albedo)
+    target = render(build_tables(sdef_t), cfg) / cfg.samples_per_pixel
+
+    sdef_w, _ = make(-0.05, (0.3, 0.5, 0.4))
+    mesh = make_mesh((len(jax.devices()), 1))
+    rec, hist = fit_hybrid(build_tables(sdef_w), cfg, np.asarray(target),
+                           replay_fields=("tex_color",),
+                           fd_params={"sph_center": [(0, 0)]},
+                           spp=2, fd_spp=2, steps=25,
+                           learning_rate=5e-2, mesh=mesh)
+    assert hist[-1] < hist[0] * 0.35
+    assert abs(float(rec["sph_center"][0, 0]) - 0.15) < 0.08
+    assert np.abs(rec["tex_color"][0] - true_albedo).max() < 0.15

@@ -356,3 +356,89 @@ def test_fit_camera_rejects_unknown_param():
                    {"lookfrom": (0, 0, 1), "lookat": (0, 0, -1),
                     "vup": (0, 1, 0), "vfov_deg": 45.0, "aperture": 0.0},
                    recover=("vup",), steps=1)
+
+
+# ---------------------------------------------------------------------------
+# round 3: in-kernel capture + death-sorted shrinking replay
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("scene_fn", [_mixed_scene, _all_families_scene])
+def test_mega_capture_matches_host_capture(scene_fn):
+    """The capture megakernel (ops/pallas_mega.mega_capture) records the
+    same winner codes as the hybrid per-bounce capture on every lane
+    that is still alive, and its death counts equal the integrator's
+    alive chain. (Post-death lanes legitimately differ: the kernel
+    records -1, the host the stale winner — both masked by the replay.)"""
+    from rt_tpu.ops.pallas_mega import mega_capture
+    from rt_tpu.render.integrator import RayState, _bounce
+
+    sdef, cfg = scene_fn()
+    tables = jax.tree_util.tree_map(jnp.asarray, build_tables(sdef))
+    px, py, pixel, sample, seed, ro, rd = _rays_of(tables, cfg)
+    b = ro.shape[0]
+
+    codes_host = np.asarray(capture_tape(tables, cfg, ro, rd, pixel,
+                                         sample, seed, engine="xla"))
+    codes_mega, death = mega_capture(tables, cfg, ro, rd,
+                                     pixel.astype(jnp.int32),
+                                     jnp.uint32(0), seed)
+    codes_mega = np.asarray(codes_mega)
+    death = np.asarray(death)
+
+    st = RayState(o=ro, d=rd,
+                  throughput=jnp.ones((b, 3), jnp.float32),
+                  rgb=jnp.zeros((b, 3), jnp.float32),
+                  alive=jnp.ones((b,), bool))
+    alive_ent = [np.ones(b, bool)]
+    d_sim = np.zeros(b, np.int32)
+    for i in range(cfg.max_depth):
+        st = _bounce(tables, cfg, st, pixel, sample, seed, jnp.uint32(i))
+        a = np.asarray(st.alive)
+        d_sim += a.astype(np.int32)
+        alive_ent.append(a)
+    alive_ent = np.stack(alive_ent[:-1])  # [depth, B]: alive entering b
+
+    live_mismatch = (codes_host != codes_mega) & alive_ent
+    assert live_mismatch.sum() == 0
+    np.testing.assert_array_equal(death, d_sim)
+
+
+def test_make_tape_vg_matches_tape_loss():
+    """The death-sorted shrinking replay (make_tape_vg) computes the
+    same loss and gradients as the full-width replay over the SAME
+    in-kernel capture — sorting, static-width slicing, and the
+    frozen-suffix concatenation are exact restructurings."""
+    from rt_tpu.diff.tape import make_tape_vg
+
+    sdef, cfg = _mixed_scene(max_depth=6)
+    tables = build_tables(sdef)
+    w, h = cfg.width, cfg.height
+    pix = np.arange(w * h, dtype=np.int32)
+    rs = np.random.RandomState(0)
+    target = rs.rand(w * h, 3).astype(np.float32)
+    params = {
+        "sph_center": jnp.asarray(tables.sph_center),
+        "sph_radius": jnp.asarray(tables.sph_radius),
+        "mat_albedo": jnp.asarray(tables.mat_albedo),
+        "mat_fuzz": jnp.asarray(tables.mat_fuzz),
+        "mat_ior": jnp.asarray(tables.mat_ior),
+        "tex_color": jnp.asarray(tables.tex_color),
+    }
+
+    ref = jax.jit(jax.value_and_grad(make_tape_loss_fn(
+        tables, cfg, 1, pix % w, pix // w, target, tape_engine="mega")))
+    rl, rg = ref(params)
+
+    step = make_tape_vg(tables, cfg, pix % w, pix // w, target,
+                        min_width=64)  # force real shrinking
+    vl, vg = step(params)
+
+    np.testing.assert_allclose(float(vl), float(rl), rtol=2e-4)
+    for k in params:
+        a = np.asarray(rg[k])
+        g = np.asarray(vg[k])
+        assert np.isfinite(g).all()
+        np.testing.assert_allclose(g, a, rtol=2e-3,
+                                   atol=2e-4 * (np.abs(a).max() + 1e-12),
+                                   err_msg=k)
