@@ -257,7 +257,32 @@ def fit(
             rpx, rpy, tgt = (jax.device_put(jnp.asarray(x), sh)
                              for x in (px_, py_, flat_tgt))
         if method == "tape":
-            from rt_tpu.diff.tape import make_tape_loss_fn
+            from rt_tpu.ops.pallas_mega import mega_supported
+            from rt_tpu.diff.tape import make_tape_loss_fn, make_tape_vg
+
+            if mesh is None and mega_supported(tables):
+                # fast path (round 3): in-kernel capture + death-sorted
+                # shrinking replay — 12.6 s -> 1.45 s per all-params
+                # step at 1080p depth-50 (BASELINE.md). The vg step is
+                # two jits with a tiny host width sync between; Adam
+                # update runs in its own small jit.
+                vg_step = make_tape_vg(tables, cfg, rpx, rpy, tgt,
+                                       spp=spp)
+
+                @jax.jit
+                def upd(grads, opt_state, params):
+                    updates, opt_state = optimizer.update(
+                        grads, opt_state, params)
+                    return optax.apply_updates(params, updates), opt_state
+
+                history = []
+                for k_ in range(steps):
+                    s0 = float(k_ * spp if resample else 0)
+                    loss, grads = vg_step(params, s0)
+                    params, opt_state = upd(grads, opt_state, params)
+                    history.append(float(loss))
+                return {k: jax.tree_util.tree_map(np.asarray, v)
+                        for k, v in params.items()}, history
 
             loss_fn = make_tape_loss_fn(tables, cfg, spp, px=rpx, py=rpy,
                                         target=tgt, n_valid=n_pix)

@@ -377,11 +377,15 @@ def make_tape_render(tables: SceneTables, cfg: RenderConfig, spp: int,
 
 def make_tape_vg(tables: SceneTables, cfg: RenderConfig, px, py, target,
                  schedule=(1, 1, 2, 4, 8, 16),
-                 min_width: int = 1 << 16):
+                 min_width: int = 1 << 16, spp: int = 1):
     """Fast all-params gradient step: in-kernel capture + death-sorted
     shrinking replay (VERDICT r2 #3). Returns step(params, sample_base=0)
-    -> (loss, grads) for a ONE-sample tape estimate of the MSE against
-    `target` rows [B,3].
+    -> (loss, grads) for an spp-sample tape estimate of the MSE against
+    `target` rows [B,3]. With spp > 1 every sample is captured (one
+    kernel launch each) and the lanes sort by the MAX death over
+    samples, so all samples share one layout and accumulate into one
+    sorted image — widths are conservative by the across-sample max,
+    still ~B*avg_max_depth instead of B*depth.
 
     Two phases, two jits:
 
@@ -442,17 +446,23 @@ def make_tape_vg(tables: SceneTables, cfg: RenderConfig, px, py, target,
     def cap_fn(params, sample_base):
         tbl = apply_params(base, params)
         s0 = jnp.asarray(sample_base, jnp.float32).astype(jnp.uint32)
-        sample = jnp.full(px.shape, s0, jnp.uint32)
-        ro, rd = generate_rays(tbl.camera, width, height, px, py,
-                               sample, seed, cfg.enable_defocus)
-        codes, death = mega_capture(tbl, cfg,
-                                    jax.lax.stop_gradient(ro),
-                                    jax.lax.stop_gradient(rd),
-                                    pixel, s0, seed)
+        samples = s0 + jnp.arange(spp, dtype=jnp.uint32)
+
+        def cap_one(s_):
+            sample = jnp.full(px.shape, s_, jnp.uint32)
+            ro, rd = generate_rays(tbl.camera, width, height, px, py,
+                                   sample, seed, cfg.enable_defocus)
+            return mega_capture(tbl, cfg,
+                                jax.lax.stop_gradient(ro),
+                                jax.lax.stop_gradient(rd),
+                                pixel, s_, seed)
+
+        codes, death = jax.lax.map(cap_one, samples)  # [spp,depth,B]
         # +1 bounce slack: a lane whose replay alive-chain outlives the
         # kernel's by one ulp-flipped discrete decision still finishes
-        # (its next code is -1, so it dies in that extra bounce)
-        d_eff = jnp.minimum(death + 1, depth - 1)
+        # (its next code is -1, so it dies in that extra bounce); max
+        # over samples so every sample's live lanes stay in the prefix
+        d_eff = jnp.minimum(death.max(axis=0) + 1, depth - 1)
         order = jnp.argsort(-d_eff, stable=True)
         cnt = jnp.stack([(d_eff >= s).sum() for s in starts[1:]])
         return codes, order, cnt
@@ -465,13 +475,11 @@ def make_tape_vg(tables: SceneTables, cfg: RenderConfig, px, py, target,
 
     @_ft.lru_cache(maxsize=32)
     def _vg_fn(widths):
-        def loss_fn(params, codes, order, sample_base):
-            tbl = apply_params(base, params)
-            s0 = jnp.asarray(sample_base, jnp.float32).astype(jnp.uint32)
-            pid_s = jnp.take(pixel, order)          # non-diff int gather
+        def _replay_sorted(tbl, codes_s, order, pid_s, s_):
+            """One sample's sorted shrinking replay -> rgb [B,3]."""
             pxs = pid_s % width
             pys = pid_s // width
-            sample = jnp.full(pid_s.shape, s0, jnp.uint32)
+            sample = jnp.full(pid_s.shape, s_, jnp.uint32)
             ro, rd = generate_rays(tbl.camera, width, height, pxs, pys,
                                    sample, seed, cfg.enable_defocus)
             rr_comp = (jnp.float32(1.0 / cfg.p_rr) if cfg.p_rr > 0.0
@@ -486,14 +494,14 @@ def make_tape_vg(tables: SceneTables, cfg: RenderConfig, px, py, target,
             for k, seg in enumerate(sched):
                 w_k = b if k == 0 else widths[k - 1]
                 sub = tuple(x[:w_k] for x in st)
-                codes_seg = jnp.take(codes[done:done + seg],
+                codes_seg = jnp.take(codes_s[done:done + seg],
                                      order[:w_k], axis=1)
                 idx = jnp.arange(done, done + seg, dtype=jnp.uint32)
 
-                def one_bounce(s_, xs, _w=w_k):
+                def one_bounce(s2, xs, _w=w_k):
                     code, i = xs
                     return _tape_bounce(
-                        tbl, cfg, s_, code, upid[:_w], sample[:_w],
+                        tbl, cfg, s2, code, upid[:_w], sample[:_w],
                         seed, i, rr_comp), None
 
                 sub, _ = jax.lax.scan(jax.checkpoint(one_bounce), sub,
@@ -507,8 +515,29 @@ def make_tape_vg(tables: SceneTables, cfg: RenderConfig, px, py, target,
             if cfg.exhaust_mode == "background":
                 bg = background_color(tbl, cfg, d)
                 rgb = rgb + jnp.where(alive[:, None], tp * bg, 0.0)
+            return rgb
+
+        def loss_fn(params, codes, order, sample_base):
+            tbl = apply_params(base, params)
+            s0 = jnp.asarray(sample_base, jnp.float32).astype(jnp.uint32)
+            pid_s = jnp.take(pixel, order)          # non-diff int gather
+            samples = s0 + jnp.arange(spp, dtype=jnp.uint32)
+
+            if spp == 1:
+                img = _replay_sorted(tbl, codes[0], order, pid_s,
+                                     samples[0])
+            else:
+                def one(acc, xs):
+                    s_, codes_s = xs
+                    return acc + _replay_sorted(tbl, codes_s, order,
+                                                pid_s, s_), None
+
+                acc, _ = jax.lax.scan(jax.checkpoint(one),
+                                      jnp.zeros((b, 3), jnp.float32),
+                                      (samples, codes))
+                img = acc / jnp.float32(spp)
             tgt = jnp.take(target_j, order, axis=0)  # non-diff gather
-            return jnp.mean((rgb - tgt) ** 2)
+            return jnp.mean((img - tgt) ** 2)
 
         return jax.jit(jax.value_and_grad(loss_fn))
 

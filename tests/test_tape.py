@@ -442,3 +442,34 @@ def test_make_tape_vg_matches_tape_loss():
         np.testing.assert_allclose(g, a, rtol=2e-3,
                                    atol=2e-4 * (np.abs(a).max() + 1e-12),
                                    err_msg=k)
+
+
+def test_make_tape_vg_multi_sample():
+    """spp > 1: samples share one max-death sorted layout and
+    accumulate into one image — matches the full-width multi-sample
+    tape loss over the same captures."""
+    from rt_tpu.diff.tape import make_tape_vg
+
+    sdef, cfg = _mixed_scene(max_depth=6)
+    tables = build_tables(sdef)
+    w, h = cfg.width, cfg.height
+    pix = np.arange(w * h, dtype=np.int32)
+    rs = np.random.RandomState(1)
+    target = rs.rand(w * h, 3).astype(np.float32)
+    params = {"sph_center": jnp.asarray(tables.sph_center),
+              "mat_albedo": jnp.asarray(tables.mat_albedo),
+              "tex_color": jnp.asarray(tables.tex_color)}
+
+    ref = jax.jit(jax.value_and_grad(make_tape_loss_fn(
+        tables, cfg, 3, pix % w, pix // w, target, tape_engine="mega")))
+    rl, rg = ref(params)
+
+    step = make_tape_vg(tables, cfg, pix % w, pix // w, target,
+                        min_width=64, spp=3)
+    vl, vg = step(params)
+    np.testing.assert_allclose(float(vl), float(rl), rtol=2e-4)
+    for k in params:
+        a = np.asarray(rg[k])
+        np.testing.assert_allclose(
+            np.asarray(vg[k]), a, rtol=2e-3,
+            atol=2e-4 * (np.abs(a).max() + 1e-12), err_msg=k)
