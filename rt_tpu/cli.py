@@ -64,6 +64,12 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="megakernel spatial chunk culling (Morton-sorted "
                         "sphere chunks + per-tile AABB skip; default on)")
     p.add_argument("--no-cull", dest="cull", action="store_false")
+    p.add_argument("--nee", action="store_true",
+                   help="next-event estimation: area-sample one emissive "
+                        "primitive per diffuse bounce + shadow ray "
+                        "(variance reduction on light-driven scenes; an "
+                        "opt-in extension beyond the reference's "
+                        "semantics — uses the hybrid engine)")
     p.add_argument("--bvh", action="store_true",
                    help="build + traverse a BVH for every primitive "
                         "family (spheres/rects/cylinders/triangles)")
@@ -165,6 +171,8 @@ def cmd_render(args) -> int:
     elif ce is not None:
         cfg = cfg.replace(compact_every=ce)
     cfg = cfg.replace(cull_chunks=args.cull)
+    if getattr(args, "nee", False):
+        cfg = cfg.replace(nee=True)
     tables = build_tables(
         sdef, bvh_types=("sphere", "rect", "cylinder", "triangle")
         if args.bvh else ())

@@ -447,6 +447,88 @@ def sphere_coeff_tables(sph_tab):
     return hb, ct
 
 
+def nee_light_table(tables: SceneTables) -> jnp.ndarray:
+    """[Lp, 32] light rows for the in-kernel NEE sampler (cfg.nee on the
+    megakernel; build gated by tables.nee_kernel_ok). Layout:
+      0 fam (0/1/2)   1 area   2-4 Le even   5-7 Le odd   8 checker?
+      sphere: 9-11 center, 12 |r|
+      rect:   9-11 axis onehot (= normal), 12-14 f1 onehot,
+              15-17 f2 onehot, 18 lo0, 19 lo1, 20 hi0-lo0, 21 hi1-lo1,
+              22 k
+      cyl:    9-17 o2w rotation (row-major), 18-20 o2w translation,
+              21 |r|, 22 zmin, 23 zmax-zmin
+    Rows are per-light; same column ranges are reused across families."""
+    L = tables.n_lights
+    fam = jnp.asarray(tables.light_fam)[:L]
+    pid = jnp.asarray(tables.light_pid)[:L]
+    Lp = max(8, -(-L // 8) * 8)
+    out = jnp.zeros((Lp, 32), jnp.float32)
+
+    def fam_pick(sph, rect, cyl):
+        return jnp.where(fam == 0, sph, jnp.where(fam == 1, rect, cyl))
+
+    ps = jnp.clip(pid, 0, tables.sph_center.shape[0] - 1)
+    pr = jnp.clip(pid, 0, tables.rect_axis.shape[0] - 1)
+    pc = jnp.clip(pid, 0, tables.cyl_radius.shape[0] - 1)
+
+    mat = fam_pick(jnp.asarray(tables.sph_mat)[ps],
+                   jnp.asarray(tables.rect_mat)[pr],
+                   jnp.asarray(tables.cyl_mat)[pc])
+    tex = jnp.asarray(tables.mat_tex)[mat]
+    texs = jnp.maximum(tex, 0)
+    even = jnp.where((tex >= 0)[:, None],
+                     jnp.asarray(tables.tex_color)[texs],
+                     jnp.asarray(tables.mat_albedo)[mat])
+    odd = jnp.asarray(tables.tex_color2)[texs]
+    chk = ((tex >= 0)
+           & (jnp.asarray(tables.tex_type)[texs] == TEX_CHECKER))
+
+    r_s = jnp.abs(jnp.asarray(tables.sph_radius)[ps])
+    lo = jnp.asarray(tables.rect_lo)[pr]
+    hi = jnp.asarray(tables.rect_hi)[pr]
+    r_c = jnp.abs(jnp.asarray(tables.cyl_radius)[pc])
+    zmin = jnp.asarray(tables.cyl_zmin)[pc]
+    zlen = jnp.asarray(tables.cyl_zmax)[pc] - zmin
+    area = fam_pick(4.0 * np.pi * r_s * r_s,
+                    (hi[:, 0] - lo[:, 0]) * (hi[:, 1] - lo[:, 1]),
+                    2.0 * np.pi * r_c * zlen)
+
+    out = out.at[:L, 0].set(fam.astype(jnp.float32))
+    out = out.at[:L, 1].set(area)
+    out = out.at[:L, 2:5].set(even)
+    out = out.at[:L, 5:8].set(odd)
+    out = out.at[:L, 8].set(chk.astype(jnp.float32))
+
+    ax = jnp.asarray(tables.rect_axis)[pr]
+    rows3 = jnp.arange(3)[None, :]
+    oh_ax = (rows3 == ax[:, None]).astype(jnp.float32)
+    f1 = jnp.where(ax == 0, 1, 0)
+    f2 = jnp.where(ax == 2, 1, 2)
+    oh_f1 = (rows3 == f1[:, None]).astype(jnp.float32)
+    oh_f2 = (rows3 == f2[:, None]).astype(jnp.float32)
+    o2w = jnp.asarray(tables.cyl_o2w)[pc]
+
+    is_s = (fam == 0)[:, None]
+    is_r = (fam == 1)[:, None]
+    is_c = (fam == 2)[:, None]
+    # per-family 9..23 blocks: zeros + each family's block masked
+    blk = jnp.zeros((L, 15), jnp.float32)
+    blk = blk + is_s * jnp.pad(jnp.concatenate(
+        [jnp.asarray(tables.sph_center)[ps], r_s[:, None]], axis=1),
+        ((0, 0), (0, 11)))
+    rect_blk = jnp.concatenate(
+        [oh_ax, oh_f1, oh_f2, lo[:, :1], lo[:, 1:2],
+         (hi - lo)[:, :1], (hi - lo)[:, 1:2],
+         jnp.asarray(tables.rect_k)[pr][:, None]], axis=1)  # [L,14]
+    blk = blk + is_r * jnp.pad(rect_blk, ((0, 0), (0, 1)))
+    cyl_blk = jnp.concatenate(
+        [o2w[:, :3, :3].reshape(L, 9), o2w[:, :3, 3],
+         r_c[:, None], zmin[:, None], zlen[:, None]], axis=1)  # [L,15]
+    blk = blk + is_c * cyl_blk
+    out = out.at[:L, 9:24].set(blk)
+    return out
+
+
 def image_atlas_rows(tables: SceneTables):
     """Flatten the [Ni,TH,TW,3] atlas to 3 channel planes [Ni*TH, TWp]
     (rows = img*TH + xi; lanes padded to a 128 multiple) for the
@@ -628,7 +710,8 @@ def _make_do_bounce(seed, pix, background,
                     mxu: bool = False,
                     adjoint: bool = False, n_slots: int = 0,
                     Lrgb=None, grgb=None, grad_bg: bool = False,
-                    capture: bool = False, code_refs=None):
+                    capture: bool = False, code_refs=None,
+                    nee: bool = False, nee_ref=None, n_lights: int = 0):
     """Build the per-bounce closure shared by both kernel drivers.
 
     capture=True (the in-kernel tape capture, diff/tape.py): each family
@@ -652,6 +735,186 @@ def _make_do_bounce(seed, pix, background,
     divergent per-lane counters — each lane advances through its own
     (sample, bounce) RNG stream coordinates independently."""
     s, l = pix.shape
+
+    def _shadow_occluded(sx, sy, sz, wx, wy, wz, need):
+        """Any-hit over every family's chunks for the NEE shadow
+        segment t in (t_min, 0.999) of (s + t*w) — the in-kernel twin
+        of ops/intersect.occluded. Chunk AABBs cond-skip like the main
+        pass (the segment-bounded slab test prunes hard)."""
+        t_hi = np.float32(1.0 - 1e-3)
+        a_s = wx * wx + wy * wy + wz * wz
+        rd_ro = wx * sx + wy * sy + wz * sz
+        ro_sq = sx * sx + sy * sy + sz * sz
+        inv_a = 1.0 / jnp.maximum(a_s, np.float32(1e-20))
+
+        def col3(blk, j):
+            return blk[:, j:j + 1].reshape(-1, 1, 1)
+
+        def box_visible(bnd_ref, k, occ):
+            bounds = [bnd_ref[k, j] for j in range(6)]
+
+            def axis_slab(o_c, d_c, lo_s, hi_s):
+                d_ok = d_c != 0.0
+                inv = 1.0 / jnp.where(d_ok, d_c, 1.0)
+                near = (lo_s - o_c) * inv
+                far = (hi_s - o_c) * inv
+                near, far = jnp.minimum(near, far), jnp.maximum(near, far)
+                inside = (o_c >= lo_s) & (o_c <= hi_s)
+                big = np.float32(3.0e38)
+                near = jnp.where(d_ok, near, jnp.where(inside, -big, big))
+                far = jnp.where(d_ok, far, jnp.where(inside, big, -big))
+                return near, far
+
+            n1, f1 = axis_slab(sx, wx, bounds[0], bounds[3])
+            n2, f2 = axis_slab(sy, wy, bounds[1], bounds[4])
+            n3, f3 = axis_slab(sz, wz, bounds[2], bounds[5])
+            tn = jnp.maximum(jnp.maximum(n1, n2), n3)
+            tf = jnp.minimum(jnp.minimum(f1, f2), f3)
+            hit_box = (need & (occ <= 0.0)
+                       & (tf >= jnp.maximum(tn, t_min))
+                       & (tn <= t_hi))
+            nonempty = bounds[0] <= bounds[3]
+            return nonempty & (jnp.max(jnp.where(hit_box, 1.0, 0.0))
+                               > 0.0)
+
+        def sph_shadow_math(k, occ):
+            sl = pl.ds(k * s_chunk, s_chunk)
+            blk = sph_ref[sl, :]
+            cx = col3(blk, _X_V)
+            cy = col3(blk, _X_V + 1)
+            cz = col3(blk, _X_V + 2)
+            hb = rd_ro - (cx * wx + cy * wy + cz * wz)
+            c_term = (ro_sq - 2.0 * (cx * sx + cy * sy + cz * sz)
+                      + col3(blk, _S_C2R))
+            disc = hb * hb - a_s * c_term
+            sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+            r1 = (-hb - sqrtd) * inv_a
+            r2 = (-hb + sqrtd) * inv_a
+            ok = ((disc >= 0.0) & (col3(blk, _S_VALID) > 0.0)
+                  & (((r1 >= t_min) & (r1 <= t_hi))
+                     | ((r2 >= t_min) & (r2 <= t_hi))))
+            return jnp.maximum(occ, jnp.max(jnp.where(ok, 1.0, 0.0), axis=0))
+
+        def rect_shadow(k, occ):
+            sl = pl.ds(k * r_chunk, r_chunk)
+            blk = rect_ref[sl, :]
+
+            def odot(j, vx, vy, vz):
+                return (col3(blk, j) * vx + col3(blk, j + 1) * vy
+                        + col3(blk, j + 2) * vz)
+
+            ro_k = odot(_X_V, sx, sy, sz)
+            rd_k = odot(_X_V, wx, wy, wz)
+            rd_ok = rd_k != 0.0
+            t = (col3(blk, _R_K) - ro_k) / jnp.where(rd_ok, rd_k, 1.0)
+            x = odot(_R_F1, sx, sy, sz) + t * odot(_R_F1, wx, wy, wz)
+            y = odot(_R_F2, sx, sy, sz) + t * odot(_R_F2, wx, wy, wz)
+            ok = (rd_ok & (t >= t_min) & (t <= t_hi)
+                  & (x >= col3(blk, _R_LO0)) & (x <= col3(blk, _R_HI0))
+                  & (y >= col3(blk, _R_LO1)) & (y <= col3(blk, _R_HI1))
+                  & (col3(blk, _R_VALID) > 0.0))
+            return jnp.maximum(occ, jnp.max(jnp.where(ok, 1.0, 0.0), axis=0))
+
+        def cyl_shadow(k, occ):
+            sl = pl.ds(k * y_chunk, y_chunk)
+            blk = cyl_ref[sl, :]
+
+            def odot(j, vx, vy, vz):
+                return (col3(blk, j) * vx + col3(blk, j + 1) * vy
+                        + col3(blk, j + 2) * vz)
+
+            oox = odot(_Y_R, sx, sy, sz) + col3(blk, _Y_T)
+            ooy = odot(_Y_R + 3, sx, sy, sz) + col3(blk, _Y_T + 1)
+            ooz = odot(_Y_R + 6, sx, sy, sz) + col3(blk, _Y_T + 2)
+            odx = odot(_Y_R, wx, wy, wz)
+            ody = odot(_Y_R + 3, wx, wy, wz)
+            odz = odot(_Y_R + 6, wx, wy, wz)
+            ac = odx * odx + ody * ody
+            bc = 2.0 * (odx * oox + ody * ooy)
+            cc = oox * oox + ooy * ooy - col3(blk, _Y_RAD2)
+            delta = bc * bc - 4.0 * ac * cc
+            sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+            a_ok = ac != 0.0
+            inv2a = 1.0 / jnp.where(a_ok, 2.0 * ac, 1.0)
+            t0 = -(bc - sq) * inv2a
+            t1 = -(bc + sq) * inv2a
+            t0, t1 = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+            zmin = col3(blk, _Y_ZMIN)
+            zmax = col3(blk, _Y_ZMAX)
+            z0 = ooz + t0 * odz
+            z1 = ooz + t1 * odz
+            ok0 = ((t0 >= t_min) & (t0 <= t_hi) & (z0 >= zmin)
+                   & (z0 <= zmax))
+            ok1 = ((t1 >= t_min) & (t1 <= t_hi) & (z1 >= zmin)
+                   & (z1 <= zmax))
+            ok = ((ok0 | ok1) & a_ok & (delta >= 0.0)
+                  & (col3(blk, _Y_VALID) > 0.0))
+            return jnp.maximum(occ, jnp.max(jnp.where(ok, 1.0, 0.0), axis=0))
+
+        def tri_shadow(k, occ):
+            sl = pl.ds(k * t_chunk, t_chunk)
+            blk = tri_ref[sl, :]
+
+            def odot(j, vx, vy, vz):
+                return (col3(blk, j) * vx + col3(blk, j + 1) * vy
+                        + col3(blk, j + 2) * vz)
+
+            oc_n = odot(_X_V, sx, sy, sz) - col3(blk, _T_D0)
+            sign = jnp.where(oc_n < 0.0, -1.0, 1.0)
+            d_n = odot(_X_V, wx, wy, wz) * sign
+            oc_ns = oc_n * sign
+            t = -oc_ns / jnp.where(d_n != 0.0, d_n, 1.0)
+            rx = sx + t * wx - col3(blk, _T_V1)
+            ry = sy + t * wy - col3(blk, _T_V1 + 1)
+            rz = sz + t * wz - col3(blk, _T_V1 + 2)
+
+            def edge_dot(j, vx, vy, vz):
+                ex = col3(blk, j)
+                ey = col3(blk, j + 1)
+                ez = col3(blk, j + 2)
+                cxp = ey * vz - ez * vy
+                cyp = ez * vx - ex * vz
+                czp = ex * vy - ey * vx
+                return (cxp * col3(blk, _X_V) + cyp * col3(blk, _X_V + 1)
+                        + czp * col3(blk, _X_V + 2))
+
+            s1 = edge_dot(_T_E1, rx, ry, rz)
+            s2 = edge_dot(_T_E2, rx - col3(blk, _T_E1),
+                          ry - col3(blk, _T_E1 + 1),
+                          rz - col3(blk, _T_E1 + 2))
+            s3 = edge_dot(_T_E3, rx + col3(blk, _T_E3),
+                          ry + col3(blk, _T_E3 + 1),
+                          rz + col3(blk, _T_E3 + 2))
+            inside = (((s1 > 0) & (s2 > 0) & (s3 > 0))
+                      | ((s1 < 0) & (s2 < 0) & (s3 < 0)))
+            ok = ((d_n < 0.0) & inside & (t >= t_min) & (t <= t_hi)
+                  & (col3(blk, _T_VALID) > 0.0))
+            return jnp.maximum(occ, jnp.max(jnp.where(ok, 1.0, 0.0), axis=0))
+
+        # float 0/1 occlusion carry (Mosaic mis-layouts a bool
+        # fori carry against the [C,S,L] candidate masks)
+        occ = jnp.zeros((s, l), jnp.float32)
+        if ns:
+            def sph_body(k, occ):
+                if not cull:
+                    return sph_shadow_math(k, occ)
+                return jax.lax.cond(box_visible(sbnd_ref, k, occ),
+                                    lambda o: sph_shadow_math(k, o),
+                                    lambda o: o, occ)
+            occ = jax.lax.fori_loop(0, ns // s_chunk, sph_body, occ)
+        if nr:
+            occ = jax.lax.fori_loop(0, nr // r_chunk, rect_shadow, occ)
+        if ny_:
+            occ = jax.lax.fori_loop(0, ny_ // y_chunk, cyl_shadow, occ)
+        if nt:
+            def tri_body(k, occ):
+                if not cull_t:
+                    return tri_shadow(k, occ)
+                return jax.lax.cond(box_visible(tbnd_ref, k, occ),
+                                    lambda o: tri_shadow(k, o),
+                                    lambda o: o, occ)
+            occ = jax.lax.fori_loop(0, nt // t_chunk, tri_body, occ)
+        return occ
 
     def do_bounce(bounce, sample, st):
         if adjoint:
@@ -1132,9 +1395,101 @@ def _make_do_bounce(seed, pix, background,
         missed = live & ~hit
 
         em_scale = jnp.where(is_light & (scattered | emitter), 1.0, 0.0)
+        if nee:
+            # emission reached THROUGH a diffuse bounce was already
+            # counted by that bounce's light sample (the 0.5 alive
+            # encoding set below; integrator.py _bounce twin semantics)
+            prev_d = alive == 0.5
+            em_scale = jnp.where(prev_d, 0.0, em_scale)
         cr = cr + tpr * (em_scale * alb_r + jnp.where(missed, bgr, 0.0))
         cg = cg + tpg * (em_scale * alb_g + jnp.where(missed, bgg, 0.0))
         cb = cb + tpb * (em_scale * alb_b + jnp.where(missed, bgb, 0.0))
+
+        if nee:
+            # ---- in-kernel next-event estimation (integrator.py
+            # _nee_direct twin, bit-identical RNG): area-sample one
+            # light, shadow-test it against every family's chunks, add
+            # the direct term for lambertian winners ----
+            lam_lane = scattered & is_lam
+            u_pick = _uniform(seed, pix, sample, bounce,
+                              jnp.full_like(pix, rng_mod.NEE_PICK))
+            u1 = _uniform(seed, pix, sample, bounce,
+                          jnp.full_like(pix, rng_mod.NEE_U1))
+            u2 = _uniform(seed, pix, sample, bounce,
+                          jnp.full_like(pix, rng_mod.NEE_U2))
+            li = jnp.minimum((u_pick * n_lights).astype(jnp.int32),
+                             n_lights - 1)
+            lp_rows = nee_ref.shape[0]
+            lrow = jax.lax.broadcasted_iota(jnp.int32, (lp_rows, s, l), 0)
+            oh_l = (lrow == li[None]).astype(jnp.float32)
+            lt = _dotg(nee_ref[...], oh_l)            # [32,S,L]
+
+            fam_l = lt[0]
+            area_l = lt[1]
+            phi = np.float32(2.0 * np.pi) * u2
+            cphi = jnp.cos(phi)
+            sphi = jnp.sin(phi)
+            # sphere sample
+            zs = 1.0 - 2.0 * u1
+            sts = jnp.sqrt(jnp.maximum(0.0, 1.0 - zs * zs))
+            nsx, nsy, nsz = sts * cphi, sts * sphi, zs
+            spx = lt[9] + lt[12] * nsx
+            spy = lt[10] + lt[12] * nsy
+            spz = lt[11] + lt[12] * nsz
+            # rect sample
+            ra = lt[18] + u1 * lt[20]
+            rb = lt[19] + u2 * lt[21]
+            rpx2 = lt[9] * lt[22] + lt[12] * ra + lt[15] * rb
+            rpy2 = lt[10] * lt[22] + lt[13] * ra + lt[16] * rb
+            rpz2 = lt[11] * lt[22] + lt[14] * ra + lt[17] * rb
+            # cylinder sample (o2w rows 9..17, T 18..20)
+            zc = lt[22] + u1 * lt[23]
+            cox = lt[21] * cphi
+            coy = lt[21] * sphi
+            cpx = lt[9] * cox + lt[10] * coy + lt[11] * zc + lt[18]
+            cpy = lt[12] * cox + lt[13] * coy + lt[14] * zc + lt[19]
+            cpz = lt[15] * cox + lt[16] * coy + lt[17] * zc + lt[20]
+            cnx = lt[9] * cphi + lt[10] * sphi
+            cny = lt[12] * cphi + lt[13] * sphi
+            cnz = lt[15] * cphi + lt[16] * sphi
+
+            is_sl = fam_l == _FAM_SPH
+            is_rl = fam_l == _FAM_RECT
+            lpx = jnp.where(is_sl, spx, jnp.where(is_rl, rpx2, cpx))
+            lpy = jnp.where(is_sl, spy, jnp.where(is_rl, rpy2, cpy))
+            lpz = jnp.where(is_sl, spz, jnp.where(is_rl, rpz2, cpz))
+            lnx = jnp.where(is_sl, nsx, jnp.where(is_rl, lt[9], cnx))
+            lny = jnp.where(is_sl, nsy, jnp.where(is_rl, lt[10], cny))
+            lnz = jnp.where(is_sl, nsz, jnp.where(is_rl, lt[11], cnz))
+
+            wix = lpx - px_
+            wiy = lpy - py_
+            wiz = lpz - pz_
+            d2l = jnp.maximum(wix * wix + wiy * wiy + wiz * wiz,
+                              np.float32(1e-8))
+            distl = jnp.sqrt(d2l)
+            cos_s = (nx * wix + ny2 * wiy + nz * wiz) / distl
+            cos_lg = jnp.abs(lnx * wix + lny * wiy + lnz * wiz) / distl
+
+            need = lam_lane & (cos_s > 0.0)
+            occ = _shadow_occluded(px_, py_, pz_, wix, wiy, wiz,
+                                   need) > 0.0
+
+            # checker lights evaluate the 3D parity at the sample point
+            sin_l = (jnp.sin(10.0 * lpx) * jnp.sin(10.0 * lpy)
+                     * jnp.sin(10.0 * lpz))
+            use_odd = (lt[8] > 0.0) & (sin_l < 0.0)
+            ler = jnp.where(use_odd, lt[5], lt[2])
+            leg = jnp.where(use_odd, lt[6], lt[3])
+            leb = jnp.where(use_odd, lt[7], lt[4])
+
+            cs_ = jnp.maximum(cos_s, 0.0)
+            w_l = (cs_ * cs_ * cs_ * cos_lg / d2l) * area_l \
+                * np.float32(2.0 * n_lights / np.pi)
+            okl = jnp.where(need & ~occ, w_l, 0.0)
+            cr = cr + tpr * alb_r * ler * okl
+            cg = cg + tpg * alb_g * leg * okl
+            cb = cb + tpb * alb_b * leb * okl
 
         if adjoint:
             # ---- suffix-identity cotangents (diff/replay.py):
@@ -1225,7 +1580,15 @@ def _make_do_bounce(seed, pix, background,
         dx = jnp.where(scattered, new_dx, dx)
         dy = jnp.where(scattered, new_dy, dy)
         dz = jnp.where(scattered, new_dz, dz)
-        alive = scattered.astype(jnp.float32)
+        if nee:
+            # encode "scattered via a diffuse bounce" as alive = 0.5
+            # (zero state-layout ripple: every liveness test is > 0)
+            alive = jnp.where(scattered,
+                              jnp.where(is_lam, np.float32(0.5),
+                                        np.float32(1.0)),
+                              np.float32(0.0))
+        else:
+            alive = scattered.astype(jnp.float32)
         out = (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, cr, cg, cb, alive)
         if adjoint:
             return (out, accA, accA2, accbg, accImg)
@@ -1249,7 +1612,7 @@ def _make_do_bounce(seed, pix, background,
 
 def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                  tri_ref, sbnd_ref, tbnd_ref, hbco_ref, ctco_ref,
-                 suv_ref, ruv_ref, yuv_ref, tuv_ref,
+                 suv_ref, ruv_ref, yuv_ref, tuv_ref, nee_ref,
                  atr_ref, atg_ref, atb_ref,
                  rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                  tpr_ref, tpg_ref, tpb_ref, cr_ref, cg_ref, cb_ref,
@@ -1263,7 +1626,8 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                  p_rr: float, grad_bg: bool, exhaust_bg: bool,
                  has_img: bool, img_th: int, img_tw: int,
                  cull: bool = False, cull_t: bool = False,
-                 mxu: bool = False):
+                 mxu: bool = False,
+                 nee: bool = False, n_lights: int = 0):
     seed = scal_i_ref[0, 0]
     sample = scal_i_ref[0, 1]
     start_bounce = scal_i_ref[0, 2]
@@ -1273,6 +1637,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
         seed, pix, background, sph_ref, rect_ref, cyl_ref, tri_ref,
         sbnd_ref, tbnd_ref, hbco_ref, ctco_ref, suv_ref, ruv_ref,
         yuv_ref, tuv_ref, atr_ref, atg_ref, atb_ref,
+        nee=nee, nee_ref=nee_ref, n_lights=n_lights,
         ns=ns, nr=nr, ny_=ny_, nt=nt, s_chunk=s_chunk, r_chunk=r_chunk,
         y_chunk=y_chunk, t_chunk=t_chunk, t_min=t_min, p_rr=p_rr,
         has_img=has_img, img_th=img_th, img_tw=img_tw, cull=cull,
@@ -1794,9 +2159,10 @@ def _regen_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
     jax.jit,
     static_argnames=("counts", "max_depth", "t_min", "p_rr", "grad_bg",
                      "exhaust_bg", "has_img", "img_th", "img_tw",
-                     "cull", "cull_t", "mxu", "interpret"))
+                     "cull", "cull_t", "mxu", "interpret", "nee",
+                     "n_lights"))
 def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
-                 uv_tabs,
+                 uv_tabs, nee_tab,
                  atlas, counts,
                  background, state, pixel, sample_idx, seed, start_bounce,
                  max_depth: int,
@@ -1805,7 +2171,8 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
                  has_img: bool = False, img_th: int = 1, img_tw: int = 1,
                  cull: bool = False, cull_t: bool = False,
                  mxu: bool = False,
-                 interpret: bool = False):
+                 interpret: bool = False,
+                 nee: bool = False, n_lights: int = 0):
     """Advance B rays (B % RAY_TILE == 0) max_depth bounces.
 
     state: tuple of 13 [B] f32 arrays
@@ -1839,7 +2206,8 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
         t_min=float(t_min), p_rr=float(p_rr), grad_bg=bool(grad_bg),
         exhaust_bg=bool(exhaust_bg), has_img=bool(has_img),
         img_th=int(img_th), img_tw=int(img_tw), cull=bool(cull),
-        cull_t=bool(cull_t), mxu=bool(mxu))
+        cull_t=bool(cull_t), mxu=bool(mxu),
+        nee=bool(nee), n_lights=int(n_lights))
 
     ray_spec = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -1861,6 +2229,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rect UV params
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cylinder UV params
             pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle UV params
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # NEE light table
             pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas R
             pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas G
             pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas B
@@ -1872,7 +2241,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
     )(
         scal_i, scal_f, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
         sph_co[0], sph_co[1],
-        uv_tabs[0], uv_tabs[1], uv_tabs[2], uv_tabs[3],
+        uv_tabs[0], uv_tabs[1], uv_tabs[2], uv_tabs[3], nee_tab,
         atlas[0], atlas[1], atlas[2],
         *[lanes(s) for s in state],
         lanes(pixel, jnp.int32),
@@ -2267,6 +2636,11 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
      uv_tabs, atlas, counts, kw) = _prep_scene(tables, cfg)
     exhaust = cfg.exhaust_mode == "background"
 
+    nee_on = (bool(getattr(cfg, "nee", False)) and tables.n_lights > 0
+              and tables.nee_kernel_ok)
+    nee_tab = (nee_light_table(tbl) if nee_on
+               else jnp.zeros((8, 32), jnp.float32))
+
     ce = getattr(cfg, "compact_every", 0)
     explicit = tuple(getattr(cfg, "compact_schedule", ()) or ())
     if explicit:
@@ -2313,8 +2687,10 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     for i, seg in enumerate(schedule):
         last = i == len(schedule) - 1
         seg_args = (sph_tab, rect_tab, cyl_tab, tri_tab, sbnd,
-                    tbnd, sph_co, uv_tabs, atlas, counts, tbl.background)
-        seg_kw = dict(max_depth=seg, exhaust_bg=exhaust and last, **kw)
+                    tbnd, sph_co, uv_tabs, nee_tab, atlas, counts,
+                    tbl.background)
+        seg_kw = dict(max_depth=seg, exhaust_bg=exhaust and last,
+                      nee=nee_on, n_lights=tables.n_lights, **kw)
         if live_tiles is None or buckets is None:
             state = mega_segment(*seg_args, state, pixel,
                                  sample_idx, seed, jnp.int32(done),

@@ -36,6 +36,9 @@ SCAT_U3 = 7
 DIEL_REFL = 8
 RR = 9
 SCENE_GEN = 10
+NEE_PICK = 11
+NEE_U1 = 12
+NEE_U2 = 13
 
 _GOLD = 0x9E3779B9  # 2**32 / golden ratio; Weyl increment for key words
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -54,10 +55,124 @@ def background_color(tables: SceneTables, cfg: RenderConfig, d):
     return jnp.broadcast_to(tables.background, d.shape)
 
 
+def _nee_direct(tables: SceneTables, cfg: RenderConfig, hit, albedo,
+                pixel, sample_idx, seed, bounce_idx):
+    """Direct-light term for one lambertian bounce: sample one point on
+    one emissive primitive (area sampling over spheres / rects /
+    cylinders), cast a shadow ray, and return the single-sample
+    estimate of the direct radiance [B,3] (zero where the sample is
+    occluded or below the horizon).
+
+    Estimator: the framework's "lambertian" is the reference's
+    n + uniform-in-unit-ball rule (vec3.cuh:133-141), whose direction
+    density is p(w) = (2/pi) cos^3(theta) (the chord through a unit
+    ball centered on the normal is [0, 2 cos theta]; p ~ integral of
+    t^2 dt = (8/3) cos^3, normalized over the hemisphere) — NOT the
+    true-Lambertian cos/pi. Splitting its estimator at one bounce:
+        Ld = albedo * Le * (2/pi) cos^3(theta_s) * cos_l / d^2 * A * L
+    with the light picked uniformly (pdf 1/L) and its area sampled
+    uniformly (pdf 1/A). Lights are two-sided (the reference's
+    diffuse_light emits from both faces, material.cuh:175-178), hence
+    |cos_l|. This is an OPT-IN extension; the reference has no light
+    sampling of any kind."""
+    from rt_tpu.ops.intersect import occluded
+
+    L = tables.n_lights
+    u_pick = rng.uniform(jnp, seed, pixel, sample_idx, bounce_idx,
+                         rng.NEE_PICK)
+    li = jnp.minimum((u_pick * L).astype(jnp.int32), L - 1)
+    fam = tables.light_fam[li]
+    pid = tables.light_pid[li]
+    u1 = rng.uniform(jnp, seed, pixel, sample_idx, bounce_idx, rng.NEE_U1)
+    u2 = rng.uniform(jnp, seed, pixel, sample_idx, bounce_idx, rng.NEE_U2)
+
+    b = pixel.shape[0]
+    point = jnp.zeros((b, 3), jnp.float32)
+    n_l = jnp.zeros((b, 3), jnp.float32)
+    area = jnp.zeros((b,), jnp.float32)
+    mat_l = jnp.zeros((b,), jnp.int32)
+    n_sph, n_rect, n_cyl, _ = tables.counts
+
+    def sel(cond, a, bv):
+        return jnp.where(cond[:, None] if a.ndim == 2 else cond, a, bv)
+
+    if n_sph:
+        ps = jnp.clip(pid, 0, tables.sph_center.shape[0] - 1)
+        c = tables.sph_center[ps]
+        r = jnp.abs(tables.sph_radius[ps])
+        z = 1.0 - 2.0 * u1
+        st = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+        phi = jnp.float32(2.0 * np.pi) * u2
+        ns = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), z], -1)
+        is_s = fam == 0
+        point = sel(is_s, c + r[:, None] * ns, point)
+        n_l = sel(is_s, ns, n_l)
+        area = jnp.where(is_s, 4.0 * np.pi * r * r, area)
+        mat_l = jnp.where(is_s, tables.sph_mat[ps], mat_l)
+    if n_rect:
+        pr = jnp.clip(pid, 0, tables.rect_axis.shape[0] - 1)
+        ax = tables.rect_axis[pr]
+        lo = tables.rect_lo[pr]
+        hi = tables.rect_hi[pr]
+        k = tables.rect_k[pr]
+        f1 = jnp.where(ax == 0, 1, 0)
+        f2 = jnp.where(ax == 2, 1, 2)
+        a_c = lo[:, 0] + u1 * (hi[:, 0] - lo[:, 0])
+        b_c = lo[:, 1] + u2 * (hi[:, 1] - lo[:, 1])
+        axes = jnp.arange(3, dtype=jnp.int32)[None, :]
+        pt = (jnp.where(axes == ax[:, None], k[:, None], 0.0)
+              + jnp.where(axes == f1[:, None], a_c[:, None], 0.0)
+              + jnp.where(axes == f2[:, None], b_c[:, None], 0.0))
+        is_r = fam == 1
+        point = sel(is_r, pt, point)
+        n_l = sel(is_r, (axes == ax[:, None]).astype(jnp.float32), n_l)
+        area = jnp.where(
+            is_r, (hi[:, 0] - lo[:, 0]) * (hi[:, 1] - lo[:, 1]), area)
+        mat_l = jnp.where(is_r, tables.rect_mat[pr], mat_l)
+    if n_cyl:
+        pc = jnp.clip(pid, 0, tables.cyl_radius.shape[0] - 1)
+        r = jnp.abs(tables.cyl_radius[pc])
+        zmin = tables.cyl_zmin[pc]
+        zmax = tables.cyl_zmax[pc]
+        o2w = tables.cyl_o2w[pc]
+        phi = jnp.float32(2.0 * np.pi) * u2
+        zc = zmin + u1 * (zmax - zmin)
+        po = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), zc], -1)
+        no = jnp.stack([jnp.cos(phi), jnp.sin(phi),
+                        jnp.zeros_like(phi)], -1)
+        is_c = fam == 2
+        point = sel(is_c, geom.apply_point(jnp, o2w, po), point)
+        # rotation-only transforms (the reference's rotate/translate):
+        # the lateral normal transforms by the rotation block
+        n_l = sel(is_c, geom.apply_vec(jnp, o2w, no), n_l)
+        area = jnp.where(
+            is_c, 2.0 * np.pi * r * (zmax - zmin), area)
+        mat_l = jnp.where(is_c, tables.cyl_mat[pc], mat_l)
+
+    wi = point - hit.p
+    d2 = jnp.maximum(geom.length_squared(jnp, wi), 1e-8)
+    dist = jnp.sqrt(d2)
+    cos_s = geom.dot(jnp, hit.normal, wi) / dist
+    cos_l = jnp.abs(geom.dot(jnp, n_l, wi)) / dist
+    Le = materials.emitted(tables, mat_l, jnp.zeros_like(u1),
+                           jnp.zeros_like(u2), point)
+    occ = occluded(tables, hit.p, wi, t_max=jnp.float32(1.0 - 1e-3),
+                   engine=("xla" if cfg.engine == "mega"
+                           else cfg.engine))
+    cs = jnp.maximum(cos_s, 0.0)
+    w = (cs * cs * cs * cos_l / d2) * area * jnp.float32(2.0 * L / np.pi)
+    ok = (cos_s > 0.0) & ~occ
+    return jnp.where(ok[:, None], albedo * Le * w[:, None], 0.0)
+
+
 def _bounce(tables: SceneTables, cfg: RenderConfig, state: RayState,
-            pixel, sample_idx, seed, bounce_idx) -> RayState:
-    """Advance every live lane one bounce."""
+            pixel, sample_idx, seed, bounce_idx, prev_diff=None):
+    """Advance every live lane one bounce. With cfg.nee (prev_diff is a
+    [B] bool carry), returns (RayState, new_prev_diff): emission picked
+    up through a diffuse bounce is suppressed (NEE already counted it)
+    and each lambertian bounce adds its direct-light sample."""
     o, d, tp, rgb, alive = state
+    nee = prev_diff is not None
 
     survive = jnp.ones_like(alive)
     if cfg.p_rr > 0.0:
@@ -81,17 +196,38 @@ def _bounce(tables: SceneTables, cfg: RenderConfig, state: RayState,
     emitter = live & hit.hit & ~sc.ok
     missed = live & ~hit.hit
 
+    em_eff = em
+    if nee:
+        # emission reached THROUGH a diffuse bounce was already counted
+        # by that bounce's light sample
+        em_eff = jnp.where(prev_diff[:, None], jnp.zeros_like(em), em)
+
     # color += emitted * T on every hit; += T * background on miss
-    contrib = (jnp.where(scattered[:, None] | emitter[:, None], em, 0.0)
+    contrib = (jnp.where(scattered[:, None] | emitter[:, None], em_eff, 0.0)
                + jnp.where(missed[:, None], bg, 0.0))
     rgb = rgb + tp * contrib
+
+    if nee:
+        mt = tables.mat_type[jnp.clip(hit.mat, 0,
+                                      tables.mat_type.shape[0] - 1)]
+        from rt_tpu.scene.types import MAT_LAMBERTIAN
+
+        is_diffuse = mt == MAT_LAMBERTIAN
+        lam = scattered & is_diffuse
+        ld = _nee_direct(tables, cfg, hit, sc.attenuation, pixel,
+                         sample_idx, seed, bounce_idx)
+        rgb = rgb + jnp.where(lam[:, None], tp * ld, 0.0)
+        prev_diff = lam
 
     rr_comp = jnp.float32(1.0 / cfg.p_rr) if cfg.p_rr > 0.0 else jnp.float32(1.0)
     tp = jnp.where(scattered[:, None], tp * sc.attenuation * rr_comp, tp)
     o = jnp.where(scattered[:, None], hit.p, o)
     d = jnp.where(scattered[:, None], sc.direction, d)
     alive = scattered
-    return RayState(o, d, tp, rgb, alive)
+    st = RayState(o, d, tp, rgb, alive)
+    if nee:
+        return st, prev_diff
+    return st
 
 
 def trace(tables: SceneTables, cfg: RenderConfig, ro, rd, pixel, sample_idx,
@@ -102,13 +238,17 @@ def trace(tables: SceneTables, cfg: RenderConfig, ro, rd, pixel, sample_idx,
     textures) through the full-path Pallas megakernel
     (ops/pallas_mega.py); unsupported scenes fall back to the hybrid
     per-bounce loop with engine="pallas"."""
+    nee = bool(cfg.nee) and tables.n_lights > 0
     if cfg.engine == "mega":
         from rt_tpu.ops.pallas_mega import mega_supported, mega_trace
 
-        if mega_supported(tables):
+        if mega_supported(tables) and (not nee or tables.nee_kernel_ok):
+            # NEE runs IN-KERNEL (light table + per-bounce shadow chunk
+            # pass) whenever the lights bake (solid/checker emission)
             sample_scalar = jnp.asarray(sample_idx).reshape(-1)[0]
             return mega_trace(tables, cfg, ro, rd, pixel, sample_scalar,
                               seed)
+        # image-textured lights: the hybrid engine samples them exactly
         cfg = cfg.replace(engine="pallas")
 
     b = ro.shape[0]
@@ -118,25 +258,32 @@ def trace(tables: SceneTables, cfg: RenderConfig, ro, rd, pixel, sample_idx,
         rgb=jnp.zeros((b, 3), jnp.float32),
         alive=jnp.ones((b,), bool),
     )
+    pd0 = jnp.zeros((b,), bool) if nee else None
 
     if cfg.loop == "scan":
-        def body(st, i):
-            return _bounce(tables, cfg, st, pixel, sample_idx, seed, i), None
+        def body(carry, i):
+            st, pd = carry
+            out = _bounce(tables, cfg, st, pixel, sample_idx, seed, i,
+                          prev_diff=pd)
+            return (out if nee else (out, None)), None
 
-        state, _ = jax.lax.scan(body, state,
-                                jnp.arange(cfg.max_depth, dtype=jnp.uint32))
+        (state, _), _ = jax.lax.scan(
+            body, (state, pd0),
+            jnp.arange(cfg.max_depth, dtype=jnp.uint32))
     else:
         def cond(carry):
-            i, st = carry
+            i, st, pd = carry
             return (i < cfg.max_depth) & jnp.any(st.alive)
 
         def body(carry):
-            i, st = carry
-            st = _bounce(tables, cfg, st, pixel, sample_idx, seed,
-                         i.astype(jnp.uint32))
-            return (i + 1, st)
+            i, st, pd = carry
+            out = _bounce(tables, cfg, st, pixel, sample_idx, seed,
+                          i.astype(jnp.uint32), prev_diff=pd)
+            st, pd = out if nee else (out, None)
+            return (i + 1, st, pd)
 
-        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+        _, state, _ = jax.lax.while_loop(cond, body,
+                                         (jnp.int32(0), state, pd0))
 
     rgb = state.rgb
     if cfg.exhaust_mode == "background":

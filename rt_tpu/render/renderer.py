@@ -110,7 +110,9 @@ def render(tables: SceneTables, cfg: RenderConfig,
     n_pix = w * h
     _, _, pix = _block_order(w, h)
 
-    use_regen = bool(getattr(cfg, "regen", False)) and cfg.engine == "mega"
+    use_regen = (bool(getattr(cfg, "regen", False))
+                 and cfg.engine == "mega"
+                 and not bool(getattr(cfg, "nee", False)))
     if use_regen:
         from rt_tpu.ops.pallas_mega import mega_supported
         use_regen = mega_supported(tables)

@@ -216,9 +216,26 @@ class SceneTables:
     cyl_bvh_max: jax.Array = dataclasses.field(
         default_factory=lambda: np.zeros((1, 3), np.float32))
 
+    # emissive-primitive index for NEE (cfg.nee, an opt-in extension
+    # beyond the reference): light_fam holds PTYPE_* codes, light_pid
+    # the row in that family's table. Dummy 1-entry arrays when the
+    # scene has no NEE-sampleable lights (n_lights = 0, static).
+    light_fam: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros(1, np.int32))
+    light_pid: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros(1, np.int32))
+
     # (n_spheres, n_rects, n_cylinders, n_triangles) — static
     counts: Tuple[int, int, int, int] = dataclasses.field(
         default=(0, 0, 0, 0), metadata=dict(static=True))
+    # number of NEE-sampleable lights (static; 0 also when the scene has
+    # triangle lights — those are not area-sampled, and partial NEE
+    # would double-count their emission)
+    n_lights: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # every light's emission is solid/checker (no image textures): the
+    # megakernel's in-kernel NEE can bake the light table (static)
+    nee_kernel_ok: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
     # which primitive families carry a real BVH, e.g. ("triangle",)
     bvh_for: Tuple[str, ...] = dataclasses.field(
         default=(), metadata=dict(static=True))
@@ -613,10 +630,45 @@ def build_tables(s: SceneDef, bvh_types: Sequence[str] = ()) -> SceneTables:
     img_on = sorted({fam_of[o["type"]] for o in s.objects
                      if o.get("material") in mat_uses_img})
 
+    # NEE light index (cfg.nee): emissive rows of the sphere / rect /
+    # cylinder tables. fam codes = ops.intersect PTYPE_* (0/1/2).
+    # Triangle lights disable NEE (n_lights=0): partial sampling would
+    # double-count the unsampled lights' emission.
+    def _rows(mat_ids, obj_ids):
+        live = np.asarray(obj_ids) >= 0
+        is_l = np.asarray(mat_type)[np.asarray(mat_ids)] == MAT_DIFFUSE_LIGHT
+        return np.nonzero(live & is_l)[0]
+
+    l_fam, l_pid = [], []
+    for fam, (mids, oids) in enumerate(
+            ((sph_mat, sph_obj), (rect_mat, rect_obj),
+             (cyl_mat, cyl_obj))):
+        for r in _rows(mids, oids):
+            l_fam.append(fam)
+            l_pid.append(int(r))
+    tri_lights = len(_rows(tri_mat, tri_obj)) if len(tri) else 0
+    n_lights = 0 if tri_lights else len(l_fam)
+    if n_lights:
+        light_fam = np.asarray(l_fam, np.int32)
+        light_pid = np.asarray(l_pid, np.int32)
+    else:
+        light_fam = np.zeros(1, np.int32)
+        light_pid = np.zeros(1, np.int32)
+
+    def _light_mat(fam, pid):
+        return int((sph_mat, rect_mat, cyl_mat)[fam][pid])
+
+    nee_kernel_ok = bool(n_lights) and all(
+        int(mat_tex[_light_mat(f, p)]) < 0
+        or int(tex_type[int(mat_tex[_light_mat(f, p)])]) != TEX_IMAGE
+        for f, p in zip(l_fam, l_pid))
+
     return SceneTables(
         **bvh_fields,
         bvh_for=tuple(bvh_built),
         img_on=tuple(img_on),
+        light_fam=light_fam, light_pid=light_pid, n_lights=n_lights,
+        nee_kernel_ok=nee_kernel_ok,
         sph_center=sph_center, sph_radius=sph_radius, sph_mat=sph_mat,
         sph_obj=sph_obj,
         rect_axis=rect_axis, rect_lo=rect_lo, rect_hi=rect_hi, rect_k=rect_k,

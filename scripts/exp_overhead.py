@@ -71,7 +71,8 @@ def dead_segments(state):
                                 jnp.zeros((1, 8), jnp.float32),
                                 (jnp.zeros((8, 16), jnp.float32),
                                  jnp.zeros((8, 16), jnp.float32)),
-                                uvz, atlas, counts, tbl.background, state,
+                                uvz, jnp.zeros((8, 32), jnp.float32),
+                                atlas, counts, tbl.background, state,
                                 pixp, jnp.uint32(0), jnp.uint32(0),
                                 jnp.int32(i), max_depth=1)
     return state

@@ -1,0 +1,169 @@
+"""Next-event estimation (cfg.nee) — the opt-in direct-light sampler.
+
+An extension BEYOND the reference (which has no light sampling): each
+lambertian bounce area-samples one emissive primitive and casts a
+shadow ray; emission reached through a diffuse bounce is suppressed so
+nothing double-counts. The estimator must (a) agree with the plain
+path tracer in expectation, (b) beat it in variance on hard (small
+light) scenes, and (c) leave scenes without lights bit-identical.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rt_tpu.config import RenderConfig
+from rt_tpu.render.renderer import render
+from rt_tpu.scene.types import SceneDef, build_tables
+
+
+def _light_scene(light_r=0.25, all_families=True):
+    s = SceneDef(width=48, height=32, samples_per_pixel=4, max_depth=6,
+                 background=(0.0, 0.0, 0.0))
+    s.add_sphere((0, 0, -2), 0.5, s.add_lambertian_color((0.6, 0.4, 0.3)))
+    s.add_sphere((0, -100.5, -2), 100,
+                 s.add_lambertian_color((0.5, 0.5, 0.55)))
+    s.add_sphere((1.6, 0.4, -1.4), light_r,
+                 s.add_diffuse_light_color((8.0, 3.0, 3.0)))
+    if all_families:
+        s.add_rect("xz_rect", -0.8, 0.8, -2.8, -1.2, 2.0,
+                   s.add_diffuse_light_color((6.0, 5.5, 5.0)))
+        s.add_cylinder(0.2, -0.3, 0.3,
+                       s.add_diffuse_light_color((2.0, 4.0, 8.0)),
+                       rotate=((1, 0, 0), 90.0), translate=(-1.5, 0.6, -2.0))
+    s.set_camera((0, 0.4, 1.2), (0, 0, -2), (0, 1, 0), 55, 0.0)
+    cfg = RenderConfig(width=48, height=32, samples_per_pixel=4,
+                       max_depth=6, background_mode="constant",
+                       engine="xla", loop="while")
+    return s, cfg
+
+
+def _mse(a, b):
+    return float(np.mean((np.asarray(a) - np.asarray(b)) ** 2))
+
+
+def test_nee_matches_plain_in_expectation():
+    """All three light families sampled: the NEE estimator's converged
+    mean equals the plain path tracer's (area pdfs, the (2/pi)cos^3
+    scatter density, two-sided emitters, and the double-count
+    suppression must all be exactly right for this to hold)."""
+    sdef, cfg = _light_scene()
+    tables = build_tables(sdef)
+    assert tables.n_lights == 3
+    spp = 2048
+    plain = np.asarray(render(
+        tables, cfg.replace(samples_per_pixel=spp))) / spp
+    nee = np.asarray(render(
+        tables, cfg.replace(samples_per_pixel=spp, nee=True))) / spp
+    # per-pixel agreement within joint MC noise; mean much tighter
+    assert abs(plain.mean() - nee.mean()) < 0.01
+    assert _mse(plain, nee) < 3e-3
+
+
+def test_nee_reduces_variance_on_small_light():
+    """A small sphere light the plain estimator rarely hits: at equal
+    spp the NEE render is an order of magnitude closer to the
+    converged image."""
+    sdef, cfg = _light_scene(light_r=0.08, all_families=False)
+    tables = build_tables(sdef)
+    spp_ref, spp = 4096, 32
+    ref = np.asarray(render(
+        tables, cfg.replace(samples_per_pixel=spp_ref, nee=True))) / spp_ref
+    plain = np.asarray(render(
+        tables, cfg.replace(samples_per_pixel=spp))) / spp
+    nee = np.asarray(render(
+        tables, cfg.replace(samples_per_pixel=spp, nee=True))) / spp
+    # compare the LIGHTING estimate: the emitter's own few pixels carry
+    # identical camera-edge aliasing in both estimators and would
+    # dominate a whole-image MSE
+    mask = (ref.max(axis=-1) < 0.5)[..., None]
+    e_nee = _mse(nee * mask, ref * mask)
+    e_plain = _mse(plain * mask, ref * mask)
+    assert e_nee * 5.0 < e_plain, (e_nee, e_plain)
+
+
+def test_nee_without_lights_is_identical():
+    """cfg.nee on a scene with no emitters compiles to the plain
+    estimator (n_lights == 0): bit-identical image."""
+    s = SceneDef(width=32, height=24, samples_per_pixel=4, max_depth=4,
+                 background=(0.6, 0.7, 0.9))
+    s.add_sphere((0, 0, -1), 0.5, s.add_lambertian_color((0.5, 0.3, 0.2)))
+    s.add_sphere((0, -100.5, -1), 100,
+                 s.add_lambertian_color((0.6, 0.6, 0.6)))
+    s.set_camera((0, 0, 1), (0, 0, -1), (0, 1, 0), 45, 0.0)
+    cfg = RenderConfig(width=32, height=24, samples_per_pixel=4,
+                       max_depth=4, engine="xla")
+    tables = build_tables(s)
+    assert tables.n_lights == 0
+    a = np.asarray(render(tables, cfg))
+    b = np.asarray(render(tables, cfg.replace(nee=True)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_nee_mega_engine_matches_xla():
+    """engine='mega' + nee runs the IN-KERNEL light sampler + shadow
+    chunk pass (bit-identical RNG to the host estimator): images match
+    the xla NEE estimator up to the usual ulp-flip outlier lanes."""
+    sdef, cfg = _light_scene()
+    tables = build_tables(sdef)
+    spp = 16
+    a = np.asarray(render(tables, cfg.replace(
+        samples_per_pixel=spp, nee=True, engine="xla"))) / spp
+    b = np.asarray(render(tables, cfg.replace(
+        samples_per_pixel=spp, nee=True, engine="mega"))) / spp
+    assert np.isfinite(b).all()
+    # same RNG streams, same estimator — images agree up to ulp-flip
+    # outlier lanes like every engine-pair comparison
+    diff = np.abs(a - b).max(axis=-1)
+    assert float((diff > 1e-3).mean()) < 0.01
+
+
+def test_triangle_lights_disable_nee():
+    """A scene with an emissive triangle gets n_lights == 0 (partial
+    NEE would double-count the unsampled triangle's emission)."""
+    s = SceneDef(width=16, height=12, samples_per_pixel=1, max_depth=2,
+                 background=(0, 0, 0))
+    s.add_sphere((0, 0, -2), 0.5, s.add_lambertian_color((0.5, 0.5, 0.5)))
+    s.add_rect("xz_rect", -1, 1, -3, -1, 2.0,
+               s.add_diffuse_light_color((4, 4, 4)))
+    s.add_triangle((-1, 0, -2), (1, 0, -2), (0, 1, -2),
+                   s.add_diffuse_light_color((3, 3, 3)))
+    s.set_camera((0, 0, 1), (0, 0, -2), (0, 1, 0), 50, 0.0)
+    tables = build_tables(s)
+    assert tables.n_lights == 0
+
+
+def test_nee_mega_with_compaction_and_shrink():
+    """NEE in-kernel composed with the production segmented compaction
+    (the 0.5 alive encoding must survive group packing and the prefix
+    shrink): matches the single-segment NEE mega render exactly."""
+    sdef, cfg = _light_scene()
+    tables = build_tables(sdef)
+    spp = 8
+    base = cfg.replace(samples_per_pixel=spp, nee=True, engine="mega")
+    a = np.asarray(render(tables, base))
+    b = np.asarray(render(tables, base.replace(
+        compact_schedule=(2, 2), compact_group=16)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_image_textured_light_uses_hybrid():
+    """An image-textured emitter cannot bake into the kernel light
+    table: nee_kernel_ok is False and the render still works (hybrid
+    engine samples the texture exactly)."""
+    tex = np.full((4, 4, 3), 3.0, np.float32)
+    s = SceneDef(width=24, height=16, samples_per_pixel=4, max_depth=4,
+                 background=(0, 0, 0))
+    s.add_sphere((0, 0, -2), 0.5, s.add_lambertian_color((0.5, 0.4, 0.3)))
+    s.add_sphere((0, -100.5, -2), 100,
+                 s.add_lambertian_color((0.5, 0.5, 0.5)))
+    s.add_rect("xz_rect", -1, 1, -3, -1, 2.0,
+               s.add_diffuse_light(s.add_image_texture(tex)))
+    s.set_camera((0, 0, 1), (0, 0, -2), (0, 1, 0), 50, 0.0)
+    cfg = RenderConfig(width=24, height=16, samples_per_pixel=4,
+                       max_depth=4, engine="mega")
+    tables = build_tables(s)
+    assert tables.n_lights == 1 and not tables.nee_kernel_ok
+    img = np.asarray(render(tables, cfg.replace(nee=True)))
+    assert np.isfinite(img).all() and img.max() > 0
