@@ -200,10 +200,79 @@ def _background(sdef: SceneDef, cfg: RenderConfig, d):
     return np.asarray(sdef.background, np.float32)
 
 
+def _oracle_nee(sdef: SceneDef, tables, cfg: RenderConfig, rec, atten,
+                pixel, sample, bounce, seed):
+    """Scalar twin of integrator._nee_direct: area-sample one light
+    (same RNG coordinates, same (2/pi)cos^3 weighting), occlusion via
+    the oracle's OWN sequential hit scan."""
+    L = tables.n_lights
+    u_pick = float(rng.uniform(np, seed, pixel, sample, bounce,
+                               rng.NEE_PICK))
+    li = min(int(u_pick * L), L - 1)
+    fam = int(tables.light_fam[li])
+    pid = int(tables.light_pid[li])
+    u1 = float(rng.uniform(np, seed, pixel, sample, bounce, rng.NEE_U1))
+    u2 = float(rng.uniform(np, seed, pixel, sample, bounce, rng.NEE_U2))
+    phi = 2.0 * np.pi * u2
+    if fam == 0:
+        c = np.asarray(tables.sph_center[pid], np.float32)
+        r = abs(float(tables.sph_radius[pid]))
+        z = 1.0 - 2.0 * u1
+        st = np.sqrt(max(0.0, 1.0 - z * z))
+        n_l = np.array([st * np.cos(phi), st * np.sin(phi), z],
+                       np.float32)
+        point = c + np.float32(r) * n_l
+        area = 4.0 * np.pi * r * r
+        mat_id = int(tables.sph_mat[pid])
+    elif fam == 1:
+        ax = int(tables.rect_axis[pid])
+        lo = np.asarray(tables.rect_lo[pid])
+        hi = np.asarray(tables.rect_hi[pid])
+        k = float(tables.rect_k[pid])
+        f1 = 1 if ax == 0 else 0
+        f2 = 1 if ax == 2 else 2
+        point = np.zeros(3, np.float32)
+        point[ax] = k
+        point[f1] = lo[0] + u1 * (hi[0] - lo[0])
+        point[f2] = lo[1] + u2 * (hi[1] - lo[1])
+        n_l = np.zeros(3, np.float32)
+        n_l[ax] = 1.0
+        area = float((hi[0] - lo[0]) * (hi[1] - lo[1]))
+        mat_id = int(tables.rect_mat[pid])
+    else:
+        r = abs(float(tables.cyl_radius[pid]))
+        zmin = float(tables.cyl_zmin[pid])
+        zmax = float(tables.cyl_zmax[pid])
+        o2w = np.asarray(tables.cyl_o2w[pid], np.float32)
+        zc = zmin + u1 * (zmax - zmin)
+        po = np.array([r * np.cos(phi), r * np.sin(phi), zc], np.float32)
+        point = (o2w[:3, :3] @ po + o2w[:3, 3]).astype(np.float32)
+        n_l = (o2w[:3, :3]
+               @ np.array([np.cos(phi), np.sin(phi), 0], np.float32))
+        area = 2.0 * np.pi * r * (zmax - zmin)
+        mat_id = int(tables.cyl_mat[pid])
+
+    wi = point - rec["p"]
+    d2 = max(float(wi @ wi), 1e-8)
+    dist = np.sqrt(d2)
+    cos_s = float(rec["normal"] @ wi) / dist
+    if cos_s <= 0.0:
+        return np.zeros(3, np.float32)
+    cos_l = abs(float(n_l @ wi)) / dist
+    srec = _scene_hit(sdef, rec["p"], wi)
+    if srec is not None and srec["t"] < 1.0 - 1e-3:
+        return np.zeros(3, np.float32)
+    lmat = sdef.materials[mat_id]
+    le = _texture_value(sdef, lmat["texture"], 0.0, 0.0, point)
+    w = (cos_s ** 3 * cos_l / d2) * area * (2.0 * L / np.pi)
+    return (atten * le * np.float32(w)).astype(np.float32)
+
+
 def _ray_color(sdef: SceneDef, cfg: RenderConfig, ro, rd, pixel, sample,
-               seed):
+               seed, nee_tables=None):
     tp = np.ones(3, np.float32)
     rgb = np.zeros(3, np.float32)
+    prev_diff = False
     for bounce in range(cfg.max_depth):
         if cfg.p_rr > 0.0:
             u_rr = float(rng.uniform(np, seed, pixel, sample, bounce, rng.RR))
@@ -215,6 +284,8 @@ def _ray_color(sdef: SceneDef, cfg: RenderConfig, ro, rd, pixel, sample,
         mat = sdef.materials[rec["mat"]]
         em = np.zeros(3, np.float32)
         if mat["type"] == "diffuse_light":
+            if nee_tables is not None and prev_diff:
+                return rgb  # already counted by that bounce's light sample
             em = _texture_value(sdef, mat["texture"], rec["u"], rec["v"],
                                 rec["p"])
             return rgb + tp * em
@@ -254,6 +325,13 @@ def _ray_color(sdef: SceneDef, cfg: RenderConfig, ro, rd, pixel, sample,
             raise ValueError(mat["type"])
 
         rgb = rgb + tp * em
+        if nee_tables is not None and mat["type"] == "lambertian":
+            rgb = rgb + tp * _oracle_nee(sdef, nee_tables, cfg, rec,
+                                         atten, pixel, sample, bounce,
+                                         seed)
+            prev_diff = True
+        else:
+            prev_diff = False
         tp = tp * atten
         if cfg.p_rr > 0.0:
             tp = tp / cfg.p_rr
@@ -265,7 +343,16 @@ def _ray_color(sdef: SceneDef, cfg: RenderConfig, ro, rd, pixel, sample,
 
 def render_oracle(sdef: SceneDef, cfg: RenderConfig) -> np.ndarray:
     """Full-frame scalar render. Returns raw radiance sums [H,W,3], row 0 =
-    bottom scanline (same layout as render.renderer.render)."""
+    bottom scanline (same layout as render.renderer.render). cfg.nee
+    runs the scalar NEE twin (light index from build_tables; occlusion
+    via the oracle's own hit scan)."""
+    nee_tables = None
+    if bool(getattr(cfg, "nee", False)):
+        from rt_tpu.scene.types import build_tables
+
+        t = build_tables(sdef)
+        if t.n_lights > 0:
+            nee_tables = t
     cam = sdef.camera
     out = np.zeros((cfg.height, cfg.width, 3), np.float32)
     for y in range(cfg.height):
@@ -293,6 +380,7 @@ def render_oracle(sdef: SceneDef, cfg: RenderConfig) -> np.ndarray:
                       + v * np.asarray(cam.vertical) - np.asarray(cam.origin)
                       - offset).astype(np.float32)
                 acc += _ray_color(sdef, cfg, ro.astype(np.float32), rd,
-                                  pixel, s32, np.uint32(cfg.seed))
+                                  pixel, s32, np.uint32(cfg.seed),
+                                  nee_tables=nee_tables)
             out[y, x] = acc
     return out

@@ -167,3 +167,21 @@ def test_image_textured_light_uses_hybrid():
     assert tables.n_lights == 1 and not tables.nee_kernel_ok
     img = np.asarray(render(tables, cfg.replace(nee=True)))
     assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_nee_matches_scalar_oracle(images_close):
+    """Per-ray EXACT check: the vectorized NEE estimator (XLA engine)
+    consumes the same RNG stream coordinates and light parameterization
+    as the scalar NumPy oracle twin, so images agree ray-for-ray up to
+    the usual ulp-flip outliers — the same bar every other engine pair
+    is held to."""
+    from rt_tpu.render.oracle import render_oracle
+
+    sdef, cfg = _light_scene()
+    cfg = cfg.replace(width=24, height=16, samples_per_pixel=2,
+                      max_depth=4, nee=True)
+    sdef.width, sdef.height = 24, 16
+    tables = build_tables(sdef)
+    got = np.asarray(render(tables, cfg))
+    ref = render_oracle(sdef, cfg)
+    images_close(got, ref, cfg.samples_per_pixel)
