@@ -61,7 +61,8 @@ from rt_tpu.diff.inverse import _device_tables, apply_params
 from rt_tpu.ops import materials, rng
 from rt_tpu.ops.camera import generate_rays
 from rt_tpu.ops.intersect import intersect
-from rt_tpu.render.integrator import background_color, trace
+from rt_tpu.render.integrator import _nee_direct, background_color, trace
+from rt_tpu.scene.types import MAT_LAMBERTIAN as _MAT_LAMBERTIAN
 from rt_tpu.scene.types import SceneTables
 
 # fields whose gradient the analytic suffix-adjoint replay computes.
@@ -188,6 +189,15 @@ def make_replay_render(
     b = px.shape[0]
     rr_comp = (jnp.float32(1.0 / cfg.p_rr) if cfg.p_rr > 0.0
                else jnp.float32(1.0))
+    # cfg.nee: both replays reproduce the integrator's direct-light
+    # estimator term-for-term (same NEE_PICK/U1/U2 counter-RNG draws,
+    # same suppression of emission reached through a diffuse bounce),
+    # so the suffix identity stays exact: the NEE term is just one more
+    # per-bounce contribution c_b = att * ld, differentiated through
+    # the same per-bounce jax.vjp / jax.linearize as emission. The
+    # shadow-visibility factor is a bool (detached), matching the scan
+    # path's own AD semantics.
+    nee = bool(cfg.nee) and base.n_lights > 0
 
     def _rays(tbl, s):
         sample = jnp.full(px.shape, s, jnp.uint32)
@@ -221,13 +231,13 @@ def make_replay_render(
             L = trace(tbl, lcfg, ro, rd, pixel, sample, seed)
 
         def cond(carry):
-            i, o, d, P, C, alive, gr = carry
+            i, o, d, P, C, alive, pd, gr = carry
             if bwd_early_exit:
                 return (i < depth_bwd) & jnp.any(alive)
             return i < depth_bwd
 
         def body(carry):
-            i, o, d, P, C, alive, gr = carry
+            i, o, d, P, C, alive, pd, gr = carry
             bounce = i.astype(jnp.uint32)
 
             survive = jnp.ones_like(alive)
@@ -247,10 +257,26 @@ def make_replay_render(
                     t2, hit.mat, d, hit.normal, hit.front_face,
                     hit.u, hit.v, hit.p, ball, refl_u)
                 bg = background_color(t2, cfg, d)
-                return (sc.attenuation, em, bg, sc.direction,
+                outs = (sc.attenuation, em, bg, sc.direction,
                         sc.ok.astype(jnp.float32))
+                if nee:
+                    # detach geometry inside the direct-light term: the
+                    # radiometric suffix adjoint owns only albedo /
+                    # emission / background; geometry derivatives of the
+                    # NEE chain belong to the tangent replay. This also
+                    # keeps the shadow any-hit (a Pallas kernel on TPU)
+                    # off the differentiated path.
+                    ppg = {k: (jax.lax.stop_gradient(v)
+                               if k in GEOM_FIELDS else v)
+                           for k, v in pp.items()}
+                    t2g = apply_params(base, ppg)
+                    ld = _nee_direct(t2g, bcfg, hit, sc.attenuation,
+                                     pixel, sample, seed, bounce)
+                    outs = outs + (ld,)
+                return outs
 
-            (att, em, bg, new_dir, ok_f), h_vjp = jax.vjp(h, params)
+            houts, h_vjp = jax.vjp(h, params)
+            att, em, bg, new_dir, ok_f = houts[:5]
             ok = ok_f > 0.5
 
             live = alive & survive
@@ -258,31 +284,46 @@ def make_replay_render(
             emitter = live & hit.hit & ~ok
             missed = live & ~hit.hit
 
-            contrib = (jnp.where((scattered | emitter)[:, None], em, 0.0)
+            # cfg.nee: emission reached THROUGH a diffuse bounce was
+            # already counted by that bounce's light sample
+            em_mask = scattered | emitter
+            if nee:
+                em_mask = em_mask & ~pd
+                mt = tbl.mat_type[jnp.clip(
+                    hit.mat, 0, tbl.mat_type.shape[0] - 1)]
+                lam = scattered & (mt == _MAT_LAMBERTIAN)
+
+            contrib = (jnp.where(em_mask[:, None], em, 0.0)
                        + jnp.where(missed[:, None], bg, 0.0))
+            if nee:
+                contrib = contrib + jnp.where(lam[:, None], houts[5], 0.0)
             C2 = C + P * contrib
             P2 = jnp.where(scattered[:, None], P * att * rr_comp, P)
 
             # adjoints (see module docstring): dL/datt = (L - C2)/att on
-            # scattered lanes; dL/d{em,bg} = P on their lanes
+            # scattered lanes; dL/d{em,bg,ld} = P on their lanes
             cot_att = jnp.where(scattered[:, None],
                                 _safe_div(g * (L - C2), att), 0.0)
-            cot_em = jnp.where((scattered | emitter)[:, None], g * P, 0.0)
+            cot_em = jnp.where(em_mask[:, None], g * P, 0.0)
             cot_bg = jnp.where(missed[:, None], g * P, 0.0)
-            (gr_inc,) = h_vjp((cot_att, cot_em, cot_bg,
-                               jnp.zeros_like(new_dir),
-                               jnp.zeros_like(ok_f)))
+            cots = (cot_att, cot_em, cot_bg,
+                    jnp.zeros_like(new_dir), jnp.zeros_like(ok_f))
+            if nee:
+                cots = cots + (jnp.where(lam[:, None], g * P, 0.0),)
+            (gr_inc,) = h_vjp(cots)
             gr = jax.tree_util.tree_map(jnp.add, gr, gr_inc)
 
             o2 = jnp.where(scattered[:, None], hit.p, o)
             d2 = jnp.where(scattered[:, None], new_dir, d)
-            return (i + 1, o2, d2, P2, C2, scattered, gr)
+            pd2 = lam if nee else pd
+            return (i + 1, o2, d2, P2, C2, scattered, pd2, gr)
 
         carry0 = (jnp.int32(0), ro, rd,
                   jnp.ones((b, 3), jnp.float32),
                   jnp.zeros((b, 3), jnp.float32),
-                  jnp.ones((b,), bool), grads)
-        (_, o, d, P, C, alive, grads) = jax.lax.while_loop(
+                  jnp.ones((b,), bool),
+                  jnp.zeros((b,), bool), grads)
+        (_, o, d, P, C, alive, _, grads) = jax.lax.while_loop(
             cond, body, carry0)
 
         if exhaust_bwd:
@@ -359,13 +400,13 @@ def make_replay_render(
                                      seed)
 
         def cond(carry):
-            i, o, d, P, C, alive, tst = carry
+            i, o, d, P, C, alive, pd, tst = carry
             if bwd_early_exit:
                 return (i < depth_bwd) & jnp.any(alive)
             return i < depth_bwd
 
         def body(carry):
-            i, o, d, P, C, alive, (to, td, tP, tC) = carry
+            i, o, d, P, C, alive, pd, (to, td, tP, tC) = carry
             bounce = i.astype(jnp.uint32)
 
             survive = jnp.ones_like(alive)
@@ -394,20 +435,37 @@ def make_replay_render(
                 scattered = live & hit.hit & sc.ok
                 emitter = live & hit.hit & ~sc.ok
                 missed = live & ~hit.hit
-                contrib = (jnp.where((scattered | emitter)[:, None], em,
-                                     0.0)
+                em_mask = scattered | emitter
+                if nee:
+                    # NEE with ATTACHED geometry: light position / hit
+                    # point / cos chains carry tangents (the estimator's
+                    # interior derivative); shadow visibility is a bool
+                    # (detached, same as the scan path's AD). engine
+                    # "xla" keeps the any-hit linearizable.
+                    em_mask = em_mask & ~pd
+                    mt = tbl.mat_type[jnp.clip(
+                        hit.mat, 0, tbl.mat_type.shape[0] - 1)]
+                    lam = scattered & (mt == _MAT_LAMBERTIAN)
+                    ld = _nee_direct(t2, cfg.replace(engine="xla"), hit,
+                                     sc.attenuation, pixel, sample, seed,
+                                     bounce)
+                contrib = (jnp.where(em_mask[:, None], em, 0.0)
                            + jnp.where(missed[:, None], bg, 0.0))
+                if nee:
+                    contrib = contrib + jnp.where(lam[:, None], ld, 0.0)
                 C2 = C + P * contrib
                 P2 = jnp.where(scattered[:, None],
                                P * sc.attenuation * rr_comp, P)
                 o2 = jnp.where(scattered[:, None], hit.p, o)
                 d2 = jnp.where(scattered[:, None], sc.direction, d)
-                return o2, d2, P2, C2, scattered.astype(jnp.float32)
+                lam_f = (lam if nee else scattered).astype(jnp.float32)
+                return o2, d2, P2, C2, scattered.astype(jnp.float32), lam_f
 
-            (o2, d2, P2, C2, sc_f), lin = jax.linearize(
+            (o2, d2, P2, C2, sc_f, lam_f), lin = jax.linearize(
                 f, o, d, P, C, params)
-            to2, td2, tP2, tC2, _ = jax.vmap(lin)(to, td, tP, tC, tans)
+            to2, td2, tP2, tC2, _, _ = jax.vmap(lin)(to, td, tP, tC, tans)
             return (i + 1, o2, d2, P2, C2, sc_f > 0.5,
+                    (lam_f > 0.5) if nee else pd,
                     (to2, td2, tP2, tC2))
 
         k = _n_dirs
@@ -416,10 +474,11 @@ def make_replay_render(
                   jnp.ones((b, 3), jnp.float32),
                   jnp.zeros((b, 3), jnp.float32),
                   jnp.ones((b,), bool),
+                  jnp.zeros((b,), bool),
                   (zk(ro), zk(rd),
                    jnp.zeros((k, b, 3), jnp.float32),
                    jnp.zeros((k, b, 3), jnp.float32)))
-        (_, o, d, P, C, alive, (to, td, tP, tC)) = jax.lax.while_loop(
+        (_, o, d, P, C, alive, _, (to, td, tP, tC)) = jax.lax.while_loop(
             cond, body, carry0)
 
         if exhaust_bwd:
@@ -468,6 +527,13 @@ def make_replay_render(
     use_kernel = (bwd_kernel if bwd_kernel is not None
                   else (cfg.engine == "mega"
                         and jax.default_backend() == "tpu"))
+    if nee and use_kernel:
+        if bwd_kernel:
+            raise ValueError(
+                "bwd_kernel=True with cfg.nee: the adjoint megakernel "
+                "does not replay the direct-light term yet — use the "
+                "hybrid/XLA replay (bwd_kernel=False or None)")
+        use_kernel = False  # auto: fall back to the per-bounce replay
 
     def img_bwd(res, g):
         params, Ls, s0 = res

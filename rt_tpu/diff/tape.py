@@ -418,6 +418,12 @@ def make_tape_vg(tables: SceneTables, cfg: RenderConfig, px, py, target,
     from rt_tpu.ops.pallas_mega import mega_capture, mega_supported
 
     assert mega_supported(tables), "mega_capture needs a megakernel scene"
+    if bool(cfg.nee) and tables.n_lights > 0:
+        raise ValueError(
+            "make_tape_vg does not replay the NEE direct-light term "
+            "(the tape records winners, not shadow visibility) — fit "
+            "with method='replay' (make_replay_render handles cfg.nee "
+            "exactly) or capture with cfg.nee=False")
     base = _device_tables(tables)
     width, height = cfg.width, cfg.height
     px = jnp.asarray(px, jnp.int32)

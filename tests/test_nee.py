@@ -185,3 +185,107 @@ def test_nee_matches_scalar_oracle(images_close):
     got = np.asarray(render(tables, cfg))
     ref = render_oracle(sdef, cfg)
     images_close(got, ref, cfg.samples_per_pixel)
+
+
+def _pixel_list(cfg):
+    pix = np.arange(cfg.width * cfg.height, dtype=np.int32)
+    return (jnp.asarray(pix % cfg.width), jnp.asarray(pix // cfg.width))
+
+
+def test_replay_gradient_matches_scan_ad_nee():
+    """Differentiable NEE, radiometric chain: the path-replay VJP
+    reproduces the direct-light term (same counter-RNG draws, same
+    diffuse-emission suppression), so its albedo / emission /
+    background gradients equal plain reverse-mode through the scan
+    loop with cfg.nee — at O(B) memory."""
+    from rt_tpu.diff.inverse import make_loss_fn
+    from rt_tpu.diff.replay import make_replay_loss_fn
+
+    sdef, cfg = _light_scene(all_families=False)
+    cfg = cfg.replace(width=24, height=16, samples_per_pixel=2,
+                      max_depth=4, nee=True)
+    sdef.width, sdef.height = 24, 16
+    tables = build_tables(sdef)
+    px, py = _pixel_list(cfg)
+    target = jnp.full((px.shape[0], 3), 0.1, jnp.float32)
+
+    params = {"tex_color": jnp.asarray(tables.tex_color),
+              "background": jnp.asarray(tables.background)}
+
+    scan_loss = make_loss_fn(tables, cfg.replace(loop="scan"), spp=2)
+    g_scan = jax.grad(scan_loss)(params, px, py, target)
+
+    replay_loss = make_replay_loss_fn(tables, cfg, spp=2, px=px, py=py,
+                                      target=target)
+    g_replay = jax.grad(replay_loss)(params)
+
+    # the light's emission row must actually receive NEE-path gradient
+    assert float(np.abs(np.asarray(g_scan["tex_color"])).max()) > 0
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g_replay[k]),
+                                   np.asarray(g_scan[k]),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_replay_geom_tangent_matches_scan_ad_nee():
+    """Differentiable NEE, geometry chain: moving the LIGHT sphere (or
+    any hit geometry) changes the direct-light term through the sampled
+    point / cos / area factors — the forward-mode tangent replay with
+    cfg.nee matches scan-loop reverse mode on those components."""
+    from rt_tpu.diff.inverse import make_loss_fn
+    from rt_tpu.diff.replay import make_replay_loss_fn
+
+    sdef, cfg = _light_scene(all_families=False)
+    cfg = cfg.replace(width=24, height=16, samples_per_pixel=2,
+                      max_depth=4, nee=True)
+    sdef.width, sdef.height = 24, 16
+    tables = build_tables(sdef)
+    px, py = _pixel_list(cfg)
+    target = jnp.full((px.shape[0], 3), 0.1, jnp.float32)
+
+    # sphere 2 is the light (see _light_scene); perturb it and sphere 0
+    params = {"sph_center": jnp.asarray(tables.sph_center).at[2, 0].add(0.05),
+              "sph_radius": jnp.asarray(tables.sph_radius),
+              "tex_color": jnp.asarray(tables.tex_color)}
+    spec = {"sph_center": [(2, 0), (0, 1)], "sph_radius": [(2,)]}
+
+    scan_loss = make_loss_fn(tables, cfg.replace(loop="scan"), spp=2)
+    g_scan = jax.grad(scan_loss)(params, px, py, target)
+
+    rep_loss = make_replay_loss_fn(tables, cfg, spp=2,
+                                   px=np.asarray(px), py=np.asarray(py),
+                                   target=np.asarray(target),
+                                   geom_spec=spec)
+    g_rep = jax.grad(rep_loss)(params)
+
+    checked = nonzero = 0
+    for f, idxs in spec.items():
+        for idx in idxs:
+            a = float(g_scan[f][idx])
+            b = float(g_rep[f][idx])
+            assert abs(a - b) <= 1e-7 + 2e-2 * abs(a), (f, idx, a, b)
+            checked += 1
+            nonzero += a != 0.0
+    assert checked == 3 and nonzero >= 2
+    np.testing.assert_allclose(np.asarray(g_rep["tex_color"]),
+                               np.asarray(g_scan["tex_color"]),
+                               rtol=2e-4, atol=2e-6)
+
+
+def test_nee_gradient_guards():
+    """The gradient paths that cannot replay the NEE term refuse it
+    loudly instead of silently misattributing the direct-light mass."""
+    from rt_tpu.diff.replay import make_replay_render
+    from rt_tpu.diff.tape import make_tape_vg
+
+    sdef, cfg = _light_scene(all_families=False)
+    cfg = cfg.replace(width=24, height=16, nee=True)
+    sdef.width, sdef.height = 24, 16
+    tables = build_tables(sdef)
+    px, py = _pixel_list(cfg)
+
+    with pytest.raises(ValueError, match="adjoint megakernel"):
+        make_replay_render(tables, cfg, 1, px, py, bwd_kernel=True)
+    with pytest.raises(ValueError, match="NEE"):
+        make_tape_vg(tables, cfg, px, py,
+                     np.zeros((px.shape[0], 3), np.float32))
