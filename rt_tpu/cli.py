@@ -64,6 +64,11 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="megakernel spatial chunk culling (Morton-sorted "
                         "sphere chunks + per-tile AABB skip; default on)")
     p.add_argument("--no-cull", dest="cull", action="store_false")
+    p.add_argument("--sampler", default="rng", choices=("rng", "qmc"),
+                   help="sample sequence: counter-based pseudo-random "
+                        "(rng, reference-equivalent default) or "
+                        "Owen-scrambled Sobol' (qmc: lower error at "
+                        "equal spp; rides the hybrid engine)")
     p.add_argument("--nee", action="store_true",
                    help="next-event estimation: area-sample one emissive "
                         "primitive per diffuse bounce + shadow ray "
@@ -171,6 +176,8 @@ def cmd_render(args) -> int:
     elif ce is not None:
         cfg = cfg.replace(compact_every=ce)
     cfg = cfg.replace(cull_chunks=args.cull)
+    if getattr(args, "sampler", "rng") != "rng":
+        cfg = cfg.replace(sampler=args.sampler)
     if getattr(args, "nee", False):
         cfg = cfg.replace(nee=True)
     tables = build_tables(

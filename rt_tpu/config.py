@@ -45,6 +45,15 @@ class RenderConfig:
     # srand(7), curand_init(idx,0,0), random.seed(2023)).
     seed: int = 0
 
+    # Sample-sequence generator:
+    #   "rng" — counter-based triple32 pseudo-random (ops/rng.py), the
+    #           reference-equivalent default
+    #   "qmc" — padded Owen-scrambled Sobol' (ops/qmc.py): same draw
+    #           coordinates, low-discrepancy points — lower error at
+    #           equal spp. Beyond-parity extension (the reference is
+    #           pseudo-random everywhere).
+    sampler: str = "rng"
+
     # Next-event estimation (OPT-IN extension beyond the reference's
     # semantics): at every lambertian bounce, additionally sample one
     # point on one emissive primitive (sphere / rect / cylinder area

@@ -165,6 +165,7 @@ def make_replay_render(
     auto: on for TPU backends with a megakernel-supported scene."""
     base = _device_tables(tables)
     width, height = cfg.width, cfg.height
+    smp = rng.resolve(cfg.sampler)
     if bwd_engine is None:
         if cfg.engine == "mega":
             bwd_engine = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -202,7 +203,7 @@ def make_replay_render(
     def _rays(tbl, s):
         sample = jnp.full(px.shape, s, jnp.uint32)
         ro, rd = generate_rays(tbl.camera, width, height, px, py, sample,
-                               seed, cfg.enable_defocus)
+                               seed, cfg.enable_defocus, cfg.sampler)
         return ro, rd, sample
 
     def _forward(params, s0):
@@ -242,13 +243,13 @@ def make_replay_render(
 
             survive = jnp.ones_like(alive)
             if cfg.p_rr > 0.0:
-                u_rr = rng.uniform(jnp, seed, pixel, sample, bounce, rng.RR)
+                u_rr = smp.uniform(jnp, seed, pixel, sample, bounce, rng.RR)
                 survive = u_rr <= cfg.p_rr
 
             hit = intersect(tbl, o, d, engine=bcfg.engine,
                             traversal=cfg.traversal)
-            ball = rng.in_unit_ball(jnp, seed, pixel, sample, bounce)
-            refl_u = rng.uniform(jnp, seed, pixel, sample, bounce,
+            ball = smp.in_unit_ball(jnp, seed, pixel, sample, bounce)
+            refl_u = smp.uniform(jnp, seed, pixel, sample, bounce,
                                  rng.DIEL_REFL)
 
             def h(pp):
@@ -411,10 +412,10 @@ def make_replay_render(
 
             survive = jnp.ones_like(alive)
             if cfg.p_rr > 0.0:
-                u_rr = rng.uniform(jnp, seed, pixel, sample, bounce, rng.RR)
+                u_rr = smp.uniform(jnp, seed, pixel, sample, bounce, rng.RR)
                 survive = u_rr <= cfg.p_rr
-            ball = rng.in_unit_ball(jnp, seed, pixel, sample, bounce)
-            refl_u = rng.uniform(jnp, seed, pixel, sample, bounce,
+            ball = smp.in_unit_ball(jnp, seed, pixel, sample, bounce)
+            refl_u = smp.uniform(jnp, seed, pixel, sample, bounce,
                                  rng.DIEL_REFL)
             if geom_tape:
                 code_i = jax.lax.dynamic_index_in_dim(
@@ -527,6 +528,13 @@ def make_replay_render(
     use_kernel = (bwd_kernel if bwd_kernel is not None
                   else (cfg.engine == "mega"
                         and jax.default_backend() == "tpu"))
+    if cfg.sampler != "rng" and use_kernel:
+        if bwd_kernel:
+            raise ValueError(
+                "bwd_kernel=True with a QMC sampler: the adjoint "
+                "megakernel's in-kernel RNG twin is triple32-only — "
+                "use the hybrid/XLA replay (bwd_kernel=False or None)")
+        use_kernel = False  # auto: per-bounce replay draws via cfg.sampler
     if nee and use_kernel:
         if bwd_kernel:
             raise ValueError(

@@ -131,11 +131,14 @@ def capture_tape(tables: SceneTables, cfg: RenderConfig, ro, rd, pixel,
                              and mega_supported(tables))
                   else "pallas" if jax.default_backend() == "tpu"
                   else "xla")
+    smp = rng.resolve(cfg.sampler)
     tables = jax.tree_util.tree_map(jax.lax.stop_gradient, tables)
     ro = jax.lax.stop_gradient(ro)
     rd = jax.lax.stop_gradient(rd)
     b = ro.shape[0]
 
+    if engine == "mega" and cfg.sampler != "rng":
+        engine = "pallas"  # in-kernel capture has no QMC twin yet
     if engine == "mega" and mega_supported(tables):
         # in-kernel capture (VERDICT r2 #3): one megakernel launch per
         # sample instead of max_depth hybrid intersect dispatches.
@@ -151,12 +154,12 @@ def capture_tape(tables: SceneTables, cfg: RenderConfig, ro, rd, pixel,
         o, d, alive = st
         survive = jnp.ones_like(alive)
         if cfg.p_rr > 0.0:
-            u_rr = rng.uniform(jnp, seed, pixel, sample, i, rng.RR)
+            u_rr = smp.uniform(jnp, seed, pixel, sample, i, rng.RR)
             survive = u_rr <= cfg.p_rr
         hit = intersect(tables, o, d, engine=engine,
                         traversal=cfg.traversal)
-        ball = rng.in_unit_ball(jnp, seed, pixel, sample, i)
-        refl_u = rng.uniform(jnp, seed, pixel, sample, i, rng.DIEL_REFL)
+        ball = smp.in_unit_ball(jnp, seed, pixel, sample, i)
+        refl_u = smp.uniform(jnp, seed, pixel, sample, i, rng.DIEL_REFL)
         sc, _ = materials.shade(tables, hit.mat, d, hit.normal,
                                 hit.front_face, hit.u, hit.v, hit.p,
                                 ball, refl_u)
@@ -223,18 +226,19 @@ def _tape_bounce(tables: SceneTables, cfg: RenderConfig, st, code, pixel,
     integrator's _bounce (render/integrator.py) with the full intersect
     replaced by the known-winner recompute."""
     o, d, tp, rgb, alive = st
+    smp = rng.resolve(cfg.sampler)
 
     survive = jnp.ones_like(alive)
     if cfg.p_rr > 0.0:
-        u_rr = rng.uniform(jnp, seed, pixel, sample, bounce, rng.RR)
+        u_rr = smp.uniform(jnp, seed, pixel, sample, bounce, rng.RR)
         survive = u_rr <= cfg.p_rr
 
     hit_mask = code >= 0
     hit = _attributes_for_tape(tables, o, d, code)
     valid = hit.hit
 
-    ball = rng.in_unit_ball(jnp, seed, pixel, sample, bounce)
-    refl_u = rng.uniform(jnp, seed, pixel, sample, bounce, rng.DIEL_REFL)
+    ball = smp.in_unit_ball(jnp, seed, pixel, sample, bounce)
+    refl_u = smp.uniform(jnp, seed, pixel, sample, bounce, rng.DIEL_REFL)
     sc, em = materials.shade(tables, hit.mat, d, hit.normal,
                              hit.front_face, hit.u, hit.v, hit.p,
                              ball, refl_u)
@@ -337,7 +341,7 @@ def make_tape_render(tables: SceneTables, cfg: RenderConfig, spp: int,
         def _rays(s):
             sample = jnp.full(px.shape, s, jnp.uint32)
             ro, rd = generate_rays(tbl.camera, width, height, px, py,
-                                   sample, seed, cfg.enable_defocus)
+                                   sample, seed, cfg.enable_defocus, cfg.sampler)
             return sample, ro, rd
 
         def _replay(s, codes):
@@ -418,6 +422,11 @@ def make_tape_vg(tables: SceneTables, cfg: RenderConfig, px, py, target,
     from rt_tpu.ops.pallas_mega import mega_capture, mega_supported
 
     assert mega_supported(tables), "mega_capture needs a megakernel scene"
+    if cfg.sampler != "rng":
+        raise ValueError(
+            "make_tape_vg captures in-kernel with the triple32 RNG twin; "
+            "QMC has no in-kernel twin yet — fit with method='tape' on "
+            "sampler='rng', or method='replay' (sampler-aware)")
     if bool(cfg.nee) and tables.n_lights > 0:
         raise ValueError(
             "make_tape_vg does not replay the NEE direct-light term "
@@ -457,7 +466,7 @@ def make_tape_vg(tables: SceneTables, cfg: RenderConfig, px, py, target,
         def cap_one(s_):
             sample = jnp.full(px.shape, s_, jnp.uint32)
             ro, rd = generate_rays(tbl.camera, width, height, px, py,
-                                   sample, seed, cfg.enable_defocus)
+                                   sample, seed, cfg.enable_defocus, cfg.sampler)
             return mega_capture(tbl, cfg,
                                 jax.lax.stop_gradient(ro),
                                 jax.lax.stop_gradient(rd),
@@ -487,7 +496,7 @@ def make_tape_vg(tables: SceneTables, cfg: RenderConfig, px, py, target,
             pys = pid_s // width
             sample = jnp.full(pid_s.shape, s_, jnp.uint32)
             ro, rd = generate_rays(tbl.camera, width, height, pxs, pys,
-                                   sample, seed, cfg.enable_defocus)
+                                   sample, seed, cfg.enable_defocus, cfg.sampler)
             rr_comp = (jnp.float32(1.0 / cfg.p_rr) if cfg.p_rr > 0.0
                        else jnp.float32(1.0))
             st = (ro, rd,

@@ -52,13 +52,14 @@ def make_camera_jnp(lookfrom, lookat, vup, vfov_deg, aspect_ratio,
 
 
 def generate_rays(cam: CameraDef, width, height, px, py, sample_idx, seed,
-                  enable_defocus: bool):
+                  enable_defocus: bool, sampler: str = "rng"):
     """px, py: [B] integer pixel coords (x right, y up from bottom — the
     reference's (i, j) with v measured up, main.cu:95-99).
     Returns (ro [B,3], rd [B,3])."""
+    smp = rng.resolve(sampler)
     pixel = (py * width + px).astype(jnp.uint32)
-    ru = rng.uniform(jnp, seed, pixel, sample_idx, 0, rng.PIXEL_U)
-    rv = rng.uniform(jnp, seed, pixel, sample_idx, 0, rng.PIXEL_V)
+    ru = smp.uniform(jnp, seed, pixel, sample_idx, 0, rng.PIXEL_U)
+    rv = smp.uniform(jnp, seed, pixel, sample_idx, 0, rng.PIXEL_V)
     # ((w-1) or 1): a 1-pixel-wide/tall frame would otherwise divide by
     # zero and poison every ray direction with NaN (single-scanline
     # debug renders)
@@ -66,7 +67,7 @@ def generate_rays(cam: CameraDef, width, height, px, py, sample_idx, seed,
     t = (py.astype(jnp.float32) + rv) / ((height - 1) or 1)
 
     if enable_defocus:
-        disk = rng.in_unit_disk(jnp, seed, pixel, sample_idx, 0)
+        disk = smp.in_unit_disk(jnp, seed, pixel, sample_idx, 0)
         rd_lens = cam.lens_radius * disk
         offset = (cam.u[None, :] * rd_lens[:, :1]
                   + cam.v[None, :] * rd_lens[:, 1:2])

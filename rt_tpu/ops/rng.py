@@ -42,6 +42,22 @@ NEE_U2 = 13
 
 _GOLD = 0x9E3779B9  # 2**32 / golden ratio; Weyl increment for key words
 
+
+def resolve(sampler: str):
+    """Resolve a RenderConfig.sampler name to its draw module — this
+    module ("rng", pseudo-random triple32) or ops.qmc ("qmc",
+    Owen-scrambled Sobol'). Both expose the same pure-function draw
+    surface: uniform / in_unit_ball / in_unit_disk."""
+    if sampler == "qmc":
+        from rt_tpu.ops import qmc
+
+        return qmc
+    if sampler != "rng":
+        raise ValueError(f"unknown sampler {sampler!r} (want 'rng' or 'qmc')")
+    import sys
+
+    return sys.modules[__name__]
+
 _U32 = {np: np.uint32, jnp: jnp.uint32}
 
 

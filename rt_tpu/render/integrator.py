@@ -77,14 +77,15 @@ def _nee_direct(tables: SceneTables, cfg: RenderConfig, hit, albedo,
     sampling of any kind."""
     from rt_tpu.ops.intersect import occluded
 
+    smp = rng.resolve(cfg.sampler)
     L = tables.n_lights
-    u_pick = rng.uniform(jnp, seed, pixel, sample_idx, bounce_idx,
+    u_pick = smp.uniform(jnp, seed, pixel, sample_idx, bounce_idx,
                          rng.NEE_PICK)
     li = jnp.minimum((u_pick * L).astype(jnp.int32), L - 1)
     fam = tables.light_fam[li]
     pid = tables.light_pid[li]
-    u1 = rng.uniform(jnp, seed, pixel, sample_idx, bounce_idx, rng.NEE_U1)
-    u2 = rng.uniform(jnp, seed, pixel, sample_idx, bounce_idx, rng.NEE_U2)
+    u1 = smp.uniform(jnp, seed, pixel, sample_idx, bounce_idx, rng.NEE_U1)
+    u2 = smp.uniform(jnp, seed, pixel, sample_idx, bounce_idx, rng.NEE_U2)
 
     b = pixel.shape[0]
     point = jnp.zeros((b, 3), jnp.float32)
@@ -173,18 +174,19 @@ def _bounce(tables: SceneTables, cfg: RenderConfig, state: RayState,
     and each lambertian bounce adds its direct-light sample."""
     o, d, tp, rgb, alive = state
     nee = prev_diff is not None
+    smp = rng.resolve(cfg.sampler)
 
     survive = jnp.ones_like(alive)
     if cfg.p_rr > 0.0:
         # RR check precedes the hit test (4_0_path_tracing.py:45-46)
-        u_rr = rng.uniform(jnp, seed, pixel, sample_idx, bounce_idx, rng.RR)
+        u_rr = smp.uniform(jnp, seed, pixel, sample_idx, bounce_idx, rng.RR)
         survive = u_rr <= cfg.p_rr
 
     hit = intersect(tables, o, d, engine=cfg.engine,
                     traversal=cfg.traversal)
 
-    ball = rng.in_unit_ball(jnp, seed, pixel, sample_idx, bounce_idx)
-    refl_u = rng.uniform(jnp, seed, pixel, sample_idx, bounce_idx,
+    ball = smp.in_unit_ball(jnp, seed, pixel, sample_idx, bounce_idx)
+    refl_u = smp.uniform(jnp, seed, pixel, sample_idx, bounce_idx,
                          rng.DIEL_REFL)
     sc, em = materials.shade(tables, hit.mat, d, hit.normal, hit.front_face,
                              hit.u, hit.v, hit.p, ball, refl_u)
@@ -239,6 +241,10 @@ def trace(tables: SceneTables, cfg: RenderConfig, ro, rd, pixel, sample_idx,
     (ops/pallas_mega.py); unsupported scenes fall back to the hybrid
     per-bounce loop with engine="pallas"."""
     nee = bool(cfg.nee) and tables.n_lights > 0
+    if cfg.engine == "mega" and cfg.sampler != "rng":
+        # the megakernel's in-kernel RNG twin is triple32-only so far;
+        # QMC renders ride the hybrid engine
+        cfg = cfg.replace(engine="pallas")
     if cfg.engine == "mega":
         from rt_tpu.ops.pallas_mega import mega_supported, mega_trace
 

@@ -205,14 +205,15 @@ def _oracle_nee(sdef: SceneDef, tables, cfg: RenderConfig, rec, atten,
     """Scalar twin of integrator._nee_direct: area-sample one light
     (same RNG coordinates, same (2/pi)cos^3 weighting), occlusion via
     the oracle's OWN sequential hit scan."""
+    smp = rng.resolve(cfg.sampler)
     L = tables.n_lights
-    u_pick = float(rng.uniform(np, seed, pixel, sample, bounce,
+    u_pick = float(smp.uniform(np, seed, pixel, sample, bounce,
                                rng.NEE_PICK))
     li = min(int(u_pick * L), L - 1)
     fam = int(tables.light_fam[li])
     pid = int(tables.light_pid[li])
-    u1 = float(rng.uniform(np, seed, pixel, sample, bounce, rng.NEE_U1))
-    u2 = float(rng.uniform(np, seed, pixel, sample, bounce, rng.NEE_U2))
+    u1 = float(smp.uniform(np, seed, pixel, sample, bounce, rng.NEE_U1))
+    u2 = float(smp.uniform(np, seed, pixel, sample, bounce, rng.NEE_U2))
     phi = 2.0 * np.pi * u2
     if fam == 0:
         c = np.asarray(tables.sph_center[pid], np.float32)
@@ -270,12 +271,13 @@ def _oracle_nee(sdef: SceneDef, tables, cfg: RenderConfig, rec, atten,
 
 def _ray_color(sdef: SceneDef, cfg: RenderConfig, ro, rd, pixel, sample,
                seed, nee_tables=None):
+    smp = rng.resolve(cfg.sampler)
     tp = np.ones(3, np.float32)
     rgb = np.zeros(3, np.float32)
     prev_diff = False
     for bounce in range(cfg.max_depth):
         if cfg.p_rr > 0.0:
-            u_rr = float(rng.uniform(np, seed, pixel, sample, bounce, rng.RR))
+            u_rr = float(smp.uniform(np, seed, pixel, sample, bounce, rng.RR))
             if u_rr > cfg.p_rr:
                 return rgb
         rec = _scene_hit(sdef, ro, rd)
@@ -291,7 +293,7 @@ def _ray_color(sdef: SceneDef, cfg: RenderConfig, ro, rd, pixel, sample,
             return rgb + tp * em
 
         ball = np.asarray(
-            rng.in_unit_ball(np, seed, np.uint32(pixel), np.uint32(sample),
+            smp.in_unit_ball(np, seed, np.uint32(pixel), np.uint32(sample),
                              np.uint32(bounce)))
         n = rec["normal"]
         if mat["type"] == "lambertian":
@@ -311,7 +313,7 @@ def _ray_color(sdef: SceneDef, cfg: RenderConfig, ro, rd, pixel, sample,
             ud = _unit(rd)
             cos_t = min(-(ud @ n), 1.0)
             sin_t = np.sqrt(max(0.0, 1 - cos_t * cos_t))
-            refl_u = float(rng.uniform(np, seed, pixel, sample, bounce,
+            refl_u = float(smp.uniform(np, seed, pixel, sample, bounce,
                                        rng.DIEL_REFL))
             r0 = ((1 - ratio) / (1 + ratio)) ** 2
             schlick = r0 + (1 - r0) * (1 - cos_t) ** 5
@@ -353,6 +355,7 @@ def render_oracle(sdef: SceneDef, cfg: RenderConfig) -> np.ndarray:
         t = build_tables(sdef)
         if t.n_lights > 0:
             nee_tables = t
+    smp = rng.resolve(cfg.sampler)
     cam = sdef.camera
     out = np.zeros((cfg.height, cfg.width, 3), np.float32)
     for y in range(cfg.height):
@@ -361,15 +364,15 @@ def render_oracle(sdef: SceneDef, cfg: RenderConfig) -> np.ndarray:
             acc = np.zeros(3, np.float32)
             for s in range(cfg.samples_per_pixel):
                 s32 = np.uint32(s)
-                ru = float(rng.uniform(np, cfg.seed, pixel, s32, 0,
+                ru = float(smp.uniform(np, cfg.seed, pixel, s32, 0,
                                        rng.PIXEL_U))
-                rv = float(rng.uniform(np, cfg.seed, pixel, s32, 0,
+                rv = float(smp.uniform(np, cfg.seed, pixel, s32, 0,
                                        rng.PIXEL_V))
                 u = (x + ru) / (cfg.width - 1)
                 v = (y + rv) / (cfg.height - 1)
                 if cfg.enable_defocus:
                     disk = np.asarray(
-                        rng.in_unit_disk(np, cfg.seed, pixel, s32, 0))
+                        smp.in_unit_disk(np, cfg.seed, pixel, s32, 0))
                     rd_lens = float(cam.lens_radius) * disk
                     offset = (np.asarray(cam.u) * rd_lens[0]
                               + np.asarray(cam.v) * rd_lens[1])

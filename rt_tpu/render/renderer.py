@@ -45,7 +45,7 @@ def render_block(tables: SceneTables, cfg: RenderConfig, px, py,
         s_idx = (sample_start + i).astype(jnp.uint32)
         sample = jnp.full(px.shape, s_idx, jnp.uint32)
         ro, rd = generate_rays(tables.camera, width, height, px, py, sample,
-                               seed, cfg.enable_defocus)
+                               seed, cfg.enable_defocus, cfg.sampler)
         rgb = trace(tables, cfg, ro, rd,
                     (py * width + px).astype(jnp.uint32), sample, seed)
         return acc + rgb
@@ -112,6 +112,7 @@ def render(tables: SceneTables, cfg: RenderConfig,
 
     use_regen = (bool(getattr(cfg, "regen", False))
                  and cfg.engine == "mega"
+                 and cfg.sampler == "rng"  # in-kernel RNG twin only
                  and not bool(getattr(cfg, "nee", False)))
     if use_regen:
         from rt_tpu.ops.pallas_mega import mega_supported
