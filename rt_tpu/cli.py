@@ -68,7 +68,7 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="sample sequence: counter-based pseudo-random "
                         "(rng, reference-equivalent default) or "
                         "Owen-scrambled Sobol' (qmc: lower error at "
-                        "equal spp; rides the hybrid engine)")
+                        "equal spp; runs in-kernel on every engine)")
     p.add_argument("--nee", action="store_true",
                    help="next-event estimation: area-sample one emissive "
                         "primitive per diffuse bounce + shadow ray "

@@ -528,13 +528,6 @@ def make_replay_render(
     use_kernel = (bwd_kernel if bwd_kernel is not None
                   else (cfg.engine == "mega"
                         and jax.default_backend() == "tpu"))
-    if cfg.sampler != "rng" and use_kernel:
-        if bwd_kernel:
-            raise ValueError(
-                "bwd_kernel=True with a QMC sampler: the adjoint "
-                "megakernel's in-kernel RNG twin is triple32-only — "
-                "use the hybrid/XLA replay (bwd_kernel=False or None)")
-        use_kernel = False  # auto: per-bounce replay draws via cfg.sampler
     if nee and use_kernel:
         if bwd_kernel:
             raise ValueError(

@@ -137,8 +137,6 @@ def capture_tape(tables: SceneTables, cfg: RenderConfig, ro, rd, pixel,
     rd = jax.lax.stop_gradient(rd)
     b = ro.shape[0]
 
-    if engine == "mega" and cfg.sampler != "rng":
-        engine = "pallas"  # in-kernel capture has no QMC twin yet
     if engine == "mega" and mega_supported(tables):
         # in-kernel capture (VERDICT r2 #3): one megakernel launch per
         # sample instead of max_depth hybrid intersect dispatches.
@@ -422,11 +420,6 @@ def make_tape_vg(tables: SceneTables, cfg: RenderConfig, px, py, target,
     from rt_tpu.ops.pallas_mega import mega_capture, mega_supported
 
     assert mega_supported(tables), "mega_capture needs a megakernel scene"
-    if cfg.sampler != "rng":
-        raise ValueError(
-            "make_tape_vg captures in-kernel with the triple32 RNG twin; "
-            "QMC has no in-kernel twin yet — fit with method='tape' on "
-            "sampler='rng', or method='replay' (sampler-aware)")
     if bool(cfg.nee) and tables.n_lights > 0:
         raise ValueError(
             "make_tape_vg does not replay the NEE direct-light term "

@@ -49,6 +49,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rt_tpu.ops import qmc as qmc_mod
 from rt_tpu.ops import rng as rng_mod
 from rt_tpu.scene.types import (
     MAT_DIELECTRIC,
@@ -577,18 +578,69 @@ def _key(seed, pixel, sample, bounce, purpose):
     return s
 
 
-def _uniform(seed, pixel, sample, bounce, purpose):
-    bits = _key(seed, pixel, sample, bounce, purpose)
+# ---- in-kernel QMC twin (ops/qmc.py, bit-identical streams): the
+# Owen-scrambled Sobol' sampler in the kernel's i32-with-logical-shift
+# convention. Constants re-expressed as wrapped int32 like _M1-_M3. ----
+
+
+def _i32c(v):
+    v = int(v)
+    return np.int32(v - (1 << 32) if v >= (1 << 31) else v)
+
+
+_QK = tuple(_i32c(c) for c in (0x6C50B47C, 0xB82F1E52, 0xC7AFE638,
+                               0x8D22F6E6))
+_QMC_DIRS = tuple(tuple(_i32c(v) for v in d) for d in qmc_mod._DIRS)
+_QMC_TAG = np.int32(qmc_mod.QMC_TAG)
+_QSITE_BASE = int(qmc_mod._SITE_BASE)
+
+
+def _revbits(x):
+    x = (_shr(x, 1) & np.int32(0x55555555)) | ((x & np.int32(0x55555555)) << 1)
+    x = (_shr(x, 2) & np.int32(0x33333333)) | ((x & np.int32(0x33333333)) << 2)
+    x = (_shr(x, 4) & np.int32(0x0F0F0F0F)) | ((x & np.int32(0x0F0F0F0F)) << 4)
+    x = (_shr(x, 8) & np.int32(0x00FF00FF)) | ((x & np.int32(0x00FF00FF)) << 8)
+    return _shr(x, 16) | (x << 16)
+
+
+def _nested_scramble(x, seed):
+    x = _revbits(x) + seed
+    for c in _QK:
+        x = x ^ (x * c)
+    return _revbits(x)
+
+
+def _sobol_bits(idx, dim: int):
+    if dim == 0:
+        return _revbits(idx)
+    dirs = _QMC_DIRS[dim - 1]
+    acc = jnp.zeros_like(idx)
+    one = np.int32(1)
+    for i in range(32):
+        acc = acc ^ ((_shr(idx, i) & one) * dirs[i])
+    return acc
+
+
+def _uniform(seed, pixel, sample, bounce, purpose, qmc: bool = False):
+    """One U[0,1) draw at a stream coordinate. `purpose` is a STATIC
+    rng purpose constant; qmc=True runs the scrambled-Sobol' twin."""
+    if not qmc:
+        bits = _key(seed, pixel, sample, bounce,
+                    jnp.full_like(pixel, purpose))
+        return _shr(bits, 8).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+    site, dim = qmc_mod._SITE[int(purpose)]
+    sk = _key(seed, pixel, jnp.full_like(pixel, _QMC_TAG), bounce,
+              jnp.full_like(pixel, _QSITE_BASE + site))
+    idx = _nested_scramble(sample, _fold(sk, jnp.full_like(pixel, 1)))
+    bits = _nested_scramble(_sobol_bits(idx, dim),
+                            _fold(sk, jnp.full_like(pixel, 2 + dim)))
     return _shr(bits, 8).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
 
 
-def _unit_ball(seed, pixel, sample, bounce):
-    u1 = _uniform(seed, pixel, sample, bounce,
-                  jnp.full_like(pixel, rng_mod.SCAT_U1))
-    u2 = _uniform(seed, pixel, sample, bounce,
-                  jnp.full_like(pixel, rng_mod.SCAT_U2))
-    u3 = _uniform(seed, pixel, sample, bounce,
-                  jnp.full_like(pixel, rng_mod.SCAT_U3))
+def _unit_ball(seed, pixel, sample, bounce, qmc: bool = False):
+    u1 = _uniform(seed, pixel, sample, bounce, rng_mod.SCAT_U1, qmc)
+    u2 = _uniform(seed, pixel, sample, bounce, rng_mod.SCAT_U2, qmc)
+    u3 = _uniform(seed, pixel, sample, bounce, rng_mod.SCAT_U3, qmc)
     # Mosaic has no cbrt primitive; exp(log(x)/3) matches to ~1 ulp
     # (statistically identical streams; images agree within sample noise)
     r = jnp.where(u1 > 0.0,
@@ -711,7 +763,8 @@ def _make_do_bounce(seed, pix, background,
                     adjoint: bool = False, n_slots: int = 0,
                     Lrgb=None, grgb=None, grad_bg: bool = False,
                     capture: bool = False, code_refs=None,
-                    nee: bool = False, nee_ref=None, n_lights: int = 0):
+                    nee: bool = False, nee_ref=None, n_lights: int = 0,
+                    qmc: bool = False):
     """Build the per-bounce closure shared by both kernel drivers.
 
     capture=True (the in-kernel tape capture, diff/tape.py): each family
@@ -923,8 +976,7 @@ def _make_do_bounce(seed, pix, background,
 
         live = alive > 0.0
         if p_rr > 0.0:
-            u_rr = _uniform(seed, pix, sample, bounce,
-                            jnp.full_like(pix, rng_mod.RR))
+            u_rr = _uniform(seed, pix, sample, bounce, rng_mod.RR, qmc)
             live = live & (u_rr <= p_rr)
 
         # ---- closest hit: ray x primitive bilinear terms as
@@ -1331,7 +1383,7 @@ def _make_do_bounce(seed, pix, background,
         is_light = mtype == MAT_DIFFUSE_LIGHT
 
         # ---- scatter ----
-        bx, by, bz = _unit_ball(seed, pix, sample, bounce)
+        bx, by, bz = _unit_ball(seed, pix, sample, bounce, qmc)
 
         lam_x = nx + bx
         lam_y = ny2 + by
@@ -1365,7 +1417,7 @@ def _make_do_bounce(seed, pix, background,
         om2 = one_mc * one_mc
         schlick = r0 + (1.0 - r0) * om2 * om2 * one_mc
         u_refl = _uniform(seed, pix, sample, bounce,
-                          jnp.full_like(pix, rng_mod.DIEL_REFL))
+                          rng_mod.DIEL_REFL, qmc)
         choose_ref = cannot | (schlick > u_refl)
         # refract (vec3.cuh:125-131)
         rp_x = ratio * (ux + cos_theta * nx)
@@ -1412,11 +1464,9 @@ def _make_do_bounce(seed, pix, background,
             # the direct term for lambertian winners ----
             lam_lane = scattered & is_lam
             u_pick = _uniform(seed, pix, sample, bounce,
-                              jnp.full_like(pix, rng_mod.NEE_PICK))
-            u1 = _uniform(seed, pix, sample, bounce,
-                          jnp.full_like(pix, rng_mod.NEE_U1))
-            u2 = _uniform(seed, pix, sample, bounce,
-                          jnp.full_like(pix, rng_mod.NEE_U2))
+                              rng_mod.NEE_PICK, qmc)
+            u1 = _uniform(seed, pix, sample, bounce, rng_mod.NEE_U1, qmc)
+            u2 = _uniform(seed, pix, sample, bounce, rng_mod.NEE_U2, qmc)
             li = jnp.minimum((u_pick * n_lights).astype(jnp.int32),
                              n_lights - 1)
             lp_rows = nee_ref.shape[0]
@@ -1627,7 +1677,8 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                  has_img: bool, img_th: int, img_tw: int,
                  cull: bool = False, cull_t: bool = False,
                  mxu: bool = False,
-                 nee: bool = False, n_lights: int = 0):
+                 nee: bool = False, n_lights: int = 0,
+                 qmc: bool = False):
     seed = scal_i_ref[0, 0]
     sample = scal_i_ref[0, 1]
     start_bounce = scal_i_ref[0, 2]
@@ -1641,7 +1692,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
         ns=ns, nr=nr, ny_=ny_, nt=nt, s_chunk=s_chunk, r_chunk=r_chunk,
         y_chunk=y_chunk, t_chunk=t_chunk, t_min=t_min, p_rr=p_rr,
         has_img=has_img, img_th=img_th, img_tw=img_tw, cull=cull,
-        cull_t=cull_t, mxu=mxu)
+        cull_t=cull_t, mxu=mxu, qmc=qmc)
 
     # while_loop (supported by Mosaic): the tile EXITS the bounce loop
     # the moment every lane is dead, rather than cond-skipping each
@@ -1693,7 +1744,7 @@ def _capture_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                     t_chunk: int, max_depth: int, t_min: float,
                     p_rr: float, has_img: bool, img_th: int, img_tw: int,
                     cull: bool = False, cull_t: bool = False,
-                    mxu: bool = False):
+                    mxu: bool = False, qmc: bool = False):
     """Tape-capture megakernel (VERDICT r2 #3): one full-path trace that
     emits, per bounce, the closest-hit winner's tape code (the integer
     diff/tape.capture_tape records with the hybrid per-bounce
@@ -1719,7 +1770,7 @@ def _capture_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
         has_img=has_img, img_th=img_th, img_tw=img_tw, cull=cull,
         cull_t=cull_t, mxu=mxu,
         capture=True,
-        code_refs=(scode_ref, rcode_ref, ycode_ref, tcode_ref))
+        code_refs=(scode_ref, rcode_ref, ycode_ref, tcode_ref), qmc=qmc)
 
     # codes ride the while carry as a [max_depth, 8, LANES] value updated
     # by per-bounce select (Mosaic has no dynamic-index ref store inside
@@ -1757,7 +1808,7 @@ def _capture_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
     jax.jit,
     static_argnames=("counts", "max_depth", "t_min", "p_rr", "has_img",
                      "img_th", "img_tw", "cull", "cull_t", "mxu",
-                     "interpret"))
+                     "qmc", "interpret"))
 def capture_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
                     sph_co, uv_tabs, code_tabs, atlas, counts,
                     ro3, rd3, pixel, sample_idx, seed,
@@ -1766,7 +1817,8 @@ def capture_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
                     has_img: bool = False, img_th: int = 1,
                     img_tw: int = 1,
                     cull: bool = False, cull_t: bool = False,
-                    mxu: bool = False, interpret: bool = False):
+                    mxu: bool = False, qmc: bool = False,
+                    interpret: bool = False):
     """Run the capture kernel over B primary rays (B % RAY_TILE == 0).
     Returns (codes [max_depth, B] int32, death [B] int32)."""
     b = ro3[0].shape[0]
@@ -1790,7 +1842,8 @@ def capture_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
         t_chunk=min(max(nt, 1), SPH_CHUNK),
         max_depth=int(max_depth), t_min=float(t_min), p_rr=float(p_rr),
         has_img=bool(has_img), img_th=int(img_th), img_tw=int(img_tw),
-        cull=bool(cull), cull_t=bool(cull_t), mxu=bool(mxu))
+        cull=bool(cull), cull_t=bool(cull_t), mxu=bool(mxu),
+        qmc=bool(qmc))
 
     ray_spec = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -1902,7 +1955,7 @@ def _adjoint_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                     has_img: bool, img_th: int, img_tw: int,
                     n_slots: int = 0,
                     cull: bool = False, cull_t: bool = False,
-                    mxu: bool = False):
+                    mxu: bool = False, qmc: bool = False):
     """The BACKWARD megakernel: _mega_kernel's bounce loop replayed with
     the adjoint accumulation enabled (see _make_do_bounce adjoint=True).
     Extra per-lane inputs: the sample's radiance L and loss cotangent g;
@@ -1926,7 +1979,7 @@ def _adjoint_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
         cull_t=cull_t, mxu=mxu,
         adjoint=True, n_slots=n_slots,
         Lrgb=(lr_ref[0], lg_ref[0], lb_ref[0]),
-        grgb=(gr_ref[0], gg_ref[0], gb_ref[0]), grad_bg=grad_bg)
+        grgb=(gr_ref[0], gg_ref[0], gb_ref[0]), grad_bg=grad_bg, qmc=qmc)
 
     def bounce_cond(bst):
         b, (st_, _, _, _, _) = bst
@@ -2003,7 +2056,7 @@ def _regen_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                   p_rr: float, grad_bg: bool, exhaust_bg: bool,
                   has_img: bool, img_th: int, img_tw: int,
                   cull: bool = False, cull_t: bool = False,
-                  mxu: bool = False):
+                  mxu: bool = False, qmc: bool = False):
     """Sample-regeneration driver: the whole spp loop lives in-kernel.
 
     Instead of one launch per sample with occupancy decaying over the
@@ -2038,7 +2091,7 @@ def _regen_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
         ns=ns, nr=nr, ny_=ny_, nt=nt, s_chunk=s_chunk, r_chunk=r_chunk,
         y_chunk=y_chunk, t_chunk=t_chunk, t_min=t_min, p_rr=p_rr,
         has_img=has_img, img_th=img_th, img_tw=img_tw, cull=cull,
-        cull_t=cull_t, mxu=mxu)
+        cull_t=cull_t, mxu=mxu, qmc=qmc)
 
     # camera frame constants (SMEM scalars; layout set by mega_regen)
     c_org = (scal_f_ref[0, 3], scal_f_ref[0, 4], scal_f_ref[0, 5])
@@ -2061,17 +2114,13 @@ def _regen_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
     def camera_ray(samp):
         """Bit-matches ops/camera.generate_rays (same RNG draws, same
         f32 expression order per component)."""
-        ru = _uniform(seed, pix, samp, zero_b,
-                      jnp.full_like(pix, rng_mod.PIXEL_U))
-        rv = _uniform(seed, pix, samp, zero_b,
-                      jnp.full_like(pix, rng_mod.PIXEL_V))
+        ru = _uniform(seed, pix, samp, zero_b, rng_mod.PIXEL_U, qmc)
+        rv = _uniform(seed, pix, samp, zero_b, rng_mod.PIXEL_V, qmc)
         s_ = (px_f + ru) / np.float32(width - 1)
         t_ = (py_f + rv) / np.float32(height - 1)
         if defocus:
-            u1 = _uniform(seed, pix, samp, zero_b,
-                          jnp.full_like(pix, rng_mod.LENS_U1))
-            u2 = _uniform(seed, pix, samp, zero_b,
-                          jnp.full_like(pix, rng_mod.LENS_U2))
+            u1 = _uniform(seed, pix, samp, zero_b, rng_mod.LENS_U1, qmc)
+            u2 = _uniform(seed, pix, samp, zero_b, rng_mod.LENS_U2, qmc)
             r = jnp.sqrt(u1)
             phi = np.float32(2.0 * np.pi) * u2
             rl0 = c_lr * (r * jnp.cos(phi))
@@ -2159,7 +2208,7 @@ def _regen_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
     jax.jit,
     static_argnames=("counts", "max_depth", "t_min", "p_rr", "grad_bg",
                      "exhaust_bg", "has_img", "img_th", "img_tw",
-                     "cull", "cull_t", "mxu", "interpret", "nee",
+                     "cull", "cull_t", "mxu", "qmc", "interpret", "nee",
                      "n_lights"))
 def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
                  uv_tabs, nee_tab,
@@ -2171,7 +2220,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
                  has_img: bool = False, img_th: int = 1, img_tw: int = 1,
                  cull: bool = False, cull_t: bool = False,
                  mxu: bool = False,
-                 interpret: bool = False,
+                 qmc: bool = False, interpret: bool = False,
                  nee: bool = False, n_lights: int = 0):
     """Advance B rays (B % RAY_TILE == 0) max_depth bounces.
 
@@ -2206,7 +2255,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
         t_min=float(t_min), p_rr=float(p_rr), grad_bg=bool(grad_bg),
         exhaust_bg=bool(exhaust_bg), has_img=bool(has_img),
         img_th=int(img_th), img_tw=int(img_tw), cull=bool(cull),
-        cull_t=bool(cull_t), mxu=bool(mxu),
+        cull_t=bool(cull_t), mxu=bool(mxu), qmc=bool(qmc),
         nee=bool(nee), n_lights=int(n_lights))
 
     ray_spec = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
@@ -2258,7 +2307,7 @@ def adjoint_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
                     has_img: bool = False, img_th: int = 1,
                     img_tw: int = 1,
                     cull: bool = False, cull_t: bool = False,
-                    mxu: bool = False,
+                    mxu: bool = False, qmc: bool = False,
                     interpret: bool = False):
     """Advance B replay lanes max_depth bounces AND accumulate the
     radiometric parameter adjoints (see _adjoint_kernel). Lg6 = 6 [B]
@@ -2289,7 +2338,7 @@ def adjoint_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
         t_min=float(t_min), p_rr=float(p_rr), grad_bg=bool(grad_bg),
         exhaust_bg=bool(exhaust_bg), has_img=bool(has_img),
         img_th=int(img_th), img_tw=int(img_tw), cull=bool(cull),
-        cull_t=bool(cull_t), mxu=bool(mxu))
+        cull_t=bool(cull_t), mxu=bool(mxu), qmc=bool(qmc))
 
     ray_spec = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -2589,7 +2638,9 @@ def _prep_scene(tables: SceneTables, cfg, want_codes: bool = False):
     kw = dict(p_rr=cfg.p_rr,
               grad_bg=cfg.background_mode == "gradient",
               has_img=has_img, img_th=img_th, img_tw=img_tw,
-              cull=cull, cull_t=cull_t, mxu=mxu, interpret=interpret)
+              cull=cull, cull_t=cull_t, mxu=mxu,
+              qmc=getattr(cfg, "sampler", "rng") == "qmc",
+              interpret=interpret)
     if want_codes:
         def codes_for(tab, fam, order):
             n = tab.shape[0]
@@ -2869,7 +2920,7 @@ def camera_vec(cam) -> jnp.ndarray:
                      "height",
                      "defocus", "t_min", "p_rr", "grad_bg", "exhaust_bg",
                      "has_img", "img_th", "img_tw", "cull", "cull_t",
-                     "mxu", "interpret"))
+                     "mxu", "qmc", "interpret"))
 def mega_regen(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
                uv_tabs, atlas, counts, background, cam_vec,
                state, pixel, py, samp, bvec,
@@ -2878,7 +2929,8 @@ def mega_regen(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
                width, height,
                defocus, t_min=1e-3, p_rr=0.0, grad_bg=False,
                exhaust_bg=False, has_img=False, img_th=1, img_tw=1,
-               cull=False, cull_t=False, mxu=False, interpret=False):
+               cull=False, cull_t=False, mxu=False, qmc=False,
+               interpret=False):
     """Advance B regen lanes up to seg_iters regen-loop iterations.
 
     state: the 13-tuple of [B] f32 arrays (ox..alive); samp/bvec: [B]
@@ -2915,7 +2967,7 @@ def mega_regen(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
         t_min=float(t_min), p_rr=float(p_rr), grad_bg=bool(grad_bg),
         exhaust_bg=bool(exhaust_bg), has_img=bool(has_img),
         img_th=int(img_th), img_tw=int(img_tw), cull=bool(cull),
-        cull_t=bool(cull_t), mxu=bool(mxu))
+        cull_t=bool(cull_t), mxu=bool(mxu), qmc=bool(qmc))
 
     ray_spec = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)

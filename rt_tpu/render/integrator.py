@@ -241,10 +241,6 @@ def trace(tables: SceneTables, cfg: RenderConfig, ro, rd, pixel, sample_idx,
     (ops/pallas_mega.py); unsupported scenes fall back to the hybrid
     per-bounce loop with engine="pallas"."""
     nee = bool(cfg.nee) and tables.n_lights > 0
-    if cfg.engine == "mega" and cfg.sampler != "rng":
-        # the megakernel's in-kernel RNG twin is triple32-only so far;
-        # QMC renders ride the hybrid engine
-        cfg = cfg.replace(engine="pallas")
     if cfg.engine == "mega":
         from rt_tpu.ops.pallas_mega import mega_supported, mega_trace
 

@@ -112,7 +112,6 @@ def render(tables: SceneTables, cfg: RenderConfig,
 
     use_regen = (bool(getattr(cfg, "regen", False))
                  and cfg.engine == "mega"
-                 and cfg.sampler == "rng"  # in-kernel RNG twin only
                  and not bool(getattr(cfg, "nee", False)))
     if use_regen:
         from rt_tpu.ops.pallas_mega import mega_supported

@@ -124,8 +124,8 @@ def test_render_error_beats_rng():
 
 
 def test_engines_agree_under_qmc():
-    """xla and hybrid-pallas engines consume identical QMC streams; the
-    mega engine transparently falls back (no in-kernel twin yet)."""
+    """xla and the PRODUCTION megakernel consume identical QMC streams
+    (the in-kernel i32 scrambled-Sobol' twin)."""
     from rt_tpu.render.renderer import render
     from rt_tpu.scene.builders import three_sphere_scene
     from rt_tpu.scene.types import build_tables
@@ -137,7 +137,7 @@ def test_engines_agree_under_qmc():
                        max_depth=6, background_mode="gradient",
                        sampler="qmc", engine="xla", loop="scan")
     a = render(tables, cfg)
-    b = render(tables, cfg.replace(engine="mega"))  # falls back to hybrid
+    b = render(tables, cfg.replace(engine="mega"))  # in-kernel twin
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
@@ -209,3 +209,130 @@ def test_replay_grads_qmc():
     fd = (lp - lm) / (2 * eps)
     assert np.isfinite(fd) and np.isfinite(float(g[i, c]))
     np.testing.assert_allclose(float(g[i, c]), fd, rtol=0.12, atol=1e-4)
+
+
+def test_mega_qmc_matches_host_qmc():
+    """In-kernel i32 scrambled-Sobol' == ops/qmc.py u32 stream, bitwise
+    (for every site family, multiple bounces/samples)."""
+    from rt_tpu.ops.pallas_mega import _uniform as mega_uniform
+
+    pix_np = np.arange(128, dtype=np.uint32).reshape(8, 16)
+    pix = jnp.asarray(pix_np.astype(np.int32))
+    for purpose in (rng.PIXEL_U, rng.LENS_U2, rng.SCAT_U1, rng.SCAT_U2,
+                    rng.SCAT_U3, rng.DIEL_REFL, rng.RR, rng.NEE_U2):
+        for sample, bounce in ((0, 0), (3, 2), (255, 7)):
+            host = qmc.uniform(np, 7, pix_np, np.uint32(sample),
+                               np.uint32(bounce), purpose)
+            dev = mega_uniform(jnp.int32(7), pix,
+                               jnp.full_like(pix, sample),
+                               jnp.full_like(pix, bounce),
+                               purpose, qmc=True)
+            np.testing.assert_array_equal(
+                np.asarray(dev), host.astype(np.float32),
+                err_msg=f"purpose={purpose} s={sample} b={bounce}")
+
+
+def test_mega_qmc_full_scene_vs_oracle():
+    """End-to-end: the megakernel under QMC against the scalar oracle
+    on a mixed-material scene (same scrambled-Sobol' streams)."""
+    from rt_tpu.render.oracle import render_oracle
+    from rt_tpu.render.renderer import render
+    from rt_tpu.scene.builders import three_sphere_scene
+    from rt_tpu.scene.types import build_tables
+    from rt_tpu.config import RenderConfig
+    from tests.conftest import assert_images_close
+
+    sdef, _ = three_sphere_scene(width=24, height=14)
+    tables = build_tables(sdef)
+    cfg = RenderConfig(width=24, height=14, samples_per_pixel=4,
+                       max_depth=5, sampler="qmc", engine="mega")
+    img = render(tables, cfg)
+    oracle = render_oracle(sdef, cfg)
+    assert_images_close(img, oracle, cfg.samples_per_pixel)
+
+
+def test_mega_qmc_regen_and_compaction_invisible():
+    """QMC rides the full production machinery unchanged: segmented
+    compaction and in-kernel sample regeneration reproduce the plain
+    megakernel trace bit-for-bit under sampler='qmc'."""
+    from rt_tpu.render.renderer import render
+    from rt_tpu.scene.builders import cover_scene
+    from rt_tpu.scene.types import build_tables
+
+    sdef, cfg = cover_scene(width=48, height=27, spp=2, max_depth=6,
+                            grid=3)
+    tables = build_tables(sdef)
+    cfg = cfg.replace(engine="mega", sampler="qmc")
+    a = render(tables, cfg)
+    b = render(tables, cfg.replace(compact_every=2, compact_group=32))
+    np.testing.assert_array_equal(a, b)
+    # regen generates camera rays in-kernel; like the rng sampler
+    # (test_mega.py test_regen_statistically_matches_mega) its f32
+    # expression order differs ulp-level from the host camera, so the
+    # comparison is statistical, not bitwise
+    spp = cfg.samples_per_pixel
+    c = render(tables, cfg.replace(regen=True))
+    diff = np.abs(np.asarray(a) / spp - np.asarray(c) / spp).max(axis=-1)
+    assert float((diff > 2e-3).mean()) <= 0.01, diff.max()
+
+
+def test_adjoint_kernel_and_capture_qmc():
+    """The backward megakernel and the in-kernel tape capture replay
+    the SAME scrambled-Sobol' streams: under sampler='qmc' the adjoint
+    kernel's gradients match the XLA per-bounce replay, and
+    mega_capture's winner codes match the hybrid capture."""
+    import jax
+    from rt_tpu.diff.replay import make_replay_loss_fn
+    from rt_tpu.diff.tape import capture_tape
+    from rt_tpu.ops.camera import generate_rays
+    from rt_tpu.scene.types import SceneDef, build_tables
+    from rt_tpu.config import RenderConfig
+
+    s = SceneDef(width=24, height=16, samples_per_pixel=2, max_depth=5,
+                 background=(0.4, 0.5, 0.6))
+    s.add_sphere((0, 0, -1.5), 0.5, s.add_lambertian_color((0.7, 0.2, 0.2)))
+    s.add_sphere((1.1, 0, -1.5), 0.5, s.add_dielectric(1.5))
+    ck = s.add_checker((0.9, 0.9, 0.9), (0.1, 0.2, 0.1))
+    s.add_sphere((0, -100.5, -1.5), 100, s.add_lambertian(ck))
+    s.set_camera((0, 0.3, 1.2), (0, 0, -1.5), (0, 1, 0), 55, 0.0)
+    cfg = RenderConfig(width=24, height=16, samples_per_pixel=2,
+                       max_depth=5, loop="while", engine="mega",
+                       sampler="qmc")
+    tables = build_tables(s)
+    n = 24 * 16
+    pix = np.arange(n, dtype=np.int32)
+    px = jnp.asarray(pix % 24)
+    py = jnp.asarray(pix // 24)
+    tgt = jnp.full((n, 3), 0.2, jnp.float32)
+    params = {"mat_albedo": jnp.asarray(tables.mat_albedo, jnp.float32)}
+
+    g_x = jax.grad(make_replay_loss_fn(
+        tables, cfg, 2, px, py, tgt, bwd_kernel=False))(params)
+    g_k = jax.grad(make_replay_loss_fn(
+        tables, cfg, 2, px, py, tgt, bwd_kernel=True))(params)
+    a, b = np.asarray(g_x["mat_albedo"]), np.asarray(g_k["mat_albedo"])
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+    # capture parity: in-kernel (mega) vs hybrid winner codes under qmc
+    import jax.tree_util as jtu
+    tbl = jtu.tree_map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+        tables)
+    sample = jnp.full((n,), 0, jnp.uint32)
+    ro, rd = generate_rays(tbl.camera, 24, 16, px, py, sample,
+                           jnp.uint32(cfg.seed), False, "qmc")
+    codes_mega = capture_tape(tbl, cfg, ro, rd, pix, sample,
+                              jnp.uint32(cfg.seed), engine="mega")
+    codes_hyb = capture_tape(tbl, cfg, ro, rd, pix, sample,
+                             jnp.uint32(cfg.seed), engine="xla")
+    cm = np.asarray(codes_mega)
+    ch = np.asarray(codes_hyb)
+    # post-death bounces: mega records -1, hybrid records the stale
+    # winner — mask by the hybrid's own alive chain (first -1 onward)
+    live = np.ones_like(ch, dtype=bool)
+    dead = np.zeros(ch.shape[1], dtype=bool)
+    for bidx in range(ch.shape[0]):
+        live[bidx] = ~dead
+        dead |= ch[bidx] < 0
+    match = (cm == ch) | ~live
+    assert match.mean() > 0.995, match.mean()
