@@ -69,6 +69,10 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                         "(rng, reference-equivalent default) or "
                         "Owen-scrambled Sobol' (qmc: lower error at "
                         "equal spp; runs in-kernel on every engine)")
+    p.add_argument("--adaptive", action="store_true",
+                   help="adaptive sampling: spend the spp budget on the "
+                        "noisiest pixels (two-stage variance-driven "
+                        "allocation; beyond-reference extension)")
     p.add_argument("--nee", action="store_true",
                    help="next-event estimation: area-sample one emissive "
                         "primitive per diffuse bounce + shadow ray "
@@ -200,6 +204,12 @@ def cmd_render(args) -> int:
         img, spp_actual = render_sharded_ex(tables, cfg,
                                             progress=args.progress)
         cfg = cfg.replace(samples_per_pixel=spp_actual)
+    elif getattr(args, "adaptive", False):
+        from rt_tpu.render.adaptive import adaptive_mean, render_adaptive
+        acc, n = render_adaptive(tables, cfg, progress=args.progress)
+        # per-pixel counts: hand the writers a mean scaled back to a
+        # uniform-spp-sum shape so the 1/spp "write_color" scaling stays
+        img = adaptive_mean(acc, n) * cfg.samples_per_pixel
     else:
         from rt_tpu.render.renderer import render
         img = render(tables, cfg, progress=args.progress)

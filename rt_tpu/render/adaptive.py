@@ -1,0 +1,169 @@
+"""Adaptive sampling: spend the path budget where the noise is.
+
+The reference renders a fixed spp everywhere (gpu-version/main.cu:95-101
+loops a constant ns per pixel; every sibling version does the same).
+Real scenes concentrate Monte-Carlo noise in a small fraction of pixels
+(glass, defocus edges, penumbras, fireflies), so uniform allocation
+wastes most of its samples on already-converged sky and diffuse walls.
+This driver is a beyond-parity extension: a two-stage adaptive allocator
+on top of the existing (pixel_sum, n_samples) progressive accumulator.
+
+How it stays TPU-shaped and replay-exact:
+  - The BASE pass renders spp_base samples for every pixel through the
+    normal engine path (megakernel included), split into two halves;
+    the per-pixel half-mean disagreement is the error estimate sigma_p.
+  - Each ADAPTIVE round selects the top-B pixels by priority
+    sigma_p / sqrt(n_p) (B fixed -> one stable jit signature;
+    relative=True divides by luminance for perceptual allocation) and
+    renders k more samples for just those pixels.
+  - Sample coordinates: on the hybrid/XLA engines every selected pixel
+    CONTINUES its own stream at index n_p (per-lane sample indices —
+    just array broadcasting there), so with sampler="qmc" each pixel
+    consumes one contiguous scrambled-Sobol' prefix and keeps the full
+    low-discrepancy benefit. The megakernel takes one scalar sample
+    index per launch, so under engine="mega" rounds instead draw
+    samples [0, k) of a per-round derived seed fold(seed, TAG + r) —
+    equally valid (independent) streams, but round-length stratification
+    only; prefer the hybrid engine for adaptive QMC.
+  - Every decision consumes only PREVIOUS rounds' data (classic
+    two-stage sampling): no sample is weighted by its own value, and the
+    whole run is a pure function of (scene, cfg, budget) — deterministic
+    and exactly reproducible.
+  - After each round the selected pixels' sigma is refreshed from the
+    disagreement between the round mean and the running mean — pixels
+    whose rare bright paths only show up late (fireflies) bubble back up
+    instead of being written off by the base pass's blind halves.
+
+The estimator is sum_p / n_p: an equally-weighted average of unbiased
+sample means.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from rt_tpu.config import RenderConfig
+from rt_tpu.ops import rng
+from rt_tpu.render.renderer import render, render_pixels
+from rt_tpu.scene.types import SceneTables
+
+# occupies the key chain's sample slot meaning "adaptive round seed":
+# disjoint from real draw coordinates and from qmc.QMC_TAG
+ROUND_TAG = 0xADA0000
+
+
+def _round_seed(seed: int, r: int) -> np.uint32:
+    return np.uint32(rng.fold(np, np.uint32(seed), ROUND_TAG + r))
+
+
+def _luminance(img3):
+    return (0.2126 * img3[..., 0] + 0.7152 * img3[..., 1]
+            + 0.0722 * img3[..., 2])
+
+
+def render_adaptive(
+    tables: SceneTables,
+    cfg: RenderConfig,
+    spp_base: Optional[int] = None,
+    rounds: int = 8,
+    batch_samples: int = 4,
+    relative: bool = False,
+    progress: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Render with cfg.samples_per_pixel * n_pixels TOTAL paths,
+    adaptively allocated. Returns (pixel_sum [H,W,3], n [H,W]) — the
+    image is pixel_sum / n[..., None] (adaptive_mean).
+
+    spp_base (default spp//4, min 4, even) is the uniform exploration
+    budget; the remaining (spp - spp_base) * n_pixels paths are spent
+    over `rounds` rounds of `batch_samples` samples on the pixels with
+    the largest estimated error (absolute by default — the RMSE-optimal
+    target; relative=True weights by 1/luminance for perceptually even
+    noise instead)."""
+    w, h = cfg.width, cfg.height
+    n_pix = w * h
+    spp = cfg.samples_per_pixel
+    if spp_base is None:
+        spp_base = max(4, spp // 4)
+    spp_base = min(spp, spp_base + (spp_base % 2))
+    seed = int(cfg.seed)
+    mega = cfg.engine == "mega"
+
+    # ---- base pass: two half-budget renders -> error estimate ----
+    half = max(1, spp_base // 2)
+    c1 = cfg.replace(samples_per_pixel=half)
+    a1 = np.asarray(render(tables, c1))
+    a2 = (np.asarray(render(tables, c1, sample_offset=half))
+          if spp_base > 1 else a1)
+    acc = a1 + a2
+    n = np.full((h, w), 2 * half, np.float32)
+    # half-mean disagreement ~ 2 * stderr(spp_base); constants cancel in
+    # the ranking, only the sqrt(n) decay matters
+    sigma = _luminance(np.abs(a1 / half - a2 / half)) * np.sqrt(half)
+
+    budget = (spp - spp_base) * n_pix
+    if budget <= 0 or rounds <= 0:
+        return acc, n
+
+    per_round = budget // rounds
+    b_sel = max(1, per_round // batch_samples)
+    # pad selection to a lane-multiple so the jit signature is stable
+    b_sel = -(-b_sel // 128) * 128
+
+    pix_flat = np.arange(n_pix, dtype=np.int32)
+    px_all = (pix_flat % w).astype(np.int32)
+    py_all = (pix_flat // w).astype(np.int32)
+
+    for r in range(rounds):
+        score = sigma / np.sqrt(n)
+        if relative:
+            score = score / (_luminance(acc / n[..., None]) + 1e-2)
+        score = score.reshape(-1)
+        if b_sel < n_pix:
+            sel = np.argpartition(score, n_pix - b_sel)[n_pix - b_sel:]
+            k = batch_samples
+        else:
+            # frame smaller than the selection batch: spend the round's
+            # share uniformly (small debug frames; production frames
+            # always take the top-B branch)
+            sel = pix_flat
+            k = max(1, per_round // n_pix)
+        sel_px = jnp.asarray(px_all[sel])
+        sel_py = jnp.asarray(py_all[sel])
+        ys, xs = py_all[sel], px_all[sel]
+        if mega:
+            # scalar-sample kernel: fresh per-round stream
+            part = np.asarray(render_pixels(
+                tables, cfg, sel_px, sel_py, np.uint32(0),
+                int(k), _round_seed(seed, r), w, h))
+        else:
+            # per-pixel continuation: each pixel extends its OWN sample
+            # stream at n_p — contiguous scrambled-Sobol' prefixes under
+            # sampler="qmc"
+            starts = jnp.asarray(n[ys, xs].astype(np.uint32))
+            part = np.asarray(render_pixels(
+                tables, cfg, sel_px, sel_py, starts,
+                int(k), np.uint32(seed), w, h))
+        mean_before = _luminance(acc[ys, xs]) / n[ys, xs]
+        acc[ys, xs] += part
+        n[ys, xs] += k
+        # sigma refresh: round-mean vs prior running-mean disagreement is
+        # an (noisy, sqrt(k)-scaled) observation of the same sigma;
+        # blend so firefly pixels discovered late bubble back up
+        obs = np.abs(_luminance(part) / k - mean_before) * np.sqrt(k)
+        sigma_sel = sigma[ys, xs]
+        sigma[ys, xs] = 0.5 * sigma_sel + 0.5 * np.maximum(sigma_sel, obs)
+        if progress:
+            print(f"\radaptive round {r + 1}/{rounds} "
+                  f"(+{k} spp x {len(sel)} px)", end="", flush=True)
+    if progress:
+        print()
+    return acc, n
+
+
+def adaptive_mean(acc: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Per-pixel mean radiance [H,W,3] from (pixel_sum, n)."""
+    return acc / np.maximum(n, 1.0)[..., None]
