@@ -274,6 +274,8 @@ def cmd_fit(args) -> int:
     sdef.width, sdef.height = w, h
     sdef.resize()  # re-derive the camera for the target's aspect
     cfg = cfg.replace(width=w, height=h, loop="while")
+    if args.gradient_sky:
+        cfg = cfg.replace(background_mode="gradient")
     if args.max_depth:
         cfg = cfg.replace(max_depth=args.max_depth)
     if args.engine:
@@ -354,9 +356,14 @@ def cmd_fit(args) -> int:
     else:
         from rt_tpu.diff.inverse import fit
 
+        if args.method == "tape" and geom_spec:
+            raise SystemExit(
+                "--geom is a replay-method option; with --method tape "
+                "list geometry tables directly in --fields "
+                "(e.g. --fields sph_center,mat_albedo)")
         rec, hist = fit(
             tables, cfg, target, fields=replay_fields, spp=args.spp,
-            steps=args.steps, learning_rate=args.lr, method="replay",
+            steps=args.steps, learning_rate=args.lr, method=args.method,
             geom_spec=geom_spec or None, bwd_depth=args.bwd_depth,
             mesh=mesh)
     dt = time.time() - t0
@@ -455,6 +462,16 @@ def main(argv=None) -> int:
                     help="geometry component for the forward-mode "
                          "tangent replay (interior chain only), same "
                          "syntax — e.g. --geom mat_ior:1")
+    fp.add_argument("--method", default="replay",
+                    choices=["replay", "tape", "ad"],
+                    help="gradient estimator: 'replay' (path-replay "
+                         "VJP — radiometric fields, O(B) memory, "
+                         "fastest backward), 'tape' (winner-tape "
+                         "reverse mode — EVERY continuous field incl. "
+                         "whole geometry tables in one backward pass; "
+                         "use for --fields sph_center etc.), 'ad' "
+                         "(plain reverse-mode through the scan loop; "
+                         "debug baseline)")
     fp.add_argument("-spp", "--spp", type=int, default=4)
     fp.add_argument("--steps", type=int, default=60)
     fp.add_argument("--lr", type=float, default=3e-2)
@@ -464,6 +481,12 @@ def main(argv=None) -> int:
                     help="truncate the replay backward at this bounce "
                          "(~proportional speedup, ~0.4%% bias at 12/50)")
     fp.add_argument("-d", "--max-depth", type=int, default=None)
+    fp.add_argument("--gradient-sky", action="store_true",
+                    help="render with the gradient-sky background "
+                         "(cover-scene family). NB: under a CONSTANT "
+                         "background, direction-only parameters (fuzz, "
+                         "ior) have zero interior-chain gradient — "
+                         "every escaping path sees the same color")
     fp.add_argument("--engine", default=None,
                     choices=["xla", "pallas", "mega"],
                     help="default: mega on TPU, xla elsewhere")

@@ -1666,7 +1666,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                  atr_ref, atg_ref, atb_ref,
                  rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                  tpr_ref, tpg_ref, tpb_ref, cr_ref, cg_ref, cb_ref,
-                 alive_ref, pix_ref,
+                 alive_ref, pix_ref, samp_ref,
                  oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
                  otpr_ref, otpg_ref, otpb_ref, ocr_ref, ocg_ref, ocb_ref,
                  oalive_ref, *,
@@ -1680,9 +1680,12 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                  nee: bool = False, n_lights: int = 0,
                  qmc: bool = False):
     seed = scal_i_ref[0, 0]
-    sample = scal_i_ref[0, 1]
     start_bounce = scal_i_ref[0, 2]
     pix = pix_ref[0]
+    # per-lane sample indices (scal_i slot 1 is dead in this kernel):
+    # every lane can sit at a different point of its own sample stream,
+    # which is what adaptive sampling's per-pixel QMC continuation needs
+    samp = samp_ref[0]
     background = _make_background(scal_f_ref, grad_bg)
     do_bounce = _make_do_bounce(
         seed, pix, background, sph_ref, rect_ref, cyl_ref, tri_ref,
@@ -1706,7 +1709,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
     def bounce_body(bst):
         b, st_ = bst
         return b + 1, do_bounce(jnp.full_like(pix, start_bounce + b),
-                                jnp.full_like(pix, sample), st_)
+                                samp, st_)
 
     st = (rox_ref[0], roy_ref[0], roz_ref[0],
           rdx_ref[0], rdy_ref[0], rdz_ref[0],
@@ -2228,6 +2231,9 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
     (ox,oy,oz, dx,dy,dz, tpr,tpg,tpb, cr,cg,cb, alive). Returns the
     updated tuple. start_bounce offsets the RNG bounce coordinate so a
     chunked trace draws exactly the same stream as a single-segment one.
+    sample_idx may be a scalar (every lane at the same sample — the
+    classic uniform-spp launch) or a [B] vector of per-lane sample
+    indices (adaptive sampling's per-pixel stream continuation).
     counts = (padded sphere rows or 0, rect rows or 0, cyl rows or 0,
     triangle rows or 0):
     zero disables that family's chunk loop at trace time."""
@@ -2239,8 +2245,12 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
     def lanes(x, dtype=jnp.float32):
         return x.reshape(g, 8, LANES).astype(dtype)
 
+    samp = jnp.broadcast_to(
+        jnp.asarray(sample_idx).astype(jnp.int32).reshape(-1)
+        if jnp.ndim(sample_idx) else
+        jnp.asarray(sample_idx).astype(jnp.int32), (b,))
     scal_i = jnp.stack([jnp.asarray(seed).astype(jnp.int32),
-                        jnp.asarray(sample_idx).astype(jnp.int32),
+                        jnp.zeros((), jnp.int32),  # dead slot (per-lane samp)
                         jnp.asarray(start_bounce).astype(jnp.int32)]
                        ).reshape(1, 3)
     scal_f = jnp.asarray(background, jnp.float32).reshape(1, 3)
@@ -2282,7 +2292,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas R
             pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas G
             pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas B
-        ] + [ray_spec] * 14,
+        ] + [ray_spec] * 15,
         out_specs=(ray_spec,) * 13,
         out_shape=tuple(jax.ShapeDtypeStruct((g, 8, LANES), jnp.float32)
                         for _ in range(13)),
@@ -2294,6 +2304,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
         atlas[0], atlas[1], atlas[2],
         *[lanes(s) for s in state],
         lanes(pixel, jnp.int32),
+        lanes(samp, jnp.int32),
     )
     return tuple(o.reshape(b) for o in outs)
 
@@ -2420,7 +2431,9 @@ def _segment_shrunk(buckets, live_tiles, args, state, pixel, sample_idx,
 
         def branch(state, pixel):
             sub = tuple(s[:bt] for s in state)
-            sub = mega_segment(*args, sub, pixel[:bt], sample_idx, seed,
+            si = (sample_idx[:bt] if jnp.ndim(sample_idx)
+                  else sample_idx)
+            sub = mega_segment(*args, sub, pixel[:bt], si, seed,
                                start_bounce, **seg_kw)
             return tuple(
                 jnp.concatenate([n, s[bt:]]) if bt < s.shape[0] else n
@@ -2675,12 +2688,17 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
     Pre-condition: mega_supported(tables)."""
     b = ro.shape[0]
     pad = (-b) % RAY_TILE
+    per_lane = bool(jnp.ndim(sample_idx))
     if pad:
         ro = jnp.concatenate([ro, jnp.zeros((pad, 3), jnp.float32)])
         rd = jnp.concatenate(
             [rd, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
                                   (pad, 3))])
         pixel = jnp.concatenate([pixel, jnp.zeros((pad,), pixel.dtype)])
+        if per_lane:
+            sample_idx = jnp.concatenate(
+                [jnp.asarray(sample_idx).astype(jnp.int32),
+                 jnp.zeros((pad,), jnp.int32)])
     bp = b + pad
 
     (tbl, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
@@ -2752,9 +2770,17 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
                                     jnp.int32(done), seg_kw)
         done += seg
         if not last:
-            state, pixel, orig_g = _compact(
-                state, pixel, orig_g, group=group,
-                sort=getattr(cfg, "compact_sort", "dead"))
+            if per_lane:
+                # the per-lane sample vector rides the group permutation
+                # exactly like pixel ids do
+                state, pixel, orig_g, (sample_idx,) = _compact(
+                    state, pixel, orig_g, group=group,
+                    sort=getattr(cfg, "compact_sort", "dead"),
+                    ints=(jnp.asarray(sample_idx).astype(jnp.int32),))
+            else:
+                state, pixel, orig_g = _compact(
+                    state, pixel, orig_g, group=group,
+                    sort=getattr(cfg, "compact_sort", "dead"))
             if shrink:
                 ag = (state[12].reshape(bp // group, group) > 0.0).any(-1)
                 n_live_g = ag.sum().astype(jnp.int32)

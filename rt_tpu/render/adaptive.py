@@ -16,19 +16,20 @@ How it stays TPU-shaped and replay-exact:
     sigma_p / sqrt(n_p) (B fixed -> one stable jit signature;
     relative=True divides by luminance for perceptual allocation) and
     renders k more samples for just those pixels.
-  - Sample coordinates: on the hybrid/XLA engines every selected pixel
-    CONTINUES its own stream at index n_p (per-lane sample indices —
-    just array broadcasting there), so with sampler="qmc" each pixel
+  - Sample coordinates: every selected pixel CONTINUES its own stream
+    at index n_p — per-lane sample indices on EVERY engine (the
+    megakernel carries a per-lane sample vector through its compaction
+    permutation, ops/pallas_mega.py), so with sampler="qmc" each pixel
     consumes one contiguous scrambled-Sobol' prefix and keeps the full
-    low-discrepancy benefit. The megakernel takes one scalar sample
-    index per launch, so under engine="mega" rounds instead draw
-    samples [0, k) of a per-round derived seed fold(seed, TAG + r) —
-    equally valid (independent) streams, but round-length stratification
-    only; prefer the hybrid engine for adaptive QMC.
-  - Every decision consumes only PREVIOUS rounds' data (classic
-    two-stage sampling): no sample is weighted by its own value, and the
-    whole run is a pure function of (scene, cfg, budget) — deterministic
-    and exactly reproducible.
+    low-discrepancy benefit.
+  - Every allocation decision consumes only PREVIOUS rounds' data
+    (classic two-stage sampling) and the whole run is a pure function of
+    (scene, cfg, budget) — deterministic and exactly reproducible. The
+    estimator is consistent and asymptotically unbiased; like every
+    two-stage scheme it carries the small textbook adaptive bias (the
+    base-pass samples pick each pixel's final n_p and are then divided
+    by it), which decays with spp_base and is far below the noise it
+    removes.
   - After each round the selected pixels' sigma is refreshed from the
     disagreement between the round mean and the running mean — pixels
     whose rare bright paths only show up late (fireflies) bubble back up
@@ -46,18 +47,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from rt_tpu.config import RenderConfig
-from rt_tpu.ops import rng
 from rt_tpu.render.renderer import render, render_pixels
 from rt_tpu.scene.types import SceneTables
-
-# occupies the key chain's sample slot meaning "adaptive round seed":
-# disjoint from real draw coordinates and from qmc.QMC_TAG
-ROUND_TAG = 0xADA0000
-
-
-def _round_seed(seed: int, r: int) -> np.uint32:
-    return np.uint32(rng.fold(np, np.uint32(seed), ROUND_TAG + r))
-
 
 def _luminance(img3):
     return (0.2126 * img3[..., 0] + 0.7152 * img3[..., 1]
@@ -90,21 +81,29 @@ def render_adaptive(
         spp_base = max(4, spp // 4)
     spp_base = min(spp, spp_base + (spp_base % 2))
     seed = int(cfg.seed)
-    mega = cfg.engine == "mega"
 
     # ---- base pass: two half-budget renders -> error estimate ----
-    half = max(1, spp_base // 2)
-    c1 = cfg.replace(samples_per_pixel=half)
+    # all path accounting below uses the ACTUALLY rendered base count
+    # (2*half, or 1 in the degenerate spp_base==1 case) so the total
+    # spend is exactly cfg.samples_per_pixel * n_pixels
+    half = spp_base // 2
+    c1 = cfg.replace(samples_per_pixel=max(half, 1))
     a1 = np.asarray(render(tables, c1))
-    a2 = (np.asarray(render(tables, c1, sample_offset=half))
-          if spp_base > 1 else a1)
-    acc = a1 + a2
-    n = np.full((h, w), 2 * half, np.float32)
+    if half:
+        a2 = np.asarray(render(tables, c1, sample_offset=half))
+        acc = a1 + a2
+        n_base = 2 * half
+    else:
+        a2 = a1
+        acc = a1
+        n_base = 1
+    n = np.full((h, w), n_base, np.float32)
     # half-mean disagreement ~ 2 * stderr(spp_base); constants cancel in
     # the ranking, only the sqrt(n) decay matters
-    sigma = _luminance(np.abs(a1 / half - a2 / half)) * np.sqrt(half)
+    sigma = _luminance(np.abs(a1 / max(half, 1)
+                              - a2 / max(half, 1))) * np.sqrt(max(half, 1))
 
-    budget = (spp - spp_base) * n_pix
+    budget = (spp - n_base) * n_pix
     if budget <= 0 or rounds <= 0:
         return acc, n
 
@@ -134,19 +133,14 @@ def render_adaptive(
         sel_px = jnp.asarray(px_all[sel])
         sel_py = jnp.asarray(py_all[sel])
         ys, xs = py_all[sel], px_all[sel]
-        if mega:
-            # scalar-sample kernel: fresh per-round stream
-            part = np.asarray(render_pixels(
-                tables, cfg, sel_px, sel_py, np.uint32(0),
-                int(k), _round_seed(seed, r), w, h))
-        else:
-            # per-pixel continuation: each pixel extends its OWN sample
-            # stream at n_p — contiguous scrambled-Sobol' prefixes under
-            # sampler="qmc"
-            starts = jnp.asarray(n[ys, xs].astype(np.uint32))
-            part = np.asarray(render_pixels(
-                tables, cfg, sel_px, sel_py, starts,
-                int(k), np.uint32(seed), w, h))
+        # per-pixel continuation on EVERY engine: each pixel extends its
+        # OWN sample stream at n_p (per-lane sample indices ride the
+        # megakernel too) — contiguous scrambled-Sobol' prefixes under
+        # sampler="qmc"
+        starts = jnp.asarray(n[ys, xs].astype(np.uint32))
+        part = np.asarray(render_pixels(
+            tables, cfg, sel_px, sel_py, starts,
+            int(k), np.uint32(seed), w, h))
         mean_before = _luminance(acc[ys, xs]) / n[ys, xs]
         acc[ys, xs] += part
         n[ys, xs] += k

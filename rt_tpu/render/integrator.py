@@ -246,9 +246,11 @@ def trace(tables: SceneTables, cfg: RenderConfig, ro, rd, pixel, sample_idx,
 
         if mega_supported(tables) and (not nee or tables.nee_kernel_ok):
             # NEE runs IN-KERNEL (light table + per-bounce shadow chunk
-            # pass) whenever the lights bake (solid/checker emission)
-            sample_scalar = jnp.asarray(sample_idx).reshape(-1)[0]
-            return mega_trace(tables, cfg, ro, rd, pixel, sample_scalar,
+            # pass) whenever the lights bake (solid/checker emission).
+            # sample_idx passes through as-is: the kernel takes per-lane
+            # sample indices (adaptive sampling's per-pixel stream
+            # continuation works on every engine).
+            return mega_trace(tables, cfg, ro, rd, pixel, sample_idx,
                               seed)
         # image-textured lights: the hybrid engine samples them exactly
         cfg = cfg.replace(engine="pallas")

@@ -38,6 +38,11 @@ def _fingerprint(tables: SceneTables, cfg: RenderConfig) -> str:
         "background_mode": cfg.background_mode,
         "exhaust_mode": cfg.exhaust_mode, "p_rr": cfg.p_rr,
         "enable_defocus": cfg.enable_defocus,
+        # estimator-identity knobs: resuming a checkpoint under a
+        # different sample sequence (rng vs qmc) or a different
+        # estimator (nee on/off) would silently mix two distinct sample
+        # streams in one accumulator — invalidate instead
+        "sampler": cfg.sampler, "nee": cfg.nee,
     }, sort_keys=True).encode())
     for leaf in jax.tree_util.tree_leaves(tables):
         h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())

@@ -42,8 +42,11 @@ def render_block(tables: SceneTables, cfg: RenderConfig, px, py,
     reuse it)."""
 
     def body(i, acc):
-        s_idx = (sample_start + i).astype(jnp.uint32)
-        sample = jnp.full(px.shape, s_idx, jnp.uint32)
+        # sample_start may be a scalar (uniform launch) or a [B] vector
+        # of per-lane sample indices (adaptive sampling's per-pixel
+        # stream continuation). Keep the scalar a scalar: the megakernel
+        # then skips materializing + permuting a per-lane vector.
+        sample = (jnp.asarray(sample_start) + i).astype(jnp.uint32)
         ro, rd = generate_rays(tables.camera, width, height, px, py, sample,
                                seed, cfg.enable_defocus, cfg.sampler)
         rgb = trace(tables, cfg, ro, rd,

@@ -83,7 +83,8 @@ def test_adaptive_beats_uniform_at_equal_budget(cornell):
 
 def test_composes_with_mega_and_qmc():
     """Adaptive rounds ride the production engine and the QMC sampler
-    unchanged (round seeds derive per-round streams)."""
+    unchanged: per-lane sample starts go through the megakernel, so every
+    selected pixel continues its own scrambled-Sobol' prefix."""
     sdef, cfg = three_sphere_scene(width=32, height=18, spp=16,
                                    max_depth=5)
     tables = build_tables(sdef)
@@ -105,3 +106,38 @@ def test_cli_adaptive_smoke(tmp_path):
     assert rc == 0
     import os
     assert os.path.exists(out)
+
+
+def test_odd_spp_budget_exact():
+    """Odd spp / odd spp_base: the base pass renders 2*(spp_base//2)
+    samples and the adaptive budget is computed from that ACTUAL count,
+    so the total spend still covers cfg.samples_per_pixel * n_pixels
+    (ADVICE r3: the truncated-half undercount)."""
+    sdef, cfg = three_sphere_scene(width=32, height=18, spp=5, max_depth=4)
+    tables = build_tables(sdef)
+    acc, n = render_adaptive(tables, cfg, spp_base=3, rounds=2,
+                             batch_samples=1)
+    n_pix = cfg.width * cfg.height
+    budget = cfg.samples_per_pixel * n_pix
+    total = int(n.sum())
+    assert total >= budget - 2 * 128      # never undershoots past padding
+    assert total <= budget + 2 * 128 * 1  # selection padded to 128 lanes
+    assert n.min() >= 2
+
+
+def test_mega_engine_matches_hybrid_allocation():
+    """With per-lane continuation on every engine, the adaptive driver
+    is engine-agnostic: the sample-allocation maps agree between the
+    megakernel and the XLA engine (bit-exact RNG twin -> identical
+    priority rankings up to fp noise at the selection boundary)."""
+    sdef, cfg = three_sphere_scene(width=32, height=18, spp=12, max_depth=4)
+    tables = build_tables(sdef)
+    a_x, n_x = render_adaptive(tables, cfg.replace(engine="xla"),
+                               spp_base=4, rounds=2, batch_samples=2)
+    a_m, n_m = render_adaptive(tables, cfg.replace(engine="mega"),
+                               spp_base=4, rounds=2, batch_samples=2)
+    # allocations may differ on ranking ties; the means must agree
+    img_x = adaptive_mean(a_x, n_x)
+    img_m = adaptive_mean(a_m, n_m)
+    diff = np.abs(img_x - img_m).max(axis=-1)
+    assert float((diff > 5e-3).mean()) <= 0.02

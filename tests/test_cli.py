@@ -376,3 +376,79 @@ def test_cli_fit_camera_pose(tmp_path):
     err = np.abs(rec["lookfrom"] - np.asarray(true_from)).max()
     assert err < 0.04, err  # initial offset was 0.06
     assert os.path.exists(os.path.join(outdir, "after.png"))
+
+
+def test_cli_fit_method_tape(tmp_path):
+    """`rt_tpu fit --method tape`: the winner-tape estimator from the
+    CLI — recovers material INTERIOR-CHAIN parameters (metal fuzz +
+    dielectric IOR) that the replay method can only reach via per-
+    component geom_spec enumeration, in one backward pass (VERDICT r3
+    #6: the round-3 flagship estimator was library-only)."""
+    from rt_tpu.config import RenderConfig
+    from rt_tpu.render.renderer import render
+    from rt_tpu.scene.parser import scene_to_dict
+    from rt_tpu.scene.types import SceneDef, build_tables
+
+    def make(fuzz, ior):
+        s = SceneDef(width=48, height=27, samples_per_pixel=4, max_depth=6,
+                     background=(0.7, 0.8, 1.0))
+        s.add_sphere((-0.9, 0, -2), 0.8, s.add_dielectric(ior))
+        s.add_sphere((0.9, 0, -2), 0.8,
+                     s.add_metal((0.8, 0.7, 0.6), fuzz))
+        s.set_camera((0, 0, 1), (0, 0, -2), (0, 1, 0), 50, 0.0)
+        return s
+
+    cfg = RenderConfig(width=48, height=27, samples_per_pixel=4,
+                       max_depth=6, loop="while",
+                       background_mode="gradient")
+    target = np.asarray(render(build_tables(make(0.15, 1.5)), cfg)) / 4.0
+    tgt_path = str(tmp_path / "target.npz")
+    np.savez_compressed(tgt_path, img=target.astype(np.float32))
+
+    scene_path = str(tmp_path / "wrong.json")
+    d = scene_to_dict(make(0.4, 1.1))
+    with open(scene_path, "w") as f:
+        json.dump(d, f)
+
+    outdir = str(tmp_path / "fit_tape")
+    rc = main(["fit", "-f", scene_path, "--target", tgt_path,
+               "--method", "tape", "--fields", "mat_fuzz,mat_ior",
+               "-spp", "4", "--steps", "80", "--lr", "3e-2",
+               "--gradient-sky", "--engine", "xla", "--out", outdir])
+    assert rc == 0
+    rec = np.load(os.path.join(outdir, "recovered.npz"))
+    fuzz = rec["mat_fuzz"]
+    # the metal's fuzz moved toward 0.15 from 0.4
+    assert float(np.abs(fuzz - 0.15).min()) < 0.12
+    assert os.path.exists(os.path.join(outdir, "after.png"))
+
+
+def test_cli_fit_method_ad_smoke(tmp_path):
+    """`rt_tpu fit --method ad`: the plain reverse-mode baseline stays
+    reachable for debugging."""
+    from rt_tpu.config import RenderConfig
+    from rt_tpu.render.renderer import render
+    from rt_tpu.scene.parser import scene_to_dict
+    from rt_tpu.scene.types import SceneDef, build_tables
+
+    def make(albedo):
+        s = SceneDef(width=24, height=12, samples_per_pixel=2, max_depth=2,
+                     background=(0.7, 0.8, 1.0))
+        s.add_sphere((0, 0, -1), 0.5, s.add_lambertian_color(albedo))
+        s.set_camera((0, 0.2, 1), (0, 0, -1), (0, 1, 0), 50, 0.0)
+        return s
+
+    cfg = RenderConfig(width=24, height=12, samples_per_pixel=2,
+                       max_depth=2, loop="while")
+    target = np.asarray(render(build_tables(make((0.7, 0.2, 0.2))),
+                               cfg)) / 2.0
+    tgt_path = str(tmp_path / "t.npz")
+    np.savez_compressed(tgt_path, img=target.astype(np.float32))
+    scene_path = str(tmp_path / "s.json")
+    with open(scene_path, "w") as f:
+        json.dump(scene_to_dict(make((0.4, 0.4, 0.4))), f)
+    rc = main(["fit", "-f", scene_path, "--target", tgt_path,
+               "--method", "ad", "--fields", "tex_color",
+               "-spp", "2", "--steps", "3", "--lr", "1e-2",
+               "--engine", "xla", "--out", str(tmp_path / "o")])
+    assert rc == 0

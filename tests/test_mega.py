@@ -453,3 +453,82 @@ def test_mega_random_scene_fuzz():
         cfg = RenderConfig(width=48, height=32, samples_per_pixel=2,
                            max_depth=6)
         _compare(s, cfg, outlier_frac=0.02)
+
+
+def _pixel_lists(w, h):
+    pix = np.arange(w * h, dtype=np.int32)
+    return jnp.asarray(pix % w), jnp.asarray(pix // w)
+
+
+def test_mega_per_lane_sample_indices():
+    """The megakernel takes PER-LANE sample indices (adaptive sampling's
+    per-pixel stream continuation): a mixed-starts launch is bit-equal
+    to composing the uniform launches lane by lane — each lane consumes
+    exactly its own (pixel, sample) stream coordinates."""
+    from rt_tpu.render.renderer import render_pixels
+
+    sdef, cfg = cover_scene(width=48, height=27, spp=1, max_depth=6,
+                            grid=3)
+    tables = build_tables(sdef)
+    cfg = cfg.replace(engine="mega")
+    w, h = cfg.width, cfg.height
+    px, py = _pixel_lists(w, h)
+    seed = np.uint32(cfg.seed)
+    s0 = np.asarray(render_pixels(tables, cfg, px, py, np.uint32(0), 1,
+                                  seed, w, h))
+    s1 = np.asarray(render_pixels(tables, cfg, px, py, np.uint32(1), 1,
+                                  seed, w, h))
+    starts = (np.arange(w * h, dtype=np.int64) % 2).astype(np.uint32)
+    mixed = np.asarray(render_pixels(tables, cfg, px, py,
+                                     jnp.asarray(starts), 1, seed, w, h))
+    expect = np.where(starts[:, None] == 0, s0, s1)
+    np.testing.assert_array_equal(mixed, expect)
+
+
+def test_mega_per_lane_rides_compaction():
+    """The per-lane sample vector must follow the group-compaction
+    permutation exactly like pixel ids do: a compacted mixed-starts
+    trace is bit-identical to the uncompacted one (incl. the prefix
+    shrink's lax.switch path)."""
+    from rt_tpu.render.renderer import render_pixels
+
+    sdef, cfg = cover_scene(width=64, height=32, spp=1, max_depth=6,
+                            grid=3)
+    tables = build_tables(sdef)
+    w, h = cfg.width, cfg.height
+    px, py = _pixel_lists(w, h)
+    seed = np.uint32(cfg.seed)
+    starts = jnp.asarray(
+        (np.arange(w * h, dtype=np.int64) % 3).astype(np.uint32))
+    base = np.asarray(render_pixels(tables, cfg.replace(engine="mega"),
+                                    px, py, starts, 1, seed, w, h))
+    for kw in (dict(compact_every=2, compact_group=32),
+               dict(compact_schedule=(1, 2), compact_group=128),
+               dict(compact_every=-1, compact_sort="spatial")):
+        got = np.asarray(render_pixels(
+            tables, cfg.replace(engine="mega", **kw),
+            px, py, starts, 1, seed, w, h))
+        np.testing.assert_array_equal(got, base)
+
+
+def test_mega_per_lane_qmc_matches_hybrid():
+    """Per-pixel QMC stream continuation on the production engine: a
+    mixed-starts scrambled-Sobol' launch through the megakernel matches
+    the hybrid engine's (same per-lane Sobol' prefixes — the VERDICT r3
+    adaptive-QMC gap)."""
+    from rt_tpu.render.renderer import render_pixels
+
+    sdef, cfg = three_sphere_scene(width=48, height=24, spp=1, max_depth=6)
+    tables = build_tables(sdef)
+    cfg = cfg.replace(sampler="qmc")
+    w, h = cfg.width, cfg.height
+    px, py = _pixel_lists(w, h)
+    seed = np.uint32(cfg.seed)
+    starts = jnp.asarray(
+        (np.arange(w * h, dtype=np.int64) % 5).astype(np.uint32))
+    a = np.asarray(render_pixels(tables, cfg.replace(engine="xla"),
+                                 px, py, starts, 2, seed, w, h))
+    b = np.asarray(render_pixels(tables, cfg.replace(engine="mega"),
+                                 px, py, starts, 2, seed, w, h))
+    diff = np.abs(a - b).max(axis=-1)
+    assert float((diff > 2e-3).mean()) <= 0.01
