@@ -260,12 +260,17 @@ def fit(
             from rt_tpu.ops.pallas_mega import mega_supported
             from rt_tpu.diff.tape import make_tape_loss_fn, make_tape_vg
 
-            if mesh is None and mega_supported(tables):
+            if mega_supported(tables):
                 # fast path (round 3): in-kernel capture + death-sorted
                 # shrinking replay — 12.6 s -> 1.45 s per all-params
                 # step at 1080p depth-50 (BASELINE.md). The vg step is
                 # two jits with a tiny host width sync between; Adam
-                # update runs in its own small jit.
+                # update runs in its own small jit. With a mesh the
+                # pixel batch (rpx/rpy/tgt above) is device_put-sharded
+                # and GSPMD propagates the sharding through capture,
+                # death-sort, and replay, inserting the gradient
+                # all-reduce (test_shard_bwd.py pins equality with the
+                # single-device grads).
                 vg_step = make_tape_vg(tables, cfg, rpx, rpy, tgt,
                                        spp=spp)
 

@@ -55,12 +55,25 @@ def _luminance(img3):
             + 0.0722 * img3[..., 2])
 
 
+def _box3(x):
+    """3x3 box filter (edge-clamped): per-pixel half-difference sigma
+    estimates are extremely noisy at production base budgets; MC noise
+    is spatially correlated, so pooling neighbors cuts the estimator's
+    own variance ~9x. Used for ALLOCATION only — the running per-pixel
+    sigma bookkeeping stays unpooled."""
+    p = np.pad(x, 1, mode="edge")
+    return (p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+            + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
+            + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]) / 9.0
+
+
 def render_adaptive(
     tables: SceneTables,
     cfg: RenderConfig,
     spp_base: Optional[int] = None,
-    rounds: int = 8,
-    batch_samples: int = 4,
+    rounds: int = 16,
+    sel_frac: float = 0.125,
+    batch_samples: Optional[int] = None,
     relative: bool = False,
     progress: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -68,17 +81,22 @@ def render_adaptive(
     adaptively allocated. Returns (pixel_sum [H,W,3], n [H,W]) — the
     image is pixel_sum / n[..., None] (adaptive_mean).
 
-    spp_base (default spp//4, min 4, even) is the uniform exploration
+    spp_base (default spp//2, min 4, even) is the uniform exploration
     budget; the remaining (spp - spp_base) * n_pixels paths are spent
-    over `rounds` rounds of `batch_samples` samples on the pixels with
-    the largest estimated error (absolute by default — the RMSE-optimal
-    target; relative=True weights by 1/luminance for perceptually even
-    noise instead)."""
+    over `rounds` greedy rounds on the top sel_frac of pixels by the
+    marginal-variance-reduction score sigma/n (repeatedly topping up
+    the argmax of sigma/n converges to the n_p-proportional-to-sigma_p
+    allocation that minimizes total variance for a fixed path budget —
+    NOT sigma/sqrt(n), which overconcentrates at n ~ sigma^2).
+    Allocation scores pool sigma over a 3x3 neighborhood (_box3);
+    relative=True divides by luminance for perceptually-even noise
+    instead of minimal absolute RMSE. batch_samples, if given, caps the
+    per-round top-up k."""
     w, h = cfg.width, cfg.height
     n_pix = w * h
     spp = cfg.samples_per_pixel
     if spp_base is None:
-        spp_base = max(4, spp // 4)
+        spp_base = max(4, spp // 2)
     spp_base = min(spp, spp_base + (spp_base % 2))
     seed = int(cfg.seed)
 
@@ -108,28 +126,35 @@ def render_adaptive(
         return acc, n
 
     per_round = budget // rounds
-    b_sel = max(1, per_round // batch_samples)
-    # pad selection to a lane-multiple so the jit signature is stable
-    b_sel = -(-b_sel // 128) * 128
+    # fixed selection size (stable jit signature): top sel_frac of the
+    # frame, padded to a lane multiple; per-round top-up k spends the
+    # round's share across it. If batch_samples caps k, the selection
+    # widens so each round still spends its full share.
+    def _pad128(x):
+        return -(-max(x, 1) // 128) * 128
+
+    b_sel = min(_pad128(int(n_pix * sel_frac)), n_pix)
+    k = max(1, per_round // b_sel)
+    if batch_samples is not None and k > batch_samples:
+        k = batch_samples
+        b_sel = min(_pad128(per_round // k), n_pix)
+    if b_sel >= n_pix:
+        b_sel = n_pix
+        k = max(1, per_round // n_pix)
 
     pix_flat = np.arange(n_pix, dtype=np.int32)
     px_all = (pix_flat % w).astype(np.int32)
     py_all = (pix_flat // w).astype(np.int32)
 
     for r in range(rounds):
-        score = sigma / np.sqrt(n)
+        score = _box3(sigma) / n
         if relative:
             score = score / (_luminance(acc / n[..., None]) + 1e-2)
         score = score.reshape(-1)
         if b_sel < n_pix:
             sel = np.argpartition(score, n_pix - b_sel)[n_pix - b_sel:]
-            k = batch_samples
         else:
-            # frame smaller than the selection batch: spend the round's
-            # share uniformly (small debug frames; production frames
-            # always take the top-B branch)
             sel = pix_flat
-            k = max(1, per_round // n_pix)
         sel_px = jnp.asarray(px_all[sel])
         sel_py = jnp.asarray(py_all[sel])
         ys, xs = py_all[sel], px_all[sel]
@@ -145,11 +170,11 @@ def render_adaptive(
         acc[ys, xs] += part
         n[ys, xs] += k
         # sigma refresh: round-mean vs prior running-mean disagreement is
-        # an (noisy, sqrt(k)-scaled) observation of the same sigma;
-        # blend so firefly pixels discovered late bubble back up
+        # a (noisy, sqrt(k)-scaled) observation of the same sigma; EMA
+        # both ways so estimates converge, while late fireflies still
+        # raise sigma enough for the pooled score to re-select them
         obs = np.abs(_luminance(part) / k - mean_before) * np.sqrt(k)
-        sigma_sel = sigma[ys, xs]
-        sigma[ys, xs] = 0.5 * sigma_sel + 0.5 * np.maximum(sigma_sel, obs)
+        sigma[ys, xs] = 0.5 * sigma[ys, xs] + 0.5 * obs
         if progress:
             print(f"\radaptive round {r + 1}/{rounds} "
                   f"(+{k} spp x {len(sel)} px)", end="", flush=True)
