@@ -451,13 +451,15 @@ def sphere_coeff_tables(sph_tab):
 def nee_light_table(tables: SceneTables) -> jnp.ndarray:
     """[Lp, 32] light rows for the in-kernel NEE sampler (cfg.nee on the
     megakernel; build gated by tables.nee_kernel_ok). Layout:
-      0 fam (0/1/2)   1 area   2-4 Le even   5-7 Le odd   8 checker?
+      0 fam (0/1/2/3)   1 area   2-4 Le even   5-7 Le odd   8 checker?
       sphere: 9-11 center, 12 |r|
       rect:   9-11 axis onehot (= normal), 12-14 f1 onehot,
               15-17 f2 onehot, 18 lo0, 19 lo1, 20 hi0-lo0, 21 hi1-lo1,
               22 k
       cyl:    9-17 o2w rotation (row-major), 18-20 o2w translation,
               21 |r|, 22 zmin, 23 zmax-zmin
+      tri:    9-11 v1, 12-14 e1 (v2-v1), 15-17 e2 (v3-v1),
+              18-20 unit geometric normal
     Rows are per-light; same column ranges are reused across families."""
     L = tables.n_lights
     fam = jnp.asarray(tables.light_fam)[:L]
@@ -465,16 +467,20 @@ def nee_light_table(tables: SceneTables) -> jnp.ndarray:
     Lp = max(8, -(-L // 8) * 8)
     out = jnp.zeros((Lp, 32), jnp.float32)
 
-    def fam_pick(sph, rect, cyl):
-        return jnp.where(fam == 0, sph, jnp.where(fam == 1, rect, cyl))
+    def fam_pick(sph, rect, cyl, tri):
+        return jnp.where(fam == 0, sph,
+                         jnp.where(fam == 1, rect,
+                                   jnp.where(fam == 2, cyl, tri)))
 
     ps = jnp.clip(pid, 0, tables.sph_center.shape[0] - 1)
     pr = jnp.clip(pid, 0, tables.rect_axis.shape[0] - 1)
     pc = jnp.clip(pid, 0, tables.cyl_radius.shape[0] - 1)
+    pt = jnp.clip(pid, 0, tables.tri_v1.shape[0] - 1)
 
     mat = fam_pick(jnp.asarray(tables.sph_mat)[ps],
                    jnp.asarray(tables.rect_mat)[pr],
-                   jnp.asarray(tables.cyl_mat)[pc])
+                   jnp.asarray(tables.cyl_mat)[pc],
+                   jnp.asarray(tables.tri_mat)[pt])
     tex = jnp.asarray(tables.mat_tex)[mat]
     texs = jnp.maximum(tex, 0)
     even = jnp.where((tex >= 0)[:, None],
@@ -490,9 +496,14 @@ def nee_light_table(tables: SceneTables) -> jnp.ndarray:
     r_c = jnp.abs(jnp.asarray(tables.cyl_radius)[pc])
     zmin = jnp.asarray(tables.cyl_zmin)[pc]
     zlen = jnp.asarray(tables.cyl_zmax)[pc] - zmin
+    tv1 = jnp.asarray(tables.tri_v1)[pt]
+    te1 = jnp.asarray(tables.tri_v2)[pt] - tv1
+    te2 = jnp.asarray(tables.tri_v3)[pt] - tv1
+    tcr = jnp.cross(te1, te2)
     area = fam_pick(4.0 * np.pi * r_s * r_s,
                     (hi[:, 0] - lo[:, 0]) * (hi[:, 1] - lo[:, 1]),
-                    2.0 * np.pi * r_c * zlen)
+                    2.0 * np.pi * r_c * zlen,
+                    0.5 * jnp.sqrt((tcr * tcr).sum(-1)))
 
     out = out.at[:L, 0].set(fam.astype(jnp.float32))
     out = out.at[:L, 1].set(area)
@@ -512,6 +523,7 @@ def nee_light_table(tables: SceneTables) -> jnp.ndarray:
     is_s = (fam == 0)[:, None]
     is_r = (fam == 1)[:, None]
     is_c = (fam == 2)[:, None]
+    is_t = (fam == 3)[:, None]
     # per-family 9..23 blocks: zeros + each family's block masked
     blk = jnp.zeros((L, 15), jnp.float32)
     blk = blk + is_s * jnp.pad(jnp.concatenate(
@@ -526,6 +538,9 @@ def nee_light_table(tables: SceneTables) -> jnp.ndarray:
         [o2w[:, :3, :3].reshape(L, 9), o2w[:, :3, 3],
          r_c[:, None], zmin[:, None], zlen[:, None]], axis=1)  # [L,15]
     blk = blk + is_c * cyl_blk
+    tri_blk = jnp.concatenate(
+        [tv1, te1, te2, jnp.asarray(tables.tri_n)[pt]], axis=1)  # [L,12]
+    blk = blk + is_t * jnp.pad(tri_blk, ((0, 0), (0, 3)))
     out = out.at[:L, 9:24].set(blk)
     return out
 
@@ -1502,15 +1517,31 @@ def _make_do_bounce(seed, pix, background,
             cnx = lt[9] * cphi + lt[10] * sphi
             cny = lt[12] * cphi + lt[13] * sphi
             cnz = lt[15] * cphi + lt[16] * sphi
+            # triangle sample (v1 9-11, e1 12-14, e2 15-17, n 18-20):
+            # P = v1 + b2 e1 + b3 e2, the sqrt barycentric warp —
+            # integrator._nee_direct twin
+            sqt = jnp.sqrt(u1)
+            b2t = sqt * (1.0 - u2)
+            b3t = sqt * u2
+            tpx_ = lt[9] + b2t * lt[12] + b3t * lt[15]
+            tpy_ = lt[10] + b2t * lt[13] + b3t * lt[16]
+            tpz_ = lt[11] + b2t * lt[14] + b3t * lt[17]
 
             is_sl = fam_l == _FAM_SPH
             is_rl = fam_l == _FAM_RECT
-            lpx = jnp.where(is_sl, spx, jnp.where(is_rl, rpx2, cpx))
-            lpy = jnp.where(is_sl, spy, jnp.where(is_rl, rpy2, cpy))
-            lpz = jnp.where(is_sl, spz, jnp.where(is_rl, rpz2, cpz))
-            lnx = jnp.where(is_sl, nsx, jnp.where(is_rl, lt[9], cnx))
-            lny = jnp.where(is_sl, nsy, jnp.where(is_rl, lt[10], cny))
-            lnz = jnp.where(is_sl, nsz, jnp.where(is_rl, lt[11], cnz))
+            is_cl = fam_l == _FAM_CYL
+            lpx = jnp.where(is_sl, spx, jnp.where(is_rl, rpx2,
+                            jnp.where(is_cl, cpx, tpx_)))
+            lpy = jnp.where(is_sl, spy, jnp.where(is_rl, rpy2,
+                            jnp.where(is_cl, cpy, tpy_)))
+            lpz = jnp.where(is_sl, spz, jnp.where(is_rl, rpz2,
+                            jnp.where(is_cl, cpz, tpz_)))
+            lnx = jnp.where(is_sl, nsx, jnp.where(is_rl, lt[9],
+                            jnp.where(is_cl, cnx, lt[18])))
+            lny = jnp.where(is_sl, nsy, jnp.where(is_rl, lt[10],
+                            jnp.where(is_cl, cny, lt[19])))
+            lnz = jnp.where(is_sl, nsz, jnp.where(is_rl, lt[11],
+                            jnp.where(is_cl, cnz, lt[20])))
 
             wix = lpx - px_
             wiy = lpy - py_

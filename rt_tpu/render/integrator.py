@@ -92,7 +92,7 @@ def _nee_direct(tables: SceneTables, cfg: RenderConfig, hit, albedo,
     n_l = jnp.zeros((b, 3), jnp.float32)
     area = jnp.zeros((b,), jnp.float32)
     mat_l = jnp.zeros((b,), jnp.int32)
-    n_sph, n_rect, n_cyl, _ = tables.counts
+    n_sph, n_rect, n_cyl, n_tri = tables.counts
 
     def sel(cond, a, bv):
         return jnp.where(cond[:, None] if a.ndim == 2 else cond, a, bv)
@@ -149,6 +149,26 @@ def _nee_direct(tables: SceneTables, cfg: RenderConfig, hit, albedo,
         area = jnp.where(
             is_c, 2.0 * np.pi * r * (zmax - zmin), area)
         mat_l = jnp.where(is_c, tables.cyl_mat[pc], mat_l)
+    if n_tri:
+        # uniform area sample: P = v1 + b2*e1 + b3*e2 with
+        # b2 = sqrt(u1)(1-u2), b3 = sqrt(u1) u2 (the standard sqrt
+        # warp); two-sided like every reference emitter, so the stored
+        # unit geometric normal's orientation is irrelevant under the
+        # |cos_l| below
+        pt_ = jnp.clip(pid, 0, tables.tri_v1.shape[0] - 1)
+        v1 = tables.tri_v1[pt_]
+        e1 = tables.tri_v2[pt_] - v1
+        e2 = tables.tri_v3[pt_] - v1
+        sq = jnp.sqrt(u1)
+        b2 = sq * (1.0 - u2)
+        b3 = sq * u2
+        pt3 = v1 + b2[:, None] * e1 + b3[:, None] * e2
+        crl = geom.safe_length(jnp, geom.cross(jnp, e1, e2))
+        is_t = fam == 3
+        point = sel(is_t, pt3, point)
+        n_l = sel(is_t, tables.tri_n[pt_], n_l)
+        area = jnp.where(is_t, 0.5 * crl, area)
+        mat_l = jnp.where(is_t, tables.tri_mat[pt_], mat_l)
 
     wi = point - hit.p
     d2 = jnp.maximum(geom.length_squared(jnp, wi), 1e-8)

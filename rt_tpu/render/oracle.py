@@ -240,7 +240,7 @@ def _oracle_nee(sdef: SceneDef, tables, cfg: RenderConfig, rec, atten,
         n_l[ax] = 1.0
         area = float((hi[0] - lo[0]) * (hi[1] - lo[1]))
         mat_id = int(tables.rect_mat[pid])
-    else:
+    elif fam == 2:
         r = abs(float(tables.cyl_radius[pid]))
         zmin = float(tables.cyl_zmin[pid])
         zmax = float(tables.cyl_zmax[pid])
@@ -252,6 +252,20 @@ def _oracle_nee(sdef: SceneDef, tables, cfg: RenderConfig, rec, atten,
                @ np.array([np.cos(phi), np.sin(phi), 0], np.float32))
         area = 2.0 * np.pi * r * (zmax - zmin)
         mat_id = int(tables.cyl_mat[pid])
+    else:
+        # triangle: uniform barycentric via the sqrt warp (the
+        # integrator._nee_direct twin — same b2/b3 convention)
+        v1 = np.asarray(tables.tri_v1[pid], np.float32)
+        e1 = np.asarray(tables.tri_v2[pid], np.float32) - v1
+        e2 = np.asarray(tables.tri_v3[pid], np.float32) - v1
+        sq = np.sqrt(np.float32(u1))
+        b2 = sq * (1.0 - np.float32(u2))
+        b3 = sq * np.float32(u2)
+        point = (v1 + b2 * e1 + b3 * e2).astype(np.float32)
+        n_l = np.asarray(tables.tri_n[pid], np.float32)
+        cr_ = np.cross(e1, e2)
+        area = 0.5 * float(np.sqrt(cr_ @ cr_))
+        mat_id = int(tables.tri_mat[pid])
 
     wi = point - rec["p"]
     d2 = max(float(wi @ wi), 1e-8)

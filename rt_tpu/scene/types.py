@@ -228,9 +228,8 @@ class SceneTables:
     # (n_spheres, n_rects, n_cylinders, n_triangles) — static
     counts: Tuple[int, int, int, int] = dataclasses.field(
         default=(0, 0, 0, 0), metadata=dict(static=True))
-    # number of NEE-sampleable lights (static; 0 also when the scene has
-    # triangle lights — those are not area-sampled, and partial NEE
-    # would double-count their emission)
+    # number of NEE-sampleable lights (static) — every emissive
+    # primitive of every family, triangles included
     n_lights: int = dataclasses.field(default=0, metadata=dict(static=True))
     # every light's emission is solid/checker (no image textures): the
     # megakernel's in-kernel NEE can bake the light table (static)
@@ -630,10 +629,12 @@ def build_tables(s: SceneDef, bvh_types: Sequence[str] = ()) -> SceneTables:
     img_on = sorted({fam_of[o["type"]] for o in s.objects
                      if o.get("material") in mat_uses_img})
 
-    # NEE light index (cfg.nee): emissive rows of the sphere / rect /
-    # cylinder tables. fam codes = ops.intersect PTYPE_* (0/1/2).
-    # Triangle lights disable NEE (n_lights=0): partial sampling would
-    # double-count the unsampled lights' emission.
+    # NEE light index (cfg.nee): emissive rows of ALL four primitive
+    # tables. fam codes = ops.intersect PTYPE_* (0/1/2/3). Triangle
+    # emitters are area-sampled like every other family (uniform
+    # barycentric; area = |e1 x e2|/2), so a scene may mix mesh lights
+    # with analytic ones and the estimator still covers every emitter —
+    # no family silently disables light sampling.
     def _rows(mat_ids, obj_ids):
         live = np.asarray(obj_ids) >= 0
         is_l = np.asarray(mat_type)[np.asarray(mat_ids)] == MAT_DIFFUSE_LIGHT
@@ -642,12 +643,11 @@ def build_tables(s: SceneDef, bvh_types: Sequence[str] = ()) -> SceneTables:
     l_fam, l_pid = [], []
     for fam, (mids, oids) in enumerate(
             ((sph_mat, sph_obj), (rect_mat, rect_obj),
-             (cyl_mat, cyl_obj))):
+             (cyl_mat, cyl_obj), (tri_mat, tri_obj))):
         for r in _rows(mids, oids):
             l_fam.append(fam)
             l_pid.append(int(r))
-    tri_lights = len(_rows(tri_mat, tri_obj)) if len(tri) else 0
-    n_lights = 0 if tri_lights else len(l_fam)
+    n_lights = len(l_fam)
     if n_lights:
         light_fam = np.asarray(l_fam, np.int32)
         light_pid = np.asarray(l_pid, np.int32)
@@ -656,7 +656,7 @@ def build_tables(s: SceneDef, bvh_types: Sequence[str] = ()) -> SceneTables:
         light_pid = np.zeros(1, np.int32)
 
     def _light_mat(fam, pid):
-        return int((sph_mat, rect_mat, cyl_mat)[fam][pid])
+        return int((sph_mat, rect_mat, cyl_mat, tri_mat)[fam][pid])
 
     nee_kernel_ok = bool(n_lights) and all(
         int(mat_tex[_light_mat(f, p)]) < 0

@@ -41,8 +41,8 @@ STAGE = 16
 
 
 def _tril():
-    r = jax.lax.broadcasted_iota(jnp.float32, (LANES, LANES), 0)
-    c = jax.lax.broadcasted_iota(jnp.float32, (LANES, LANES), 1)
+    r = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
     return (r <= c).astype(jnp.float32)
 
 
@@ -52,7 +52,7 @@ def _pack_into(vals, alive, fill, stage_ref, ncols):
     Returns new fill. 16 one-hot MXU matmuls + dynamic roll + 2
     dynamic-row RMW stores per source row."""
     tril = _tril()
-    lane = jax.lax.broadcasted_iota(jnp.float32, (1, LANES), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     # ranks: exclusive within-row cumsum of alive (exact: small ints)
     cums = jax.lax.dot_general(
         alive, tril, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -66,7 +66,8 @@ def _pack_into(vals, alive, fill, stage_ref, ncols):
         alive_i = alive[i:i + 1, :]                    # [1, 128]
         rank_i = rank[i:i + 1, :]
         # one-hot P[s, d] = alive_s & (rank_s == d)
-        dcol = jax.lax.broadcasted_iota(jnp.float32, (LANES, LANES), 1)
+        dcol = jax.lax.broadcasted_iota(
+            jnp.int32, (LANES, LANES), 1).astype(jnp.float32)
         P = ((rank_i.T == dcol) & (alive_i.T > 0.0)).astype(jnp.float32)
         packed = jax.lax.dot_general(
             vals_i, P, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -107,12 +108,15 @@ def _kernel(mode_smem, qin_hbm, qout_hbm, done_hbm, out_cur, state_vmem,
             out_cur[0, 0] = cur_smem[1]
         return
 
+    # cursors are kept in BLOCK units and multiplied by ROWS at slice
+    # time so Mosaic can prove the sublane-tiling divisibility of the
+    # dynamic HBM offsets
     head = cur_smem[0]
     dma_in = pltpu.make_async_copy(
-        qin_hbm.at[:, pl.ds(head, ROWS), :], state_vmem, sem_in)
+        qin_hbm.at[:, pl.ds(head * ROWS, ROWS), :], state_vmem, sem_in)
     dma_in.start()
     dma_in.wait()
-    cur_smem[0] = head + ROWS
+    cur_smem[0] = head + 1
 
     vals = state_vmem[...]
     # fake bounce: deterministic hash-ish survival ~72% per step
@@ -124,10 +128,11 @@ def _kernel(mode_smem, qin_hbm, qout_hbm, done_hbm, out_cur, state_vmem,
     if mode == "dma":
         tail = cur_smem[1]
         dma_out = pltpu.make_async_copy(
-            state_vmem, qout_hbm.at[:, pl.ds(tail, ROWS), :], sem_out)
+            state_vmem, qout_hbm.at[:, pl.ds(tail * ROWS, ROWS), :],
+            sem_out)
         dma_out.start()
         dma_out.wait()
-        cur_smem[1] = tail + ROWS
+        cur_smem[1] = tail + 1
         out_cur[0, 0] = cur_smem[1]
         return
 
@@ -149,13 +154,13 @@ def _kernel(mode_smem, qin_hbm, qout_hbm, done_hbm, out_cur, state_vmem,
             crow = cur_smem[3]
             d = pltpu.make_async_copy(
                 cstage_vmem.at[:, pl.ds(0, ROWS), :],
-                done_hbm.at[:, pl.ds(crow, ROWS), :], sem_done)
+                done_hbm.at[:, pl.ds(crow * ROWS, ROWS), :], sem_done)
             d.start()
             d.wait()
             cstage_vmem[:, 0:ROWS, :] = cstage_vmem[:, ROWS:2 * ROWS, :]
             cstage_vmem[:, ROWS:2 * ROWS, :] = jnp.zeros(
                 (CCOLS, ROWS, LANES), jnp.float32)
-            cur_smem[3] = crow + ROWS
+            cur_smem[3] = crow + 1
             cur_smem[4] = cur_smem[4] - ROWS * LANES
 
     # ---- flush full 16-row block of staging to the out ring ----
@@ -164,13 +169,13 @@ def _kernel(mode_smem, qin_hbm, qout_hbm, done_hbm, out_cur, state_vmem,
         tail = cur_smem[1]
         d = pltpu.make_async_copy(
             stage_vmem.at[:, pl.ds(0, ROWS), :],
-            qout_hbm.at[:, pl.ds(tail, ROWS), :], sem_out)
+            qout_hbm.at[:, pl.ds(tail * ROWS, ROWS), :], sem_out)
         d.start()
         d.wait()
         stage_vmem[:, 0:ROWS, :] = stage_vmem[:, ROWS:2 * ROWS, :]
         stage_vmem[:, ROWS:2 * ROWS, :] = jnp.zeros(
             (COLS, ROWS, LANES), jnp.float32)
-        cur_smem[1] = tail + ROWS
+        cur_smem[1] = tail + 1
         cur_smem[2] = cur_smem[2] - ROWS * LANES
 
     @pl.when(step == n_rows // ROWS - 1)

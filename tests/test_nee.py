@@ -32,6 +32,9 @@ def _light_scene(light_r=0.25, all_families=True):
         s.add_cylinder(0.2, -0.3, 0.3,
                        s.add_diffuse_light_color((2.0, 4.0, 8.0)),
                        rotate=((1, 0, 0), 90.0), translate=(-1.5, 0.6, -2.0))
+        s.add_triangle((-2.2, 0.1, -2.6), (-1.4, 0.1, -3.0),
+                       (-1.8, 1.0, -2.8),
+                       s.add_diffuse_light_color((7.0, 2.0, 6.0)))
     s.set_camera((0, 0.4, 1.2), (0, 0, -2), (0, 1, 0), 55, 0.0)
     cfg = RenderConfig(width=48, height=32, samples_per_pixel=4,
                        max_depth=6, background_mode="constant",
@@ -50,7 +53,7 @@ def test_nee_matches_plain_in_expectation():
     suppression must all be exactly right for this to hold)."""
     sdef, cfg = _light_scene()
     tables = build_tables(sdef)
-    assert tables.n_lights == 3
+    assert tables.n_lights == 4
     spp = 2048
     plain = np.asarray(render(
         tables, cfg.replace(samples_per_pixel=spp))) / spp
@@ -119,19 +122,90 @@ def test_nee_mega_engine_matches_xla():
     assert float((diff > 1e-3).mean()) < 0.01
 
 
-def test_triangle_lights_disable_nee():
-    """A scene with an emissive triangle gets n_lights == 0 (partial
-    NEE would double-count the unsampled triangle's emission)."""
-    s = SceneDef(width=16, height=12, samples_per_pixel=1, max_depth=2,
-                 background=(0, 0, 0))
-    s.add_sphere((0, 0, -2), 0.5, s.add_lambertian_color((0.5, 0.5, 0.5)))
-    s.add_rect("xz_rect", -1, 1, -3, -1, 2.0,
-               s.add_diffuse_light_color((4, 4, 4)))
-    s.add_triangle((-1, 0, -2), (1, 0, -2), (0, 1, -2),
-                   s.add_diffuse_light_color((3, 3, 3)))
-    s.set_camera((0, 0, 1), (0, 0, -2), (0, 1, 0), 50, 0.0)
-    tables = build_tables(s)
-    assert tables.n_lights == 0
+def _tri_light_scene():
+    """A mesh-style emitter: two triangles forming an emissive quad —
+    the Taichi-mesh scene class (taichi-version/hittable.py:38-71) that
+    round 3 statically excluded from NEE."""
+    s = SceneDef(width=40, height=28, samples_per_pixel=4, max_depth=5,
+                 background=(0.0, 0.0, 0.0))
+    s.add_sphere((0, 0, -2), 0.5, s.add_lambertian_color((0.6, 0.4, 0.3)))
+    s.add_sphere((0, -100.5, -2), 100,
+                 s.add_lambertian_color((0.5, 0.5, 0.55)))
+    m = s.add_diffuse_light_color((5.0, 4.0, 3.0))
+    s.add_triangle((-0.9, 1.2, -2.6), (0.9, 1.2, -2.6), (0.9, 1.2, -1.0), m)
+    s.add_triangle((-0.9, 1.2, -2.6), (0.9, 1.2, -1.0), (-0.9, 1.2, -1.0), m)
+    s.set_camera((0, 0.4, 1.2), (0, 0, -2), (0, 1, 0), 55, 0.0)
+    cfg = RenderConfig(width=40, height=28, samples_per_pixel=4,
+                       max_depth=5, background_mode="constant",
+                       engine="xla", loop="while")
+    return s, cfg
+
+
+def test_triangle_lights_are_nee_sampled():
+    """Triangle emitters are area-sampled like every other family
+    (round 4; round 3 disabled NEE scene-wide on any triangle light).
+    The converged NEE mean must equal the plain path tracer's on a
+    two-triangle emissive quad."""
+    sdef, cfg = _tri_light_scene()
+    tables = build_tables(sdef)
+    assert tables.n_lights == 2
+    assert tables.nee_kernel_ok
+    spp = 2048
+    plain = np.asarray(render(
+        tables, cfg.replace(samples_per_pixel=spp))) / spp
+    nee = np.asarray(render(
+        tables, cfg.replace(samples_per_pixel=spp, nee=True))) / spp
+    assert abs(plain.mean() - nee.mean()) < 0.01
+    assert _mse(plain, nee) < 3e-3
+
+
+def test_triangle_light_nee_variance_win():
+    """The point of mesh-light NEE: at equal spp the NEE render of the
+    emissive-quad scene is far closer to the converged image."""
+    sdef, cfg = _tri_light_scene()
+    tables = build_tables(sdef)
+    spp_ref, spp = 4096, 16
+    ref = np.asarray(render(
+        tables, cfg.replace(samples_per_pixel=spp_ref, nee=True))) / spp_ref
+    plain = np.asarray(render(
+        tables, cfg.replace(samples_per_pixel=spp))) / spp
+    nee = np.asarray(render(
+        tables, cfg.replace(samples_per_pixel=spp, nee=True))) / spp
+    mask = (ref.max(axis=-1) < 0.5)[..., None]
+    e_nee = _mse(nee * mask, ref * mask)
+    e_plain = _mse(plain * mask, ref * mask)
+    assert e_nee * 3.0 < e_plain, (e_nee, e_plain)
+
+
+def test_triangle_light_nee_matches_oracle(images_close):
+    """Per-ray exact: the vectorized triangle light sampler consumes
+    the same RNG coordinates and sqrt-barycentric warp as the scalar
+    oracle twin."""
+    from rt_tpu.render.oracle import render_oracle
+
+    sdef, cfg = _tri_light_scene()
+    cfg = cfg.replace(width=24, height=16, samples_per_pixel=2,
+                      max_depth=4, nee=True)
+    sdef.width, sdef.height = 24, 16
+    tables = build_tables(sdef)
+    got = np.asarray(render(tables, cfg))
+    ref = render_oracle(sdef, cfg)
+    images_close(got, ref, cfg.samples_per_pixel)
+
+
+def test_triangle_light_nee_mega_matches_xla():
+    """The in-kernel light table bakes triangle rows (v1/e1/e2/normal)
+    and the kernel's sqrt-warp sample matches the XLA estimator."""
+    sdef, cfg = _tri_light_scene()
+    tables = build_tables(sdef)
+    spp = 16
+    a = np.asarray(render(tables, cfg.replace(
+        samples_per_pixel=spp, nee=True, engine="xla"))) / spp
+    b = np.asarray(render(tables, cfg.replace(
+        samples_per_pixel=spp, nee=True, engine="mega"))) / spp
+    assert np.isfinite(b).all()
+    diff = np.abs(a - b).max(axis=-1)
+    assert float((diff > 1e-3).mean()) < 0.01
 
 
 def test_nee_mega_with_compaction_and_shrink():
