@@ -460,6 +460,11 @@ def nee_light_table(tables: SceneTables) -> jnp.ndarray:
               21 |r|, 22 zmin, 23 zmax-zmin
       tri:    9-11 v1, 12-14 e1 (v2-v1), 15-17 e2 (v3-v1),
               18-20 unit geometric normal
+    Shared tail: 24 gradient-slot row (_slot_ids, for the adjoint's
+    NEE light-cotangent scatter), 25 image-texture id (-1 when the
+    emission is solid/checker), 26-31 triangle uv1/uv2/uv3 (the
+    light-point UV interpolants; other families derive UV from the
+    sample draw itself).
     Rows are per-light; same column ranges are reused across families."""
     L = tables.n_lights
     fam = jnp.asarray(tables.light_fam)[:L]
@@ -542,6 +547,20 @@ def nee_light_table(tables: SceneTables) -> jnp.ndarray:
         [tv1, te1, te2, jnp.asarray(tables.tri_n)[pt]], axis=1)  # [L,12]
     blk = blk + is_t * jnp.pad(tri_blk, ((0, 0), (0, 3)))
     out = out.at[:L, 9:24].set(blk)
+
+    n_tex = tables.tex_color.shape[0]
+    slot = jnp.where(tex >= 0, tex, n_tex + mat).astype(jnp.float32)
+    out = out.at[:L, 24].set(slot)
+    img = jnp.where(
+        (tex >= 0) & (jnp.asarray(tables.tex_type)[texs] == TEX_IMAGE),
+        jnp.asarray(tables.tex_image)[texs], -1).astype(jnp.float32)
+    out = out.at[:L, 25].set(img)
+    out = out.at[:L, 26:28].set(jnp.asarray(tables.tri_uv1)[pt]
+                                * is_t.astype(jnp.float32))
+    out = out.at[:L, 28:30].set(jnp.asarray(tables.tri_uv2)[pt]
+                                * is_t.astype(jnp.float32))
+    out = out.at[:L, 30:32].set(jnp.asarray(tables.tri_uv3)[pt]
+                                * is_t.astype(jnp.float32))
     return out
 
 
@@ -779,6 +798,7 @@ def _make_do_bounce(seed, pix, background,
                     Lrgb=None, grgb=None, grad_bg: bool = False,
                     capture: bool = False, code_refs=None,
                     nee: bool = False, nee_ref=None, n_lights: int = 0,
+                    nee_img: bool = False,
                     qmc: bool = False):
     """Build the per-bounce closure shared by both kernel drivers.
 
@@ -1564,6 +1584,49 @@ def _make_do_bounce(seed, pix, background,
             leg = jnp.where(use_odd, lt[6], lt[3])
             leb = jnp.where(use_odd, lt[7], lt[4])
 
+            if nee_img:
+                # image-textured lights: Le = atlas texel at the LIGHT
+                # POINT's UV (each family's hit-UV convention, derived
+                # from the sample draw itself) — the same double
+                # one-hot MXU contraction as the winner texel sample.
+                # Emitted only when some light row carries an image id
+                # (static), so solid/checker-only scenes pay nothing.
+                s_az = (nsz == 0.0) & (nsx == 0.0)
+                s_ul = (_atan2(-nsz, jnp.where(s_az, 1.0, nsx))
+                        + np.float32(np.pi)) \
+                    * np.float32(1.0 / (2.0 * np.pi))
+                s_vl = _acos(-nsy) * np.float32(1.0 / np.pi)
+                c_ul = (_atan2(sphi, cphi) + np.float32(2.0 * np.pi)) \
+                    * np.float32(1.0 / (4.0 * np.pi))
+                b1t = 1.0 - sqt
+                t_ul = b1t * lt[26] + b2t * lt[28] + b3t * lt[30]
+                t_vl = b1t * lt[27] + b2t * lt[29] + b3t * lt[31]
+                u_li = jnp.where(is_sl, s_ul, jnp.where(is_rl, u1,
+                                 jnp.where(is_cl, c_ul, t_ul)))
+                v_li = jnp.where(is_sl, s_vl, jnp.where(is_rl, u2,
+                                 jnp.where(is_cl, u1, t_vl)))
+                has_li = lt[25] >= 0.0
+                xi_l = jnp.clip((u_li - jnp.floor(u_li)) * img_th, 0.0,
+                                img_th - 1.0).astype(jnp.int32)
+                yi_l = jnp.clip((v_li - jnp.floor(v_li)) * img_tw, 0.0,
+                                img_tw - 1.0).astype(jnp.int32)
+                row_l = jnp.where(
+                    has_li, lt[25].astype(jnp.int32) * img_th + xi_l, -1)
+                rids_l = jax.lax.broadcasted_iota(
+                    jnp.int32, (atr_ref.shape[0], s, l), 0)
+                ohx_l = (rids_l == row_l).astype(jnp.float32)
+                cids_l = jax.lax.broadcasted_iota(
+                    jnp.int32, (atr_ref.shape[1], s, l), 0)
+                ohy_l = (cids_l == yi_l).astype(jnp.float32)
+
+                def _ltex(at_ref):
+                    b_ = _dotg(at_ref[...], ohx_l)
+                    return jnp.sum(b_ * ohy_l, axis=0)
+
+                ler = jnp.where(has_li, _ltex(atr_ref), ler)
+                leg = jnp.where(has_li, _ltex(atg_ref), leg)
+                leb = jnp.where(has_li, _ltex(atb_ref), leb)
+
             cs_ = jnp.maximum(cos_s, 0.0)
             w_l = (cs_ * cs_ * cs_ * cos_lg / d2l) * area_l \
                 * np.float32(2.0 * n_lights / np.pi)
@@ -1709,6 +1772,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                  cull: bool = False, cull_t: bool = False,
                  mxu: bool = False,
                  nee: bool = False, n_lights: int = 0,
+                 nee_img: bool = False,
                  qmc: bool = False):
     seed = scal_i_ref[0, 0]
     start_bounce = scal_i_ref[0, 2]
@@ -1722,7 +1786,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
         seed, pix, background, sph_ref, rect_ref, cyl_ref, tri_ref,
         sbnd_ref, tbnd_ref, hbco_ref, ctco_ref, suv_ref, ruv_ref,
         yuv_ref, tuv_ref, atr_ref, atg_ref, atb_ref,
-        nee=nee, nee_ref=nee_ref, n_lights=n_lights,
+        nee=nee, nee_ref=nee_ref, n_lights=n_lights, nee_img=nee_img,
         ns=ns, nr=nr, ny_=ny_, nt=nt, s_chunk=s_chunk, r_chunk=r_chunk,
         y_chunk=y_chunk, t_chunk=t_chunk, t_min=t_min, p_rr=p_rr,
         has_img=has_img, img_th=img_th, img_tw=img_tw, cull=cull,
@@ -2243,7 +2307,7 @@ def _regen_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
     static_argnames=("counts", "max_depth", "t_min", "p_rr", "grad_bg",
                      "exhaust_bg", "has_img", "img_th", "img_tw",
                      "cull", "cull_t", "mxu", "qmc", "interpret", "nee",
-                     "n_lights"))
+                     "n_lights", "nee_img"))
 def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
                  uv_tabs, nee_tab,
                  atlas, counts,
@@ -2255,7 +2319,8 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
                  cull: bool = False, cull_t: bool = False,
                  mxu: bool = False,
                  qmc: bool = False, interpret: bool = False,
-                 nee: bool = False, n_lights: int = 0):
+                 nee: bool = False, n_lights: int = 0,
+                 nee_img: bool = False):
     """Advance B rays (B % RAY_TILE == 0) max_depth bounces.
 
     state: tuple of 13 [B] f32 arrays
@@ -2297,7 +2362,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
         exhaust_bg=bool(exhaust_bg), has_img=bool(has_img),
         img_th=int(img_th), img_tw=int(img_tw), cull=bool(cull),
         cull_t=bool(cull_t), mxu=bool(mxu), qmc=bool(qmc),
-        nee=bool(nee), n_lights=int(n_lights))
+        nee=bool(nee), n_lights=int(n_lights), nee_img=bool(nee_img))
 
     ray_spec = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -2736,10 +2801,10 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
      uv_tabs, atlas, counts, kw) = _prep_scene(tables, cfg)
     exhaust = cfg.exhaust_mode == "background"
 
-    nee_on = (bool(getattr(cfg, "nee", False)) and tables.n_lights > 0
-              and tables.nee_kernel_ok)
+    nee_on = bool(getattr(cfg, "nee", False)) and tables.n_lights > 0
     nee_tab = (nee_light_table(tbl) if nee_on
                else jnp.zeros((8, 32), jnp.float32))
+    nee_img = nee_on and tables.nee_img
 
     ce = getattr(cfg, "compact_every", 0)
     explicit = tuple(getattr(cfg, "compact_schedule", ()) or ())
@@ -2790,7 +2855,8 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
                     tbnd, sph_co, uv_tabs, nee_tab, atlas, counts,
                     tbl.background)
         seg_kw = dict(max_depth=seg, exhaust_bg=exhaust and last,
-                      nee=nee_on, n_lights=tables.n_lights, **kw)
+                      nee=nee_on, n_lights=tables.n_lights,
+                      nee_img=nee_img, **kw)
         if live_tiles is None or buckets is None:
             state = mega_segment(*seg_args, state, pixel,
                                  sample_idx, seed, jnp.int32(done),

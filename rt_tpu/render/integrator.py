@@ -92,6 +92,11 @@ def _nee_direct(tables: SceneTables, cfg: RenderConfig, hit, albedo,
     n_l = jnp.zeros((b, 3), jnp.float32)
     area = jnp.zeros((b,), jnp.float32)
     mat_l = jnp.zeros((b,), jnp.int32)
+    # UV of the sampled light point, per family's own hit-UV convention
+    # (ops/intersect.py) — image/textured emission evaluates at the
+    # SAMPLED point, exactly like a BSDF hit on the light would
+    u_l = jnp.zeros((b,), jnp.float32)
+    v_l = jnp.zeros((b,), jnp.float32)
     n_sph, n_rect, n_cyl, n_tri = tables.counts
 
     def sel(cond, a, bv):
@@ -110,6 +115,14 @@ def _nee_direct(tables: SceneTables, cfg: RenderConfig, hit, albedo,
         n_l = sel(is_s, ns, n_l)
         area = jnp.where(is_s, 4.0 * np.pi * r * r, area)
         mat_l = jnp.where(is_s, tables.sph_mat[ps], mat_l)
+        # sphere UV (object.cuh:87-93 twin, ops/intersect.py sphere UV)
+        az_deg = (ns[:, 2] == 0.0) & (ns[:, 0] == 0.0)
+        s_phi = jnp.arctan2(-ns[:, 2],
+                            jnp.where(az_deg, 1.0, ns[:, 0])) + np.pi
+        u_l = jnp.where(is_s, s_phi / (2 * np.pi), u_l)
+        v_l = jnp.where(is_s,
+                        jnp.arccos(jnp.clip(-ns[:, 1], -1.0, 1.0)) / np.pi,
+                        v_l)
     if n_rect:
         pr = jnp.clip(pid, 0, tables.rect_axis.shape[0] - 1)
         ax = tables.rect_axis[pr]
@@ -130,6 +143,9 @@ def _nee_direct(tables: SceneTables, cfg: RenderConfig, hit, albedo,
         area = jnp.where(
             is_r, (hi[:, 0] - lo[:, 0]) * (hi[:, 1] - lo[:, 1]), area)
         mat_l = jnp.where(is_r, tables.rect_mat[pr], mat_l)
+        # rect UV = the unit square draw itself
+        u_l = jnp.where(is_r, u1, u_l)
+        v_l = jnp.where(is_r, u2, v_l)
     if n_cyl:
         pc = jnp.clip(pid, 0, tables.cyl_radius.shape[0] - 1)
         r = jnp.abs(tables.cyl_radius[pc])
@@ -149,6 +165,11 @@ def _nee_direct(tables: SceneTables, cfg: RenderConfig, hit, albedo,
         area = jnp.where(
             is_c, 2.0 * np.pi * r * (zmax - zmin), area)
         mat_l = jnp.where(is_c, tables.cyl_mat[pc], mat_l)
+        # cylinder UV: object-space phi re-derived through arctan2 so it
+        # lands in intersect's (pi, 3pi]/(4pi) range convention
+        c_phi2 = jnp.arctan2(jnp.sin(phi), jnp.cos(phi)) + 2 * np.pi
+        u_l = jnp.where(is_c, c_phi2 / (4 * np.pi), u_l)
+        v_l = jnp.where(is_c, u1, v_l)
     if n_tri:
         # uniform area sample: P = v1 + b2*e1 + b3*e2 with
         # b2 = sqrt(u1)(1-u2), b3 = sqrt(u1) u2 (the standard sqrt
@@ -169,14 +190,19 @@ def _nee_direct(tables: SceneTables, cfg: RenderConfig, hit, albedo,
         n_l = sel(is_t, tables.tri_n[pt_], n_l)
         area = jnp.where(is_t, 0.5 * crl, area)
         mat_l = jnp.where(is_t, tables.tri_mat[pt_], mat_l)
+        b1 = 1.0 - sq
+        uvt = (tables.tri_uv1[pt_] * b1[:, None]
+               + tables.tri_uv2[pt_] * b2[:, None]
+               + tables.tri_uv3[pt_] * b3[:, None])
+        u_l = jnp.where(is_t, uvt[:, 0], u_l)
+        v_l = jnp.where(is_t, uvt[:, 1], v_l)
 
     wi = point - hit.p
     d2 = jnp.maximum(geom.length_squared(jnp, wi), 1e-8)
     dist = jnp.sqrt(d2)
     cos_s = geom.dot(jnp, hit.normal, wi) / dist
     cos_l = jnp.abs(geom.dot(jnp, n_l, wi)) / dist
-    Le = materials.emitted(tables, mat_l, jnp.zeros_like(u1),
-                           jnp.zeros_like(u2), point)
+    Le = materials.emitted(tables, mat_l, u_l, v_l, point)
     occ = occluded(tables, hit.p, wi, t_max=jnp.float32(1.0 - 1e-3),
                    engine=("xla" if cfg.engine == "mega"
                            else cfg.engine))
@@ -264,16 +290,17 @@ def trace(tables: SceneTables, cfg: RenderConfig, ro, rd, pixel, sample_idx,
     if cfg.engine == "mega":
         from rt_tpu.ops.pallas_mega import mega_supported, mega_trace
 
-        if mega_supported(tables) and (not nee or tables.nee_kernel_ok):
+        if mega_supported(tables):
             # NEE runs IN-KERNEL (light table + per-bounce shadow chunk
-            # pass) whenever the lights bake (solid/checker emission).
-            # sample_idx passes through as-is: the kernel takes per-lane
-            # sample indices (adaptive sampling's per-pixel stream
-            # continuation works on every engine).
+            # pass) for EVERY light family and emission texture —
+            # solid/checker bake as color rows, image lights sample the
+            # atlas at the light-point UV in-kernel. sample_idx passes
+            # through as-is: the kernel takes per-lane sample indices
+            # (adaptive sampling's per-pixel stream continuation works
+            # on every engine).
             return mega_trace(tables, cfg, ro, rd, pixel, sample_idx,
                               seed)
-        # image-textured lights: the hybrid engine samples them exactly
-        cfg = cfg.replace(engine="pallas")
+        cfg = cfg.replace(engine="pallas")  # empty scene only
 
     b = ro.shape[0]
     state = RayState(

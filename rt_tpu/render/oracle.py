@@ -215,6 +215,9 @@ def _oracle_nee(sdef: SceneDef, tables, cfg: RenderConfig, rec, atten,
     u1 = float(smp.uniform(np, seed, pixel, sample, bounce, rng.NEE_U1))
     u2 = float(smp.uniform(np, seed, pixel, sample, bounce, rng.NEE_U2))
     phi = 2.0 * np.pi * u2
+    # UV of the sampled point, per family's hit-UV convention (so
+    # image/checker emission evaluates where the shadow ray lands)
+    uv = (0.0, 0.0)
     if fam == 0:
         c = np.asarray(tables.sph_center[pid], np.float32)
         r = abs(float(tables.sph_radius[pid]))
@@ -225,6 +228,10 @@ def _oracle_nee(sdef: SceneDef, tables, cfg: RenderConfig, rec, atten,
         point = c + np.float32(r) * n_l
         area = 4.0 * np.pi * r * r
         mat_id = int(tables.sph_mat[pid])
+        s_phi = (np.arctan2(-n_l[2], n_l[0] if (n_l[0] or n_l[2]) else 1.0)
+                 + np.pi)
+        uv = (s_phi / (2 * np.pi),
+              np.arccos(np.clip(-n_l[1], -1.0, 1.0)) / np.pi)
     elif fam == 1:
         ax = int(tables.rect_axis[pid])
         lo = np.asarray(tables.rect_lo[pid])
@@ -240,6 +247,7 @@ def _oracle_nee(sdef: SceneDef, tables, cfg: RenderConfig, rec, atten,
         n_l[ax] = 1.0
         area = float((hi[0] - lo[0]) * (hi[1] - lo[1]))
         mat_id = int(tables.rect_mat[pid])
+        uv = (u1, u2)
     elif fam == 2:
         r = abs(float(tables.cyl_radius[pid]))
         zmin = float(tables.cyl_zmin[pid])
@@ -252,6 +260,8 @@ def _oracle_nee(sdef: SceneDef, tables, cfg: RenderConfig, rec, atten,
                @ np.array([np.cos(phi), np.sin(phi), 0], np.float32))
         area = 2.0 * np.pi * r * (zmax - zmin)
         mat_id = int(tables.cyl_mat[pid])
+        uv = ((np.arctan2(np.sin(phi), np.cos(phi)) + 2 * np.pi)
+              / (4 * np.pi), u1)
     else:
         # triangle: uniform barycentric via the sqrt warp (the
         # integrator._nee_direct twin — same b2/b3 convention)
@@ -266,6 +276,11 @@ def _oracle_nee(sdef: SceneDef, tables, cfg: RenderConfig, rec, atten,
         cr_ = np.cross(e1, e2)
         area = 0.5 * float(np.sqrt(cr_ @ cr_))
         mat_id = int(tables.tri_mat[pid])
+        b1 = 1.0 - sq
+        uvt = (b1 * np.asarray(tables.tri_uv1[pid])
+               + b2 * np.asarray(tables.tri_uv2[pid])
+               + b3 * np.asarray(tables.tri_uv3[pid]))
+        uv = (float(uvt[0]), float(uvt[1]))
 
     wi = point - rec["p"]
     d2 = max(float(wi @ wi), 1e-8)
@@ -278,7 +293,7 @@ def _oracle_nee(sdef: SceneDef, tables, cfg: RenderConfig, rec, atten,
     if srec is not None and srec["t"] < 1.0 - 1e-3:
         return np.zeros(3, np.float32)
     lmat = sdef.materials[mat_id]
-    le = _texture_value(sdef, lmat["texture"], 0.0, 0.0, point)
+    le = _texture_value(sdef, lmat["texture"], uv[0], uv[1], point)
     w = (cos_s ** 3 * cos_l / d2) * area * (2.0 * L / np.pi)
     return (atten * le * np.float32(w)).astype(np.float32)
 

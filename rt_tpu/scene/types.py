@@ -231,9 +231,16 @@ class SceneTables:
     # number of NEE-sampleable lights (static) — every emissive
     # primitive of every family, triangles included
     n_lights: int = dataclasses.field(default=0, metadata=dict(static=True))
-    # every light's emission is solid/checker (no image textures): the
-    # megakernel's in-kernel NEE can bake the light table (static)
+    # the megakernel's in-kernel NEE can bake this scene's light table.
+    # Since round 4 every emission texture bakes — solid/checker as
+    # color rows, image as an atlas id + light-point UV sampled
+    # in-kernel — so this is simply "the scene has lights"
     nee_kernel_ok: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+    # some NEE light's emission is an image texture (static): gates the
+    # megakernel's light-point atlas sampling so solid/checker-only
+    # scenes pay nothing for it
+    nee_img: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
     # which primitive families carry a real BVH, e.g. ("triangle",)
     bvh_for: Tuple[str, ...] = dataclasses.field(
@@ -655,12 +662,14 @@ def build_tables(s: SceneDef, bvh_types: Sequence[str] = ()) -> SceneTables:
         light_fam = np.zeros(1, np.int32)
         light_pid = np.zeros(1, np.int32)
 
+    nee_kernel_ok = bool(n_lights)
+
     def _light_mat(fam, pid):
         return int((sph_mat, rect_mat, cyl_mat, tri_mat)[fam][pid])
 
-    nee_kernel_ok = bool(n_lights) and all(
-        int(mat_tex[_light_mat(f, p)]) < 0
-        or int(tex_type[int(mat_tex[_light_mat(f, p)])]) != TEX_IMAGE
+    nee_img = bool(n_lights) and any(
+        int(mat_tex[_light_mat(f, p)]) >= 0
+        and int(tex_type[int(mat_tex[_light_mat(f, p)])]) == TEX_IMAGE
         for f, p in zip(l_fam, l_pid))
 
     return SceneTables(
@@ -668,7 +677,7 @@ def build_tables(s: SceneDef, bvh_types: Sequence[str] = ()) -> SceneTables:
         bvh_for=tuple(bvh_built),
         img_on=tuple(img_on),
         light_fam=light_fam, light_pid=light_pid, n_lights=n_lights,
-        nee_kernel_ok=nee_kernel_ok,
+        nee_kernel_ok=nee_kernel_ok, nee_img=nee_img,
         sph_center=sph_center, sph_radius=sph_radius, sph_mat=sph_mat,
         sph_obj=sph_obj,
         rect_axis=rect_axis, rect_lo=rect_lo, rect_hi=rect_hi, rect_k=rect_k,

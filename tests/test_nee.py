@@ -222,12 +222,14 @@ def test_nee_mega_with_compaction_and_shrink():
     np.testing.assert_array_equal(a, b)
 
 
-def test_image_textured_light_uses_hybrid():
-    """An image-textured emitter cannot bake into the kernel light
-    table: nee_kernel_ok is False and the render still works (hybrid
-    engine samples the texture exactly)."""
-    tex = np.full((4, 4, 3), 3.0, np.float32)
-    s = SceneDef(width=24, height=16, samples_per_pixel=4, max_depth=4,
+def _img_light_scene():
+    """An emissive rect whose brightness comes from a NON-uniform image
+    texture (bright half / dim half) — any UV mistake in the light
+    sampler shows up as a wrong illumination gradient."""
+    tex = np.zeros((8, 8, 3), np.float32)
+    tex[:, :4] = 6.0   # v < 0.5 bright
+    tex[:, 4:] = 0.5   # v >= 0.5 dim
+    s = SceneDef(width=32, height=24, samples_per_pixel=4, max_depth=4,
                  background=(0, 0, 0))
     s.add_sphere((0, 0, -2), 0.5, s.add_lambertian_color((0.5, 0.4, 0.3)))
     s.add_sphere((0, -100.5, -2), 100,
@@ -235,12 +237,53 @@ def test_image_textured_light_uses_hybrid():
     s.add_rect("xz_rect", -1, 1, -3, -1, 2.0,
                s.add_diffuse_light(s.add_image_texture(tex)))
     s.set_camera((0, 0, 1), (0, 0, -2), (0, 1, 0), 50, 0.0)
-    cfg = RenderConfig(width=24, height=16, samples_per_pixel=4,
-                       max_depth=4, engine="mega")
-    tables = build_tables(s)
-    assert tables.n_lights == 1 and not tables.nee_kernel_ok
-    img = np.asarray(render(tables, cfg.replace(nee=True)))
-    assert np.isfinite(img).all() and img.max() > 0
+    cfg = RenderConfig(width=32, height=24, samples_per_pixel=4,
+                       max_depth=4, engine="xla", loop="while")
+    return s, cfg
+
+
+def test_image_textured_light_nee_unbiased():
+    """Round 4: image emission is evaluated at the SAMPLED light point's
+    UV (round 3 evaluated texel (0,0) on the hybrid path and refused the
+    kernel). The NEE mean must match plain path tracing, which samples
+    the same texture through BSDF hits."""
+    sdef, cfg = _img_light_scene()
+    tables = build_tables(sdef)
+    assert tables.n_lights == 1 and tables.nee_kernel_ok
+    spp = 2048
+    plain = np.asarray(render(
+        tables, cfg.replace(samples_per_pixel=spp))) / spp
+    nee = np.asarray(render(
+        tables, cfg.replace(samples_per_pixel=spp, nee=True))) / spp
+    assert abs(plain.mean() - nee.mean()) < 0.01
+    assert _mse(plain, nee) < 3e-3
+
+
+def test_image_textured_light_nee_matches_oracle(images_close):
+    sdef, cfg = _img_light_scene()
+    cfg = cfg.replace(samples_per_pixel=2, nee=True)
+    tables = build_tables(sdef)
+    from rt_tpu.render.oracle import render_oracle
+
+    got = np.asarray(render(tables, cfg))
+    ref = render_oracle(sdef, cfg)
+    images_close(got, ref, cfg.samples_per_pixel)
+
+
+def test_image_textured_light_nee_mega_in_kernel():
+    """The megakernel no longer falls back: the light table carries the
+    atlas id and the kernel samples Le at the light-point UV via the
+    double one-hot contraction. Must match the XLA estimator."""
+    sdef, cfg = _img_light_scene()
+    tables = build_tables(sdef)
+    spp = 16
+    a = np.asarray(render(tables, cfg.replace(
+        samples_per_pixel=spp, nee=True, engine="xla"))) / spp
+    b = np.asarray(render(tables, cfg.replace(
+        samples_per_pixel=spp, nee=True, engine="mega"))) / spp
+    assert np.isfinite(b).all()
+    diff = np.abs(a - b).max(axis=-1)
+    assert float((diff > 1e-3).mean()) < 0.01
 
 
 def test_nee_matches_scalar_oracle(images_close):
