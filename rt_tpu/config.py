@@ -123,6 +123,12 @@ class RenderConfig:
     # segments then skip the dead tiles' VMEM DMA fixed costs entirely,
     # not just their bounce loops
     regen_shrink: bool = True
+    # queue-steps per kernel launch for engine="queue" (the persistent
+    # ray-queue megakernel, ops/pallas_queue.py): 0 = auto (scales with
+    # the batch's tile count). Smaller values relaunch more often (the
+    # in-jit while loop resumes exactly — images are bit-identical for
+    # any value); the knob exists for tests and tail tuning.
+    queue_steps: int = 0
 
     @property
     def aspect_ratio(self) -> float:

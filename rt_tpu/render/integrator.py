@@ -287,6 +287,16 @@ def trace(tables: SceneTables, cfg: RenderConfig, ro, rd, pixel, sample_idx,
     (ops/pallas_mega.py); unsupported scenes fall back to the hybrid
     per-bounce loop with engine="pallas"."""
     nee = bool(cfg.nee) and tables.n_lights > 0
+    if cfg.engine == "queue":
+        from rt_tpu.ops.pallas_mega import mega_supported
+        from rt_tpu.ops.pallas_queue import queue_trace
+
+        if mega_supported(tables):
+            # persistent ray-queue megakernel: occupancy never decays
+            # (VMEM staging pool + lane-granular MXU repack each bounce)
+            return queue_trace(tables, cfg, ro, rd, pixel, sample_idx,
+                               seed)
+        cfg = cfg.replace(engine="pallas")  # empty scene only
     if cfg.engine == "mega":
         from rt_tpu.ops.pallas_mega import mega_supported, mega_trace
 
