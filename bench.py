@@ -82,7 +82,12 @@ def main():
     # Tapered compaction schedule + 32-ray groups: measured best of the
     # round-2 sweep (BASELINE.md; segment lengths track the death curve,
     # finer groups pack scattered survivors tighter)
-    cfg = cfg.replace(rays_per_batch=1 << 25, engine="mega",
+    # round 4: the persistent ray-queue megakernel (ops/pallas_queue.py)
+    # is the production single-chip engine — occupancy never decays, so
+    # the round-3 2.59x group-packing waste is gone (28.2M vs 13.8M
+    # paths/s at this shape; BASELINE.md round-4). The sharded leg still
+    # exercises the segmented megakernel (its compact kwargs below).
+    cfg = cfg.replace(rays_per_batch=1 << 25, engine="queue",
                       compact_schedule=(2, 3, 5, 10), compact_group=16,
                       cull_chunks=True)
     tables = build_tables(sdef)
@@ -114,6 +119,9 @@ def main():
         assert np.isfinite(host_img).all()
         e2e = width * height * spp_done / (dt + dl)
     else:
+        # sharded path: the segmented megakernel is the engine proven
+        # under shard_map (queue-under-shard_map is single-chip so far)
+        cfg = cfg.replace(engine="mega")
         mesh = make_mesh((n_dev, 1))
         render_sharded_ex(tables, cfg.replace(samples_per_pixel=1), mesh)
         t0 = time.perf_counter()
@@ -147,7 +155,8 @@ def main():
         try:
             mesh = make_mesh((1, 1), jax.devices()[:1])
             scfg = cfg.replace(width=480, height=272, samples_per_pixel=2,
-                               max_depth=8, compact_schedule=(2,))
+                               max_depth=8, compact_schedule=(2,),
+                               engine="mega")
             t0 = time.perf_counter()
             img, spp_sh = render_sharded_ex(tables, scfg, mesh)
             dt_sh = time.perf_counter() - t0

@@ -51,11 +51,12 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                         "tiles) instead of single-device tiling")
     p.add_argument("--progress", action="store_true")
     p.add_argument("--log", default="rt_tpu-time.log")
-    p.add_argument("--engine", default="mega",
-                   choices=["xla", "pallas", "mega"],
-                   help="compute engine (default mega: full-path Pallas "
-                        "megakernel with automatic fallback to the hybrid "
-                        "engine for unsupported scenes)")
+    p.add_argument("--engine", default="queue",
+                   choices=["xla", "pallas", "mega", "queue"],
+                   help="compute engine (default queue: persistent "
+                        "ray-queue megakernel — occupancy never decays; "
+                        "mega: segmented megakernel; both fall back to "
+                        "the hybrid engine for unsupported scenes)")
     p.add_argument("--compact-every", type=int, default=None,
                    help="megakernel live-ray compaction segment length "
                         "(-1 auto schedule, 0 off; default: 4 for deep "
@@ -78,7 +79,8 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                         "primitive per diffuse bounce + shadow ray "
                         "(variance reduction on light-driven scenes; an "
                         "opt-in extension beyond the reference's "
-                        "semantics — uses the hybrid engine)")
+                        "semantics — runs in-kernel on every engine and "
+                        "every light family)")
     p.add_argument("--bvh", action="store_true",
                    help="build + traverse a BVH for every primitive "
                         "family (spheres/rects/cylinders/triangles)")
@@ -508,8 +510,8 @@ def main(argv=None) -> int:
     anp.add_argument("--host-index", type=int, default=0)
     anp.add_argument("--retries", type=int, default=1,
                      help="per-frame retry count (frames are idempotent)")
-    anp.add_argument("--engine", default="mega",
-                     choices=["xla", "pallas", "mega"])
+    anp.add_argument("--engine", default="queue",
+                     choices=["xla", "pallas", "mega", "queue"])
     anp.add_argument("--deg-per-frame", type=float, default=1.0)
     anp.add_argument("--outdir", default="frames")
     anp.add_argument("-w", "--width", type=int, default=400)

@@ -528,13 +528,10 @@ def make_replay_render(
     use_kernel = (bwd_kernel if bwd_kernel is not None
                   else (cfg.engine == "mega"
                         and jax.default_backend() == "tpu"))
-    if nee and use_kernel:
-        if bwd_kernel:
-            raise ValueError(
-                "bwd_kernel=True with cfg.nee: the adjoint megakernel "
-                "does not replay the direct-light term yet — use the "
-                "hybrid/XLA replay (bwd_kernel=False or None)")
-        use_kernel = False  # auto: fall back to the per-bounce replay
+    # round 4: the adjoint megakernel replays NEE too — the direct-light
+    # term's albedo and light-emission credits accumulate in-kernel
+    # (pallas_mega._make_do_bounce adjoint+nee), so NEE renders keep
+    # the fast backward.
 
     def img_bwd(res, g):
         params, Ls, s0 = res

@@ -1653,11 +1653,49 @@ def _make_do_bounce(seed, pix, background,
                 catt = jnp.where(s_mask & ok,
                                  g_ * (L_ - C_)
                                  / jnp.where(ok, att_, 1.0), 0.0)
-                return catt + jnp.where(emitter, g_ * P_, 0.0)
+                # em_scale respects NEE's diffuse-bounce emission
+                # suppression (1.0 everywhere without nee)
+                return catt + jnp.where(emitter, g_ * P_ * em_scale, 0.0)
 
             cots = (_cot(gr_, Lr_, cr, att_r, tpr),
                     _cot(gg_, Lg_, cg, att_g, tpg),
                     _cot(gb_, Lb_, cb, att_b, tpb))
+            if nee:
+                # NEE direct term c += tp*alb*Le*okl sits inside
+                # C_after (the suffix identity excludes it), so its two
+                # radiometric factors get explicit credits:
+                # (a) the WINNER's albedo slot: + g*tp*Le*okl — summed
+                #     into cots so checker/texel routing below applies;
+                # (b) the LIGHT's emission slot (light-table row 24):
+                #     + g*tp*alb*okl, with the same checker-parity ->
+                #     color2 and image -> atlas routing as any winner.
+                cots = (cots[0] + gr_ * tpr * ler * okl,
+                        cots[1] + gg_ * tpg * leg * okl,
+                        cots[2] + gb_ * tpb * leb * okl)
+                le_cots = (gr_ * tpr * alb_r * okl,
+                           gg_ * tpg * alb_g * okl,
+                           gb_ * tpb * alb_b * okl)
+                slot_l = lt[24].astype(jnp.int32)
+                l_img = has_li if nee_img else (use_odd & ~use_odd)
+                l_ok = jnp.where(l_img, 0.0, 1.0)
+                l_prim = jnp.where(use_odd, 0.0, 1.0) * l_ok
+                l_sec = jnp.where(use_odd, 1.0, 0.0) * l_ok
+                lcp = tuple(c * l_prim for c in le_cots)
+                lcs = tuple(c * l_sec for c in le_cots)
+                if nee_img:
+                    accImg = list(accImg)
+                    for i3 in range(3):
+                        ci_l = le_cots[i3] * jnp.where(l_img, 1.0, 0.0)
+                        d = accImg[i3]
+                        for si in range(s):
+                            d = d + jax.lax.dot_general(
+                                ohx_l[:, si, :] * ci_l[si][None, :],
+                                ohy_l[:, si, :],
+                                (((1,), (1,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+                        accImg[i3] = d
+                    accImg = tuple(accImg)
             # texel-sampled winners differentiate into the ATLAS, not
             # their tex_color row (ops/materials._texture_eval picks the
             # gather for TEX_IMAGE) — exclude them from the slot scatter
@@ -1706,6 +1744,17 @@ def _make_do_bounce(seed, pix, background,
                 for i in range(3):
                     pA[i][k] = pA[i][k] + _red(cp[i])
                     pA2[i][k] = pA2[i][k] + _red(cs[i])
+                if nee:
+                    # second scatter: the sampled LIGHT's slot
+                    ohl = (sid == slot_l[None]).astype(jnp.float32)
+
+                    def _redl(c):
+                        return jnp.sum(jnp.sum(ohl * c[None], axis=2),
+                                       axis=1)
+
+                    for i in range(3):
+                        pA[i][k] = pA[i][k] + _redl(lcp[i])
+                        pA2[i][k] = pA2[i][k] + _redl(lcs[i])
             accA = tuple(tuple(ch) for ch in pA)
             accA2 = tuple(tuple(ch) for ch in pA2)
             if not grad_bg:
@@ -2036,7 +2085,7 @@ def mega_capture(tables: SceneTables, cfg, ro, rd, pixel, sample_idx,
 
 def _adjoint_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                     tri_ref, sbnd_ref, tbnd_ref, hbco_ref, ctco_ref,
-                    suv_ref, ruv_ref, yuv_ref, tuv_ref,
+                    suv_ref, ruv_ref, yuv_ref, tuv_ref, nee_ref,
                     atr_ref, atg_ref, atb_ref,
                     rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                     tpr_ref, tpg_ref, tpb_ref, cr_ref, cg_ref, cb_ref,
@@ -2053,7 +2102,9 @@ def _adjoint_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                     has_img: bool, img_th: int, img_tw: int,
                     n_slots: int = 0,
                     cull: bool = False, cull_t: bool = False,
-                    mxu: bool = False, qmc: bool = False):
+                    mxu: bool = False, qmc: bool = False,
+                    nee: bool = False, n_lights: int = 0,
+                    nee_img: bool = False):
     """The BACKWARD megakernel: _mega_kernel's bounce loop replayed with
     the adjoint accumulation enabled (see _make_do_bounce adjoint=True).
     Extra per-lane inputs: the sample's radiance L and loss cotangent g;
@@ -2076,6 +2127,7 @@ def _adjoint_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
         has_img=has_img, img_th=img_th, img_tw=img_tw, cull=cull,
         cull_t=cull_t, mxu=mxu,
         adjoint=True, n_slots=n_slots,
+        nee=nee, nee_ref=nee_ref, n_lights=n_lights, nee_img=nee_img,
         Lrgb=(lr_ref[0], lg_ref[0], lb_ref[0]),
         grgb=(gr_ref[0], gg_ref[0], gb_ref[0]), grad_bg=grad_bg, qmc=qmc)
 
@@ -2406,7 +2458,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
 
 
 def adjoint_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
-                    sph_co, uv_tabs, atlas, counts,
+                    sph_co, uv_tabs, nee_tab, atlas, counts,
                     background, state, pixel, Lg6, sample_idx, seed,
                     start_bounce, max_depth: int, n_slots: int,
                     t_min: float = 1e-3, p_rr: float = 0.0,
@@ -2415,7 +2467,9 @@ def adjoint_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
                     img_tw: int = 1,
                     cull: bool = False, cull_t: bool = False,
                     mxu: bool = False, qmc: bool = False,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    nee: bool = False, n_lights: int = 0,
+                    nee_img: bool = False):
     """Advance B replay lanes max_depth bounces AND accumulate the
     radiometric parameter adjoints (see _adjoint_kernel). Lg6 = 6 [B]
     f32 arrays (Lr,Lg,Lb,gr,gg,gb). Returns (state, grads [gtiles, 8,
@@ -2445,7 +2499,8 @@ def adjoint_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
         t_min=float(t_min), p_rr=float(p_rr), grad_bg=bool(grad_bg),
         exhaust_bg=bool(exhaust_bg), has_img=bool(has_img),
         img_th=int(img_th), img_tw=int(img_tw), cull=bool(cull),
-        cull_t=bool(cull_t), mxu=bool(mxu), qmc=bool(qmc))
+        cull_t=bool(cull_t), mxu=bool(mxu), qmc=bool(qmc),
+        nee=bool(nee), n_lights=int(n_lights), nee_img=bool(nee_img))
 
     ray_spec = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -2472,6 +2527,7 @@ def adjoint_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rect UV params
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cylinder UV params
             pl.BlockSpec(memory_space=pltpu.VMEM),   # triangle UV params
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # NEE light table
             pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas R
             pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas G
             pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas B
@@ -2486,7 +2542,7 @@ def adjoint_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
     )(
         scal_i, scal_f, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
         sph_co[0], sph_co[1],
-        uv_tabs[0], uv_tabs[1], uv_tabs[2], uv_tabs[3],
+        uv_tabs[0], uv_tabs[1], uv_tabs[2], uv_tabs[3], nee_tab,
         atlas[0], atlas[1], atlas[2],
         *[lanes(s) for s in state],
         lanes(pixel, jnp.int32),
@@ -2938,6 +2994,9 @@ def mega_trace_adjoint(tables: SceneTables, cfg, ro, rd, pixel,
     n_mat = tables.mat_albedo.shape[0]
     n_slots = -(-(n_tex + n_mat) // LANES) * LANES
     grad_bg = kw.get("grad_bg", False)
+    nee_on = bool(getattr(cfg, "nee", False)) and tables.n_lights > 0
+    nee_tab = (nee_light_table(tbl) if nee_on
+               else jnp.zeros((8, 32), jnp.float32))
 
     ce = getattr(cfg, "compact_every", 0)
     explicit = tuple(getattr(cfg, "compact_schedule", ()) or ())
@@ -2979,9 +3038,11 @@ def mega_trace_adjoint(tables: SceneTables, cfg, ro, rd, pixel,
         last = i == len(schedule) - 1
         state, gseg, gimg_seg = adjoint_segment(
             sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
-            uv_tabs, atlas, counts, tbl.background, state, pixel, Lg6,
-            sample_idx, seed, jnp.int32(done),
+            uv_tabs, nee_tab, atlas, counts, tbl.background, state,
+            pixel, Lg6, sample_idx, seed, jnp.int32(done),
             max_depth=seg, n_slots=n_slots,
+            nee=nee_on, n_lights=tables.n_lights,
+            nee_img=nee_on and tables.nee_img,
             exhaust_bg=exhaust and last, **kw)
         gsum = gsum + jnp.sum(gseg, axis=0)
         if kw.get("has_img"):

@@ -431,8 +431,11 @@ def queue_trace(tables, cfg, ro, rd, pixel, sample_idx, seed):
     cur0 = jnp.zeros((1, 8), jnp.int32)
     ring0 = jnp.zeros((CCOLS, rows, LANES), jnp.float32)
 
+    # per-launch step budget: ~2-4K is the bench-shape sweet spot
+    # (28.25M at 2048 vs 26.46M at 49152 — idle post-drain steps are
+    # not free in the full kernel; scripts/exp_queue_bench_r4.py)
     n_steps = int(getattr(cfg, "queue_steps", 0)) or max(
-        16, min(2 * n_blocks, 8192))
+        16, min(2 * n_blocks, 4096))
     launch = functools.partial(
         queue_launch, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
         sph_co, uv_tabs, nee_tab, atlas, counts, tbl.background,

@@ -33,6 +33,11 @@ variants = {
                               compact_schedule=(2, 3, 5, 10),
                               compact_group=16),
     "queue": cfg.replace(engine="queue"),
+    "queue-nocull": cfg.replace(engine="queue", cull_chunks=False),
+    "queue-steps-big": cfg.replace(engine="queue", queue_steps=49152),
+    "queue-steps-2k": cfg.replace(engine="queue", queue_steps=2048),
+    "queue-steps-1k": cfg.replace(engine="queue", queue_steps=1024),
+    "queue-steps-4k": cfg.replace(engine="queue", queue_steps=4096),
 }
 for name in (sys.argv[2:] or variants):
     c = variants[name]
@@ -51,3 +56,5 @@ for name in (sys.argv[2:] or variants):
     print(f"{name}: {dt:.3f}s best-of-3 (spread {(max(times)-dt)/dt:.3f}) "
           f"= {paths/dt/1e6:.2f}M paths/s  mean={host.mean():.4f}",
           flush=True)
+
+# extra variants via argv names:

@@ -25,12 +25,13 @@ def small_scene():
 
 
 @pytest.mark.parametrize("shape", [(1, 1), (8, 1), (4, 2), (2, 4)])
-@pytest.mark.parametrize("engine", ["xla", "mega"])
+@pytest.mark.parametrize("engine", ["xla", "mega", "queue"])
 def test_sharded_matches_single_device(small_scene, shape, engine):
-    """Every mesh shape x engine: the PRODUCTION engine ("mega", the CLI
-    default, cli.py) must shard exactly like the slow one — the
-    composition a real multi-chip user hits first (Pallas megakernel
-    traced inside shard_map; interpret-mode on the CPU mesh)."""
+    """Every mesh shape x engine: the PRODUCTION engines ("queue", the
+    CLI default since round 4, and the segmented "mega") must shard
+    exactly like the slow one — the composition a real multi-chip user
+    hits first (Pallas megakernel traced inside shard_map;
+    interpret-mode on the CPU mesh)."""
     tables, cfg = small_scene
     cfg = cfg.replace(engine=engine)
     ref = render(tables, cfg)
