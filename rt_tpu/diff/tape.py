@@ -143,7 +143,9 @@ def capture_tape(tables: SceneTables, cfg: RenderConfig, ro, rd, pixel,
         # Post-death lanes record -1 where the hybrid records the stale
         # winner — masked identically by the replay's alive chain.
         sample_scalar = jnp.asarray(sample).reshape(-1)[0]
-        codes, _ = mega_capture(tables, cfg, ro, rd,
+        # winner codes are NEE-invariant; the capture kernel runs the
+        # plain estimator (the replay re-adds the direct term)
+        codes, _ = mega_capture(tables, cfg.replace(nee=False), ro, rd,
                                 jnp.asarray(pixel).astype(jnp.int32),
                                 sample_scalar, seed)
         return codes
@@ -222,8 +224,13 @@ def _tape_bounce(tables: SceneTables, cfg: RenderConfig, st, code, pixel,
                  sample, seed, bounce, rr_comp):
     """One differentiable bounce against the taped winner — the
     integrator's _bounce (render/integrator.py) with the full intersect
-    replaced by the known-winner recompute."""
-    o, d, tp, rgb, alive = st
+    replaced by the known-winner recompute. With cfg.nee the state
+    carries prev_diff and the bounce adds the NEE direct term: Le and
+    the light-sample geometry differentiate naturally; the shadow test
+    (piecewise-constant) is recomputed by an any-hit pass, exactly the
+    forward estimator's draw-for-draw semantics."""
+    o, d, tp, rgb, alive, prev_diff = st
+    nee = bool(cfg.nee) and tables.n_lights > 0
     smp = rng.resolve(cfg.sampler)
 
     survive = jnp.ones_like(alive)
@@ -247,13 +254,29 @@ def _tape_bounce(tables: SceneTables, cfg: RenderConfig, st, code, pixel,
     emitter = live & valid & ~sc.ok
     missed = live & ~hit_mask
 
-    contrib = (jnp.where((scattered | emitter)[:, None], em, 0.0)
+    em_eff = em
+    if nee:
+        # emission reached THROUGH a diffuse bounce was already counted
+        # by that bounce's light sample (integrator._bounce twin)
+        em_eff = jnp.where(prev_diff[:, None], jnp.zeros_like(em), em)
+    contrib = (jnp.where((scattered | emitter)[:, None], em_eff, 0.0)
                + jnp.where(missed[:, None], bg, 0.0))
     rgb = rgb + tp * contrib
+    if nee:
+        from rt_tpu.render.integrator import _nee_direct
+        from rt_tpu.scene.types import MAT_LAMBERTIAN
+
+        mt = tables.mat_type[jnp.clip(hit.mat, 0,
+                                      tables.mat_type.shape[0] - 1)]
+        lam = scattered & (mt == MAT_LAMBERTIAN)
+        ld = _nee_direct(tables, cfg, hit, sc.attenuation, pixel,
+                         sample, seed, bounce)
+        rgb = rgb + jnp.where(lam[:, None], tp * ld, 0.0)
+        prev_diff = lam
     tp = jnp.where(scattered[:, None], tp * sc.attenuation * rr_comp, tp)
     o = jnp.where(scattered[:, None], hit.p, o)
     d = jnp.where(scattered[:, None], sc.direction, d)
-    return (o, d, tp, rgb, scattered)
+    return (o, d, tp, rgb, scattered, prev_diff)
 
 
 def replay_tape(tables: SceneTables, cfg: RenderConfig, ro, rd, codes,
@@ -274,7 +297,8 @@ def replay_tape(tables: SceneTables, cfg: RenderConfig, ro, rd, codes,
     st = (ro, rd,
           jnp.ones((b, 3), jnp.float32),
           jnp.zeros((b, 3), jnp.float32),
-          jnp.ones((b,), bool))
+          jnp.ones((b,), bool),
+          jnp.zeros((b,), bool))
 
     def one_bounce(st, xs):
         code, i = xs
@@ -299,7 +323,7 @@ def replay_tape(tables: SceneTables, cfg: RenderConfig, ro, rd, codes,
     if rem:
         st, _ = jax.lax.scan(ckpt_bounce, st, (codes[head:], idx[head:]))
 
-    o, d, tp, rgb, alive = st
+    o, d, tp, rgb, alive, _pd = st
     if cfg.exhaust_mode == "background":
         bg = background_color(tables, cfg, d)
         rgb = rgb + jnp.where(alive[:, None], tp * bg, 0.0)
@@ -420,12 +444,12 @@ def make_tape_vg(tables: SceneTables, cfg: RenderConfig, px, py, target,
     from rt_tpu.ops.pallas_mega import mega_capture, mega_supported
 
     assert mega_supported(tables), "mega_capture needs a megakernel scene"
-    if bool(cfg.nee) and tables.n_lights > 0:
-        raise ValueError(
-            "make_tape_vg does not replay the NEE direct-light term "
-            "(the tape records winners, not shadow visibility) — fit "
-            "with method='replay' (make_replay_render handles cfg.nee "
-            "exactly) or capture with cfg.nee=False")
+    # cfg.nee: the CAPTURE runs nee=False (winner codes and deaths are
+    # NEE-invariant — NEE draws separate RNG purposes and never changes
+    # path geometry or liveness); the REPLAY adds the direct term
+    # differentiably per bounce (_tape_bounce).
+    cap_cfg = (cfg.replace(nee=False)
+               if bool(cfg.nee) and tables.n_lights > 0 else cfg)
     base = _device_tables(tables)
     width, height = cfg.width, cfg.height
     px = jnp.asarray(px, jnp.int32)
@@ -460,7 +484,7 @@ def make_tape_vg(tables: SceneTables, cfg: RenderConfig, px, py, target,
             sample = jnp.full(px.shape, s_, jnp.uint32)
             ro, rd = generate_rays(tbl.camera, width, height, px, py,
                                    sample, seed, cfg.enable_defocus, cfg.sampler)
-            return mega_capture(tbl, cfg,
+            return mega_capture(tbl, cap_cfg,
                                 jax.lax.stop_gradient(ro),
                                 jax.lax.stop_gradient(rd),
                                 pixel, s_, seed)
@@ -495,7 +519,8 @@ def make_tape_vg(tables: SceneTables, cfg: RenderConfig, px, py, target,
             st = (ro, rd,
                   jnp.ones((b, 3), jnp.float32),
                   jnp.zeros((b, 3), jnp.float32),
-                  jnp.ones((b,), bool))
+                  jnp.ones((b,), bool),
+                  jnp.zeros((b,), bool))
             upid = pid_s.astype(jnp.uint32)
 
             done = 0
@@ -519,7 +544,7 @@ def make_tape_vg(tables: SceneTables, cfg: RenderConfig, px, py, target,
                     for n_, x in zip(sub, st))
                 done += seg
 
-            o, d, tp, rgb, alive = st
+            o, d, tp, rgb, alive, _pd = st
             if cfg.exhaust_mode == "background":
                 bg = background_color(tbl, cfg, d)
                 rgb = rgb + jnp.where(alive[:, None], tp * bg, 0.0)

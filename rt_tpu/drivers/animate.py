@@ -182,6 +182,10 @@ def run_blue(args) -> int:
                 obj["rotate"]["angle"] = (
                     obj["rotate"].get("angle", 0.0)
                     + args.deg_per_frame * i)
+        out_path = os.path.join(args.outdir, f"frame_{i:04d}.{_ext(args)}")
+        if os.path.exists(out_path):
+            continue  # idempotent resume: rerun the same command after
+            # a crash and finished frames are skipped (SURVEY.md 5.3)
         scene_path = os.path.join(args.outdir, f"scene_{i:04d}.json")
         with open(scene_path, "w") as f:
             json.dump(data, f)
@@ -192,8 +196,7 @@ def run_blue(args) -> int:
         # re-derive the camera for the new aspect (SceneDef.resize)
         sdef.resize(args.width, args.height)
         _with_retries(args, lambda: _render_frame(
-            build_tables(sdef), cfg,
-            os.path.join(args.outdir, f"frame_{i:04d}.{_ext(args)}"),
+            build_tables(sdef), cfg, out_path,
             pipeline=pipe, t0=time.time()), i)
     _log_done(pipe.flush())
     return 0
@@ -236,6 +239,9 @@ def run_points(args) -> int:
     lo, hi = _host_slice(args)
     pipe = FramePipeline()
     for i in range(lo, hi):
+        out_path = os.path.join(args.outdir, f"out{i}.{_ext(args)}")
+        if os.path.exists(out_path):
+            continue  # idempotent resume
         pts = readdynamic(os.path.join(args.points_dir, f"{i + 1}.txt"))
         sdef, cfg = mesh_scene(args.obj, width=args.width,
                                height=args.height, spp=args.spp,
@@ -244,8 +250,7 @@ def run_points(args) -> int:
         if getattr(args, "taichi_uv", False):
             sdef.taichi_tri_uv = True  # pixel-comparable vs taichi output/
         cfg = _frame_cfg(args, cfg)
-        _render_frame(build_tables(sdef), cfg,
-                      os.path.join(args.outdir, f"out{i}.{_ext(args)}"),
+        _render_frame(build_tables(sdef), cfg, out_path,
                       pipeline=pipe, t0=time.time())
     _log_done(pipe.flush())
     return 0

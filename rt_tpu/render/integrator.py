@@ -204,7 +204,7 @@ def _nee_direct(tables: SceneTables, cfg: RenderConfig, hit, albedo,
     cos_l = jnp.abs(geom.dot(jnp, n_l, wi)) / dist
     Le = materials.emitted(tables, mat_l, u_l, v_l, point)
     occ = occluded(tables, hit.p, wi, t_max=jnp.float32(1.0 - 1e-3),
-                   engine=("xla" if cfg.engine == "mega"
+                   engine=("xla" if cfg.engine in ("mega", "queue")
                            else cfg.engine))
     cs = jnp.maximum(cos_s, 0.0)
     w = (cs * cs * cs * cos_l / d2) * area * jnp.float32(2.0 * L / np.pi)

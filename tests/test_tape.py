@@ -473,3 +473,97 @@ def test_make_tape_vg_multi_sample():
         np.testing.assert_allclose(
             np.asarray(vg[k]), a, rtol=2e-3,
             atol=2e-4 * (np.abs(a).max() + 1e-12), err_msg=k)
+
+
+def _nee_scene(max_depth=6):
+    """Emissive rect light + lambertian geometry: the NEE direct term
+    carries gradient through the light's emission (tex_color), the
+    winner's albedo, AND the light's own geometry (rect extents are
+    fixed here; the sphere light variant pins center/radius flow)."""
+    s = SceneDef(width=24, height=16, samples_per_pixel=2,
+                 max_depth=max_depth, background=(0.05, 0.05, 0.08))
+    s.add_sphere((0, 0, -1.5), 0.5, s.add_lambertian_color((0.7, 0.2, 0.2)))
+    s.add_sphere((0, -100.5, -1.5), 100,
+                 s.add_lambertian_color((0.4, 0.4, 0.4)))
+    s.add_sphere((0.9, 0.8, -1.0), 0.3,
+                 s.add_diffuse_light_color((5.0, 4.0, 3.0)))
+    s.set_camera(lookfrom=(0, 0.3, 1.2), lookat=(0, 0, -1.5),
+                 vup=(0, 1, 0), vfov_deg=55.0, aperture=0.0)
+    cfg = RenderConfig(width=24, height=16, samples_per_pixel=2,
+                       max_depth=max_depth, loop="scan", nee=True)
+    return s, cfg
+
+
+def test_tape_replay_nee_matches_trace():
+    """Round 4: the tape replay adds the NEE direct term draw-for-draw
+    (capture runs nee=False — winner codes are NEE-invariant)."""
+    sdef, cfg = _nee_scene()
+    tables = jax.tree_util.tree_map(jnp.asarray, build_tables(sdef))
+    px, py, pixel, sample, seed, ro, rd = _rays_of(tables, cfg)
+    ref = np.asarray(trace(tables, cfg, ro, rd, pixel, sample, seed))
+    codes = capture_tape(tables, cfg, ro, rd, pixel, sample, seed)
+    got = np.asarray(replay_tape(tables, cfg, ro, rd, codes, pixel,
+                                 sample, seed))
+    # 2e-5: the direct term re-fuses differently than trace's (3/1152
+    # lanes land at ~1.06e-5 on CPU)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-5)
+
+
+def test_tape_gradients_nee_match_scan_ad():
+    """Tape reverse-mode under NEE == scan-AD through the full
+    intersect: light emission (tex_color), surface albedo, and the
+    LIGHT's own geometry (sph_center/sph_radius of the emitter — the
+    direct term's sample point, area, and cosines differentiate)."""
+    sdef, cfg = _nee_scene()
+    tables = jax.tree_util.tree_map(jnp.asarray, build_tables(sdef))
+    px, py, *_ = _rays_of(tables, cfg)
+    # every material here is texture-backed, so tex_color carries both
+    # the albedos and the light's emission
+    fields = ("tex_color", "sph_center", "sph_radius")
+    p0 = {f: jnp.asarray(getattr(tables, f), jnp.float32) for f in fields}
+
+    img_fn = make_tape_render(tables, cfg, 2, px, py)
+    tgt = jax.lax.stop_gradient(img_fn(p0)) * 0.9
+    g_tape = jax.grad(lambda p: jnp.mean((img_fn(p) - tgt) ** 2))(p0)
+    ad = _ad_img(tables, cfg, px, py, 2)
+    g_ad = jax.grad(lambda p: jnp.mean((ad(p) - tgt) ** 2))(p0)
+
+    for f in fields:
+        a, b = np.asarray(g_tape[f]), np.asarray(g_ad[f])
+        scale = np.abs(b).max()
+        assert scale > 0.0, f"{f}: scan-AD gradient unexpectedly zero"
+        # 1e-3*scale: the direct term's light-geometry chain (sample
+        # point/area/cosines) adds f32 depth; observed drift 7.5e-4
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-3 * scale,
+                                   err_msg=f)
+
+
+def test_make_tape_vg_nee():
+    """The death-sorted shrinking replay under NEE matches the
+    full-width tape loss over the same (nee-invariant) capture."""
+    from rt_tpu.diff.tape import make_tape_vg
+
+    sdef, cfg = _nee_scene()
+    tables = build_tables(sdef)
+    w, h = cfg.width, cfg.height
+    pix = np.arange(w * h, dtype=np.int32)
+    rs = np.random.RandomState(0)
+    target = rs.rand(w * h, 3).astype(np.float32)
+    params = {
+        "sph_center": jnp.asarray(tables.sph_center),
+        "mat_albedo": jnp.asarray(tables.mat_albedo),
+        "tex_color": jnp.asarray(tables.tex_color),
+    }
+    ref = jax.jit(jax.value_and_grad(make_tape_loss_fn(
+        tables, cfg, 1, pix % w, pix // w, target)))
+    rl, rg = ref(params)
+    step = make_tape_vg(tables, cfg, pix % w, pix // w, target,
+                        min_width=64)
+    vl, vg = step(params)
+    np.testing.assert_allclose(float(vl), float(rl), rtol=2e-4)
+    for k in params:
+        a, g = np.asarray(rg[k]), np.asarray(vg[k])
+        assert np.isfinite(g).all()
+        np.testing.assert_allclose(g, a, rtol=2e-3,
+                                   atol=2e-4 * (np.abs(a).max() + 1e-12),
+                                   err_msg=k)
