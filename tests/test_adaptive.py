@@ -141,3 +141,20 @@ def test_mega_engine_matches_hybrid_allocation():
     img_m = adaptive_mean(a_m, n_m)
     diff = np.abs(img_x - img_m).max(axis=-1)
     assert float((diff > 5e-3).mean()) <= 0.02
+
+
+def test_queue_engine_matches_xla_allocation():
+    """The queue engine honors per-lane sample continuation too: the
+    adaptive rounds ride the pool's lane-granular repack with each
+    lane's own (pixel, sample) stream coordinates."""
+    sdef, cfg = three_sphere_scene(width=32, height=18, spp=12,
+                                   max_depth=4)
+    tables = build_tables(sdef)
+    a_x, n_x = render_adaptive(tables, cfg.replace(engine="xla"),
+                               spp_base=4, rounds=2, batch_samples=2)
+    a_q, n_q = render_adaptive(tables, cfg.replace(engine="queue"),
+                               spp_base=4, rounds=2, batch_samples=2)
+    img_x = adaptive_mean(a_x, n_x)
+    img_q = adaptive_mean(a_q, n_q)
+    diff = np.abs(img_x - img_q).max(axis=-1)
+    assert float((diff > 5e-3).mean()) <= 0.02
