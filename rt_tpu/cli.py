@@ -276,6 +276,8 @@ def cmd_fit(args) -> int:
     sdef.width, sdef.height = w, h
     sdef.resize()  # re-derive the camera for the target's aspect
     cfg = cfg.replace(width=w, height=h, loop="while")
+    if getattr(args, "nee", False):
+        cfg = cfg.replace(nee=True)
     if args.gradient_sky:
         cfg = cfg.replace(background_mode="gradient")
     if args.max_depth:
@@ -483,6 +485,11 @@ def main(argv=None) -> int:
                     help="truncate the replay backward at this bounce "
                          "(~proportional speedup, ~0.4%% bias at 12/50)")
     fp.add_argument("-d", "--max-depth", type=int, default=None)
+    fp.add_argument("--nee", action="store_true",
+                    help="fit with next-event estimation on (both the "
+                         "forward render and the gradient replays — "
+                         "the adjoint megakernel and the winner tape "
+                         "replay the direct term exactly)")
     fp.add_argument("--gradient-sky", action="store_true",
                     help="render with the gradient-sky background "
                          "(cover-scene family). NB: under a CONSTANT "

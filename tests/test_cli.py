@@ -452,3 +452,46 @@ def test_cli_fit_method_ad_smoke(tmp_path):
                "-spp", "2", "--steps", "3", "--lr", "1e-2",
                "--engine", "xla", "--out", str(tmp_path / "o")])
     assert rc == 0
+
+
+def test_cli_fit_nee_tape_emission(tmp_path):
+    """`rt_tpu fit --nee --method tape`: NEE rides the gradient path
+    end-to-end from the CLI — the tape replay re-adds the direct term,
+    so a light's emission recovers from an NEE-rendered target."""
+    from rt_tpu.config import RenderConfig
+    from rt_tpu.render.renderer import render
+    from rt_tpu.scene.parser import scene_to_dict
+    from rt_tpu.scene.types import SceneDef, build_tables
+
+    def make(emit):
+        s = SceneDef(width=32, height=24, samples_per_pixel=4,
+                     max_depth=5, background=(0.05, 0.05, 0.08))
+        s.add_sphere((0, 0, -1.5), 0.5,
+                     s.add_lambertian_color((0.7, 0.2, 0.2)))
+        s.add_sphere((0, -100.5, -1.5), 100,
+                     s.add_lambertian_color((0.4, 0.4, 0.4)))
+        s.add_sphere((0.9, 0.8, -1.0), 0.3,
+                     s.add_diffuse_light_color(emit))
+        s.set_camera((0, 0.3, 1.2), (0, 0, -1.5), (0, 1, 0), 55, 0.0)
+        return s
+
+    cfg = RenderConfig(width=32, height=24, samples_per_pixel=4,
+                       max_depth=5, loop="while", nee=True)
+    target = np.asarray(render(build_tables(make((5.0, 4.0, 3.0))),
+                               cfg)) / 4.0
+    tgt_path = str(tmp_path / "target.npz")
+    np.savez_compressed(tgt_path, img=target.astype(np.float32))
+    scene_path = str(tmp_path / "dim.json")
+    with open(scene_path, "w") as f:
+        json.dump(scene_to_dict(make((2.0, 2.0, 2.0))), f)
+
+    outdir = str(tmp_path / "fit_nee")
+    rc = main(["fit", "-f", scene_path, "--target", tgt_path, "--nee",
+               "--method", "tape", "--fields", "tex_color",
+               "-spp", "4", "--steps", "40", "--lr", "5e-2",
+               "--engine", "xla", "--out", outdir])
+    assert rc == 0
+    rec = np.load(os.path.join(outdir, "recovered.npz"))
+    light = rec["tex_color"][np.abs(rec["tex_color"]).sum(axis=1).argmax()]
+    # emission moved decisively from (2,2,2) toward (5,4,3)
+    assert light[0] > 3.0
