@@ -495,3 +495,21 @@ def test_cli_fit_nee_tape_emission(tmp_path):
     light = rec["tex_color"][np.abs(rec["tex_color"]).sum(axis=1).argmax()]
     # emission moved decisively from (2,2,2) toward (5,4,3)
     assert light[0] > 3.0
+
+
+def test_animate_points_cloth(tmp_path):
+    """The Taichi 300-frame cloth animation surface: frame i loads
+    points/{i+1}.txt into the reconstructed 21x21 cloth grid
+    (scenes/plane441.obj — the reference's plane.obj is MISSING from
+    its own repo; scripts/gen_plane_obj_r4.py rebuilds the topology
+    from the flat frame-1 rest pose, bijectivity-checked)."""
+    rc = main(["animate", "--kind", "points",
+               "--obj", "scenes/plane441.obj",
+               "--points-dir", "/root/reference/taichi-version/asset/points",
+               "--texture",
+               "/root/reference/taichi-version/asset/tex/bricks2.png",
+               "--taichi-uv", "--frames", "1", "-w", "48", "--height", "27",
+               "-spp", "2", "-d", "4", "--engine", "xla",
+               "--format", "jpg", "--outdir", str(tmp_path)])
+    assert rc == 0
+    assert os.path.exists(os.path.join(str(tmp_path), "out0.jpg"))
