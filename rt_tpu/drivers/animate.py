@@ -33,7 +33,13 @@ import time
 def _frame_cfg(args, cfg):
     cfg = cfg.replace(width=args.width, height=args.height,
                       samples_per_pixel=args.spp, max_depth=args.max_depth,
-                      engine=getattr(args, "engine", "mega"))
+                      engine=getattr(args, "engine", "queue"),
+                      # production launch width (bench.py's): the
+                      # config default 1<<17 would split a 1080p
+                      # spp-1000 frame into 16,000 launches — per-launch
+                      # fixed costs (and the queue engine's per-launch
+                      # pool drain + record sort) dwarf the render
+                      rays_per_batch=max(cfg.rays_per_batch, 1 << 25))
     if cfg.max_depth >= 16:
         # deep traces: tapered live-ray compaction (BASELINE.md round 2)
         cfg = cfg.replace(compact_schedule=(2, 3, 5, 10), compact_group=16)
