@@ -109,3 +109,19 @@ def test_device_out_matches_host_path(scene):
     ref_m = render(tables, multi)
     dev_m = render(tables, multi, device_out=True)
     np.testing.assert_array_equal(np.asarray(dev_m), ref_m)
+
+
+def test_resume_exact_on_queue_engine(scene, tmp_path):
+    """The queue engine's per-lane (pixel, sample) stream coordinates
+    make checkpoint/resume exact there too — a resumed render is
+    bit-identical to the uninterrupted one."""
+    tables, cfg = scene
+    cfg = cfg.replace(engine="queue")
+    ck = str(tmp_path / "ckq.npz")
+    ref = np.asarray(render(tables, cfg))
+    render_progressive(tables, cfg.replace(samples_per_pixel=4),
+                       checkpoint_path=ck, checkpoint_every=2)
+    acc, done = render_progressive(tables, cfg, checkpoint_path=ck,
+                                   checkpoint_every=4)
+    assert done == cfg.samples_per_pixel
+    np.testing.assert_array_equal(np.asarray(acc), ref)
