@@ -405,7 +405,10 @@ def queue_trace(tables, cfg, ro, rd, pixel, sample_idx, seed):
                 [jnp.asarray(sample_idx).astype(jnp.int32),
                  jnp.zeros((pad,), jnp.int32)])
     bp = b + pad
-    assert bp < SLOT_SPLIT * SLOT_SPLIT
+    # slot capacity: hi = slot // 4096 must stay f32-exact (< 2^24) and
+    # the assembly key hi*4096+lo an i32 — so ~2^31 lanes per call; an
+    # 8K frame's 33M-lane tile is fine
+    assert bp < (1 << 31), bp
 
     (tbl, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
      uv_tabs, atlas, counts, kw) = _prep_scene(tables, cfg)
