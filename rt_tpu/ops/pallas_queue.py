@@ -6,9 +6,10 @@ rays regroup through HBM at 16-lane granularity between segments), and
 named the only crossing mechanism: in-kernel persistent ray queues.
 This module is that mechanism:
 
-  - Live rays sit in a VMEM staging pool ([17, 24, 256] f32 — ray
-    state + per-lane pix/samp/bounce RNG coordinates + a 2-column
-    exact lane slot).
+  - Live rays sit in a VMEM staging pool ([18, 24, 256] f32 — ray
+    state + per-lane pix/samp/bounce RNG coordinates, a 2-column
+    exact lane slot, and the alive flag that carries NEE's
+    diffuse-bounce encoding).
   - Every kernel step consumes one 2048-lane tile: the OLDEST pool
     survivors when >= 2048 are pooled (FIFO keeps rough screen order),
     else a fresh primary tile DMA'd from the pre-generated ray arrays
