@@ -6,10 +6,13 @@ rays regroup through HBM at 16-lane granularity between segments), and
 named the only crossing mechanism: in-kernel persistent ray queues.
 This module is that mechanism:
 
-  - Live rays sit in a VMEM staging pool ([18, 24, 256] f32 — ray
+  - Live rays sit in a VMEM staging pool ([19, 24, 256] f32 — ray
     state + per-lane pix/samp/bounce RNG coordinates, a 2-column
     exact lane slot, and the alive flag that carries NEE's
-    diffuse-bounce encoding).
+    diffuse-bounce encoding). Pixel ids ride as a 2-column hi/lo
+    split (like the slot key) so they stay f32-exact through the
+    one-hot pack matmuls up to 2^31 — an 8K frame's 33M pixel ids
+    would corrupt in a single f32 column (> 2^24).
   - Every kernel step consumes one 2048-lane tile: the OLDEST pool
     survivors when >= 2048 are pooled (FIFO keeps rough screen order),
     else a fresh primary tile DMA'd from the pre-generated ray arrays
@@ -52,8 +55,9 @@ from rt_tpu.ops.pallas_mega import (
 )
 
 ROWS = RAY_TILE // LANES        # 8 rows of 256 lanes = one tile
-NCOLS = 18                  # ro3 rd3 tp3 c3 pix samp bvec hi lo alive
-_PIX, _SAMP, _BVEC, _HI, _LO, _ALIVE = 12, 13, 14, 15, 16, 17
+NCOLS = 19          # ro3 rd3 tp3 c3 pixh pixl samp bvec hi lo alive
+(_PIXH, _PIXL, _SAMP, _BVEC, _HI, _LO,
+ _ALIVE) = 12, 13, 14, 15, 16, 17, 18
 CCOLS = 5                       # hi lo r g b
 S_ROWS = 24                     # staging pool rows (fill <= 4095 + slack)
 SLOT_SPLIT = 4096               # slot = hi * 4096 + lo, each half f32-exact
@@ -121,7 +125,7 @@ def _queue_kernel(scal_i_ref,
                   suv_ref, ruv_ref, yuv_ref, tuv_ref, nee_ref,
                   atr_ref, atg_ref, atb_ref,
                   rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
-                  pixp_ref, sampp_ref,
+                  pixh_ref, pixl_ref, sampp_ref,
                   stage_in, cstage_in, cur_in, ring_in,
                   stage_ref, cstage_ref, cur_out, ring_ref,
                   work, cur, sem_in, sem_out, *,
@@ -160,8 +164,8 @@ def _queue_kernel(scal_i_ref,
         @pl.when(use_prim)
         def _load_prim():
             srcs = (rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
-                    pixp_ref, sampp_ref)
-            dsts = (0, 1, 2, 3, 4, 5, _PIX, _SAMP)
+                    pixh_ref, pixl_ref, sampp_ref)
+            dsts = (0, 1, 2, 3, 4, 5, _PIXH, _PIXL, _SAMP)
             sl = pl.ds(prim * ROWS, ROWS)
             for s_, d_ in zip(srcs, dsts):
                 dma = pltpu.make_async_copy(
@@ -207,7 +211,8 @@ def _queue_kernel(scal_i_ref,
         # alive carries NEE's diffuse-bounce encoding (0.5) through the
         # pool, not just liveness — fresh primaries enter at 1.0
         alive_in = sel_p(onef, t[_ALIVE])
-        pix = t[_PIX].astype(jnp.int32)
+        pix = (t[_PIXH].astype(jnp.int32) * SLOT_SPLIT
+               + t[_PIXL].astype(jnp.int32))
         samp = t[_SAMP].astype(jnp.int32)
         bvec = bvec_f.astype(jnp.int32)
 
@@ -247,17 +252,17 @@ def _queue_kernel(scal_i_ref,
         sf = surv.astype(jnp.float32)
         # sanitize via where, NOT multiply: drain-tile garbage can be
         # NaN and NaN * 0 = NaN would ride the pack matmul
-        vals18 = jnp.where(
+        vals19 = jnp.where(
             surv[None, :, :],
             jnp.stack(
                 [ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, cr, cg, cb,
-                 t[_PIX], t[_SAMP], bv2.astype(jnp.float32), hi, lo,
-                 alive],
+                 t[_PIXH], t[_PIXL], t[_SAMP],
+                 bv2.astype(jnp.float32), hi, lo, alive],
                 axis=0), 0.0)
         fill_after = jnp.where(use_prim, fill,
                                jnp.where(use_surv, fill - tile,
                                          jnp.int32(0)))
-        new_fill = _pack_into(vals18, sf, fill_after, stage_ref, NCOLS)
+        new_fill = _pack_into(vals19, sf, fill_after, stage_ref, NCOLS)
         cur[_C_FILL] = new_fill
         cur[_C_PRIM] = prim + jnp.where(use_prim, 1, 0)
 
@@ -345,7 +350,7 @@ def queue_launch(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
             vmem,                 # NEE light table
             vmem, vmem, vmem,     # atlas R/G/B
             hbm, hbm, hbm, hbm, hbm, hbm,  # primary ro/rd columns
-            hbm, hbm,             # primary pix / samp (f32-exact)
+            hbm, hbm, hbm,        # primary pix hi/lo + samp (f32-exact)
             vmem,                 # stage in
             vmem,                 # cstage in
             smem,                 # cursors in
@@ -371,8 +376,8 @@ def queue_launch(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
         ],
         # stage/cstage/cur/ring thread through launches in place
         # (indices count the scalar-prefetch operand: scal_i=0,
-        # scal_f=1, 16 table refs, 8 primary columns, then the carry)
-        input_output_aliases={26: 0, 27: 1, 28: 2, 29: 3},
+        # scal_f=1, 16 table refs, 9 primary columns, then the carry)
+        input_output_aliases={27: 0, 28: 1, 29: 2, 30: 3},
         interpret=interpret,
     )(
         scal_i, scal_f, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
@@ -409,7 +414,7 @@ def queue_trace(tables, cfg, ro, rd, pixel, sample_idx, seed):
     # slot capacity: hi = slot // 4096 must stay f32-exact (< 2^24) and
     # the assembly key hi*4096+lo an i32 — so ~2^31 lanes per call; an
     # 8K frame's 33M-lane tile is fine
-    assert bp < (1 << 31), bp
+    assert bp <= (1 << 31) - 2, bp  # keep int32-max free as sentinel
 
     (tbl, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
      uv_tabs, atlas, counts, kw) = _prep_scene(tables, cfg)
@@ -426,9 +431,11 @@ def queue_trace(tables, cfg, ro, rd, pixel, sample_idx, seed):
     samp = (jnp.asarray(sample_idx).astype(jnp.int32)
             if jnp.ndim(sample_idx)
             else jnp.full((bp,), jnp.asarray(sample_idx), jnp.int32))
+    pix_i = pixel.astype(jnp.int32)
     prim_cols = (col(ro[:, 0]), col(ro[:, 1]), col(ro[:, 2]),
                  col(rd[:, 0]), col(rd[:, 1]), col(rd[:, 2]),
-                 col(pixel.astype(jnp.int32)), col(samp))
+                 col(pix_i // SLOT_SPLIT), col(pix_i % SLOT_SPLIT),
+                 col(samp))
 
     stage0 = jnp.zeros((NCOLS, S_ROWS, LANES), jnp.float32)
     cstage0 = jnp.zeros((CCOLS, S_ROWS, LANES), jnp.float32)
@@ -472,7 +479,10 @@ def queue_trace(tables, cfg, ro, rd, pixel, sample_idx, seed):
     cs = flat(cstage)
     val_r = jnp.arange(rr.shape[1], dtype=jnp.int32) < nrec
     val_c = jnp.arange(cs.shape[1], dtype=jnp.int32) < cfill
-    big = jnp.int32(SLOT_SPLIT * SLOT_SPLIT)
+    # invalid-record sentinel must sort AFTER every valid slot key
+    # (max valid key is bp-1 <= 2^31-2 by the capacity assert above);
+    # SLOT_SPLIT**2 = 2^24 would under-sort batches > 16.7M lanes
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
 
     def keys(rec, valid):
         k = (rec[0].astype(jnp.int32) * SLOT_SPLIT

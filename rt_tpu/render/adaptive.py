@@ -134,6 +134,12 @@ def render_adaptive(
         return -(-max(x, 1) // 128) * 128
 
     b_sel = min(_pad128(int(n_pix * sel_frac)), n_pix)
+    if per_round < b_sel:
+        # a round's share is below the selection width: shrink the
+        # selection (lane-padded) instead of overspending ~b_sel per
+        # round — e.g. spp=5 (budget 1*n_pix over 16 rounds) used to
+        # spend ~2*n_pix
+        b_sel = min(_pad128(per_round), n_pix)
     k = max(1, per_round // b_sel)
     if batch_samples is not None and k > batch_samples:
         k = batch_samples
@@ -146,7 +152,11 @@ def render_adaptive(
     px_all = (pix_flat % w).astype(np.int32)
     py_all = (pix_flat // w).astype(np.int32)
 
+    spent = 0
     for r in range(rounds):
+        if spent + k * b_sel > budget + b_sel - 1:
+            break  # lane-padding slack only; never a whole extra round
+        spent += k * b_sel
         score = _box3(sigma) / n
         if relative:
             score = score / (_luminance(acc / n[..., None]) + 1e-2)
