@@ -119,8 +119,11 @@ def main():
         assert np.isfinite(host_img).all()
         e2e = width * height * spp_done / (dt + dl)
     else:
-        # sharded path: the segmented megakernel is the engine proven
-        # under shard_map (queue-under-shard_map is single-chip so far)
+        # sharded path: the segmented megakernel is the default here;
+        # the queue engine also runs under shard_map (test_parallel
+        # parametrizes it over 4 mesh shapes on the virtual CPU mesh),
+        # but multi-REAL-chip hardware is unavailable in this
+        # environment, so the mega row stays the sharded control
         cfg = cfg.replace(engine="mega")
         mesh = make_mesh((n_dev, 1))
         render_sharded_ex(tables, cfg.replace(samples_per_pixel=1), mesh)

@@ -67,7 +67,7 @@ class RenderConfig:
     nee: bool = False
 
     # Execution knobs (not part of reference semantics).
-    engine: str = "xla"            # "xla" | "pallas" | "mega"
+    engine: str = "xla"     # "xla" | "pallas" | "mega" | "queue"
     loop: str = "while"            # "while" | "scan" (scan is differentiable)
     traversal: str = "linear"      # "linear" | "bvh"
     rays_per_batch: int = 1 << 17  # sample-batch size fed to one device step
