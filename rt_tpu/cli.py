@@ -497,8 +497,13 @@ def main(argv=None) -> int:
                          "ior) have zero interior-chain gradient — "
                          "every escaping path sees the same color")
     fp.add_argument("--engine", default=None,
-                    choices=["xla", "pallas", "mega"],
-                    help="default: mega on TPU, xla elsewhere")
+                    choices=["xla", "pallas", "mega", "queue"],
+                    help="forward engine for the loss render (the "
+                         "replay/tape backward picks its own "
+                         "intersector); default: mega on TPU, xla "
+                         "elsewhere. queue = persistent ray-queue "
+                         "megakernel (2x mega forward at the bench "
+                         "shape)")
     fp.add_argument("--sharded", action="store_true",
                     help="shard the pixel batch over all local devices")
     fp.add_argument("--out", default="fit_out",

@@ -167,15 +167,17 @@ def make_replay_render(
     width, height = cfg.width, cfg.height
     smp = rng.resolve(cfg.sampler)
     if bwd_engine is None:
-        if cfg.engine == "mega":
+        if cfg.engine in ("mega", "queue"):
+            # whole-path engines have no per-bounce hit records; the
+            # replay needs the hybrid/XLA intersector
             bwd_engine = "pallas" if jax.default_backend() == "tpu" else "xla"
         else:
             bwd_engine = cfg.engine
     bcfg = cfg.replace(engine=bwd_engine, loop="while")
     # the per-sample radiance L needs no AD — run it on the FAST forward
-    # engine (the megakernel on TPU); only the per-bounce replay needs
-    # the hybrid/XLA intersector's hit records
-    lcfg = (cfg if cfg.engine == "mega"
+    # engine (the persistent queue / megakernel on TPU); only the
+    # per-bounce replay needs the hybrid/XLA intersector's hit records
+    lcfg = (cfg if cfg.engine in ("mega", "queue")
             and jax.default_backend() == "tpu" else bcfg)
     depth_bwd = (min(int(bwd_depth), cfg.max_depth) if bwd_depth
                  else cfg.max_depth)
@@ -526,7 +528,7 @@ def make_replay_render(
                 (params, Ls, s0))
 
     use_kernel = (bwd_kernel if bwd_kernel is not None
-                  else (cfg.engine == "mega"
+                  else (cfg.engine in ("mega", "queue")
                         and jax.default_backend() == "tpu"))
     # round 4: the adjoint megakernel replays NEE too — the direct-light
     # term's albedo and light-emission credits accumulate in-kernel

@@ -791,3 +791,46 @@ def test_adjoint_megakernel_nee_matches_xla_replay():
             assert np.abs(a - b).max() <= 1e-5 + 1e-3 * mag, (name, k)
         # the light's emission slot must actually receive gradient
         assert np.abs(np.asarray(g_k["tex_color"])).max() > 0
+
+
+def test_replay_queue_forward_matches_xla():
+    """fit --engine queue (round 5): the replay-VJP forward runs the
+    persistent-queue kernel (per-lane bit-exact vs the XLA integrator,
+    test_queue), so loss AND radiometric replay gradients must match
+    the engine="xla" build — the backward picks its own per-bounce
+    intersector either way (replay.py bwd_engine promotion)."""
+    from rt_tpu.diff.replay import make_replay_loss_fn
+
+    sdef, cfg = _tiny_scene()
+    tables = build_tables(sdef)
+    px, py = _pixel_list(cfg)
+    cfg = cfg.replace(loop="while")
+    rs = np.random.RandomState(3)
+    tgt = jnp.asarray(rs.rand(px.shape[0], 3).astype(np.float32))
+    params = {"tex_color": jnp.asarray(tables.tex_color),
+              "mat_albedo": jnp.asarray(tables.mat_albedo),
+              "background": jnp.asarray(tables.background)}
+    lx, gx = jax.value_and_grad(make_replay_loss_fn(
+        tables, cfg.replace(engine="xla"), 2, px, py, tgt))(params)
+    lq, gq = jax.value_and_grad(make_replay_loss_fn(
+        tables, cfg.replace(engine="queue"), 2, px, py, tgt))(params)
+    np.testing.assert_allclose(float(lq), float(lx), rtol=1e-6)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(gq[k]), np.asarray(gx[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+def test_fit_replay_queue_engine_smoke():
+    """fit(method="replay") with cfg.engine="queue" end-to-end: a few
+    optimizer steps shrink the loss (the CLI's fit --engine queue
+    surface, cli.py)."""
+    sdef, cfg = _tiny_scene(albedo=(0.8, 0.2, 0.2))
+    tables = build_tables(sdef)
+    cfg = cfg.replace(loop="while", engine="queue")
+    tgt_sdef, _ = _tiny_scene(albedo=(0.2, 0.7, 0.3))
+    tgt = np.asarray(render(build_tables(tgt_sdef),
+                            cfg.replace(engine="xla", loop="scan")))
+    res, hist = fit(tables, cfg, tgt, fields=("tex_color",),
+                    spp=1, steps=4, learning_rate=0.3, method="replay")
+    assert np.isfinite(np.asarray(res["tex_color"])).all()
+    assert hist[-1] < hist[0]
