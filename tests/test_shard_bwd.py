@@ -169,3 +169,64 @@ def test_fit_tape_sharded_fast_path():
                     init_params={"tex_color": jnp.asarray(init)})
     assert hist[-1] < hist[0] * 0.5
     assert np.abs(rec["tex_color"][row] - tex0[row]).max() < 0.2
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_replay_grad_mesh_shapes(shape):
+    """test_parallel's mesh-shape matrix mirrored onto the gradient
+    path (VERDICT r4 #6): adjoint-megakernel replay grads match the
+    single-device grads on every (tile, sample) mesh factorization."""
+    from rt_tpu.diff.replay import make_replay_loss_fn
+
+    tables, cfg = _scene()
+    px, py, tgt = _batch(cfg)
+    params = {"tex_color": jnp.asarray(tables.tex_color, jnp.float32)}
+    g_ref = jax.grad(make_replay_loss_fn(
+        tables, cfg, 2, px, py, tgt, bwd_kernel=True))(params)
+
+    mesh = make_mesh(shape, jax.devices())
+    pxs, pys, tgts = _shard(mesh, px, py, tgt)
+    g_sh = jax.jit(jax.grad(make_replay_loss_fn(
+        tables, cfg, 2, pxs, pys, tgts, bwd_kernel=True)))(params)
+    np.testing.assert_allclose(np.asarray(g_sh["tex_color"]),
+                               np.asarray(g_ref["tex_color"]),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_shardmap_queue_forward_grads_match():
+    """Queue-engine training step under shard_map (round 5: gradients
+    ride the queue engine): each device runs the persistent-queue
+    forward + per-bounce replay backward on its pixel shard, grads
+    pmean over the mesh — matches the single-device engine='xla'
+    gradients (the queue forward is per-lane bit-exact vs XLA)."""
+    from functools import partial
+
+    from jax import shard_map
+
+    from rt_tpu.diff.replay import make_replay_loss_fn
+
+    tables, cfg = _scene()
+    qcfg = cfg.replace(engine="queue")
+    px, py, tgt = _batch(cfg)
+    params = {"tex_color": jnp.asarray(tables.tex_color, jnp.float32)}
+
+    g_ref = jax.grad(make_replay_loss_fn(
+        tables, cfg.replace(engine="xla"), 2, px, py, tgt))(params)
+
+    mesh = make_mesh((8, 1), jax.devices())
+    pxs, pys, tgts = _shard(mesh, px, py, tgt)
+    spec = P((TILE_AXIS, SAMPLE_AXIS))
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=(P(), spec, spec, spec),
+             out_specs=P(), check_vma=False)
+    def gstep(p, lpx, lpy, ltgt):
+        lf = make_replay_loss_fn(tables, qcfg, 2, lpx, lpy, ltgt)
+        g = jax.grad(lf)(p)
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.pmean(x, (TILE_AXIS, SAMPLE_AXIS)), g)
+
+    g_sh = gstep(params, pxs, pys, tgts)
+    np.testing.assert_allclose(np.asarray(g_sh["tex_color"]),
+                               np.asarray(g_ref["tex_color"]),
+                               rtol=1e-5, atol=1e-7)
