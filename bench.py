@@ -105,14 +105,27 @@ def main():
         # host-end-to-end rate including that download is reported as
         # host_e2e_paths_per_s (BASELINE.md "tunnel artifact").
         times = []
-        for _ in range(3):  # the tunnel has ~15-25% run-to-run noise:
-            t0 = time.perf_counter()            # report best + spread
+        for _ in range(5):  # the tunnel has ~15-25% run-to-run noise:
+            t0 = time.perf_counter()    # report best + median + spread
             img = render(tables, cfg, device_out=True)
             _jax.block_until_ready(img)
             times.append(time.perf_counter() - t0)
         dt = min(times)
+        dt_med = float(np.median(times))
         spread = round((max(times) - dt) / dt, 3)
         spp_done = spp_timed
+        # mega control row (VERDICT r4 #7): the segmented megakernel at
+        # the same shape, so either engine's regression is
+        # machine-visible round-over-round
+        mega_cfg = cfg.replace(engine="mega")
+        _jax.block_until_ready(render(tables, mega_cfg, device_out=True))
+        mtimes = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            mimg = render(tables, mega_cfg, device_out=True)
+            _jax.block_until_ready(mimg)
+            mtimes.append(time.perf_counter() - t0)
+        dt_mega = min(mtimes)
         t0 = time.perf_counter()
         host_img = np.asarray(img)  # one download, outside the timed reps
         dl = time.perf_counter() - t0
@@ -148,7 +161,9 @@ def main():
         "mfu": round(tests_per_s * FLOPS_PER_TEST / VPU_PEAK_FLOPS, 4),
     }
     if n_dev == 1:
-        out["run_spread"] = spread  # tunnel-noise dispersion over 3 runs
+        out["run_spread"] = spread  # tunnel-noise dispersion over 5 runs
+        out["median_paths_per_s"] = round(paths / dt_med, 1)
+        out["mega_control_paths_per_s"] = round(paths / dt_mega, 1)
         out["host_e2e_paths_per_s"] = round(e2e, 1)  # incl. tunnel download
 
         # sharded leg (VERDICT r2 #1): the production megakernel traced
