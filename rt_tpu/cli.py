@@ -81,6 +81,12 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                         "opt-in extension beyond the reference's "
                         "semantics — runs in-kernel on every engine and "
                         "every light family)")
+    p.add_argument("--mis", action="store_true",
+                   help="balance-heuristic multiple importance sampling "
+                        "over NEE + BSDF sampling (implies --nee): "
+                        "variance stays bounded on large/near lights "
+                        "where single-technique NEE loses; runs the "
+                        "hybrid per-bounce engines")
     p.add_argument("--bvh", action="store_true",
                    help="build + traverse a BVH for every primitive "
                         "family (spheres/rects/cylinders/triangles)")
@@ -186,6 +192,8 @@ def cmd_render(args) -> int:
         cfg = cfg.replace(sampler=args.sampler)
     if getattr(args, "nee", False):
         cfg = cfg.replace(nee=True)
+    if getattr(args, "mis", False):
+        cfg = cfg.replace(nee=True, mis=True)
     tables = build_tables(
         sdef, bvh_types=("sphere", "rect", "cylinder", "triangle")
         if args.bvh else ())

@@ -62,9 +62,24 @@ class RenderConfig:
     # double-counts. Same expectation as the plain estimator, far lower
     # variance on light-driven scenes (the reference's production
     # blue.json is lit by 4 cylinder lights). Ignored when the scene
-    # has no NEE-sampleable lights; forces the hybrid engine (the
-    # megakernel has no shadow-ray pass).
+    # has no NEE-sampleable lights. Runs IN-KERNEL on the mega/queue
+    # engines (light table + per-bounce shadow chunk pass) since
+    # round 4 — every light family including image-textured emitters.
     nee: bool = False
+
+    # Multiple importance sampling over the two techniques above
+    # (OPT-IN, requires nee=True): instead of suppressing emission
+    # reached through a diffuse bounce outright, weight BOTH the NEE
+    # sample and the BSDF-sampled emission hit by the balance
+    # heuristic w = p_own / (p_nee + p_bsdf) in solid-angle measure
+    # (p_bsdf = (2/pi) cos^3 — the reference lambertian's
+    # n + unit-ball density; p_nee = d^2 / (A * n_lights * |cos_l|)).
+    # Same expectation as either technique alone; variance no longer
+    # blows up on large/near lights (where NEE's d^2/A weight is the
+    # loser) nor on small lights (where BSDF sampling is). Round-5
+    # scope: the XLA/hybrid per-bounce engines (mega/queue fall back
+    # to hybrid); forward estimator only (gradient estimators refuse).
+    mis: bool = False
 
     # Execution knobs (not part of reference semantics).
     engine: str = "xla"     # "xla" | "pallas" | "mega" | "queue"

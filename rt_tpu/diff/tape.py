@@ -62,6 +62,7 @@ import jax.numpy as jnp
 
 from rt_tpu.config import RenderConfig
 from rt_tpu.diff.inverse import _device_tables, apply_params
+from rt_tpu.ops import geometry as geom
 from rt_tpu.ops import materials, rng
 from rt_tpu.ops.camera import generate_rays
 from rt_tpu.ops.intersect import (
@@ -254,8 +255,24 @@ def _tape_bounce(tables: SceneTables, cfg: RenderConfig, st, code, pixel,
     emitter = live & valid & ~sc.ok
     missed = live & ~hit_mask
 
+    mis = nee and bool(getattr(cfg, "mis", False))
     em_eff = em
-    if nee:
+    if mis:
+        # balance-heuristic emission weight (integrator._bounce twin):
+        # prev_diff carries the previous diffuse draw's density
+        from rt_tpu.render.integrator import _prim_area
+
+        vec = hit.p - o
+        d2h = jnp.maximum(geom.length_squared(jnp, vec), 1e-8)
+        cos_lh = jnp.abs(geom.dot(jnp, hit.normal, vec)) / jnp.sqrt(d2h)
+        a_hit = _prim_area(tables, hit.ptype, hit.pid)
+        p_n = d2h / (jnp.maximum(a_hit * jnp.float32(tables.n_lights),
+                                 1e-8)
+                     * jnp.maximum(cos_lh, 1e-6))
+        w_b = jnp.where(prev_diff > 0.0,
+                        prev_diff / (prev_diff + p_n + 1e-20), 1.0)
+        em_eff = em * w_b[:, None]
+    elif nee:
         # emission reached THROUGH a diffuse bounce was already counted
         # by that bounce's light sample (integrator._bounce twin)
         em_eff = jnp.where(prev_diff[:, None], jnp.zeros_like(em), em)
@@ -272,7 +289,14 @@ def _tape_bounce(tables: SceneTables, cfg: RenderConfig, st, code, pixel,
         ld = _nee_direct(tables, cfg, hit, sc.attenuation, pixel,
                          sample, seed, bounce)
         rgb = rgb + jnp.where(lam[:, None], tp * ld, 0.0)
-        prev_diff = lam
+        if mis:
+            cs_n = geom.dot(jnp, geom.unit(jnp, sc.direction),
+                            hit.normal)
+            csn = jnp.maximum(cs_n, 0.0)
+            prev_diff = jnp.where(
+                lam, jnp.float32(2.0 / np.pi) * csn * csn * csn, 0.0)
+        else:
+            prev_diff = lam
     tp = jnp.where(scattered[:, None], tp * sc.attenuation * rr_comp, tp)
     o = jnp.where(scattered[:, None], hit.p, o)
     d = jnp.where(scattered[:, None], sc.direction, d)
@@ -294,11 +318,12 @@ def replay_tape(tables: SceneTables, cfg: RenderConfig, ro, rd, codes,
     rr_comp = (jnp.float32(1.0 / cfg.p_rr) if cfg.p_rr > 0.0
                else jnp.float32(1.0))
     b = ro.shape[0]
+    pd_dt = (jnp.float32 if getattr(cfg, "mis", False) else bool)
     st = (ro, rd,
           jnp.ones((b, 3), jnp.float32),
           jnp.zeros((b, 3), jnp.float32),
           jnp.ones((b,), bool),
-          jnp.zeros((b,), bool))
+          jnp.zeros((b,), pd_dt))
 
     def one_bounce(st, xs):
         code, i = xs
@@ -520,7 +545,8 @@ def make_tape_vg(tables: SceneTables, cfg: RenderConfig, px, py, target,
                   jnp.ones((b, 3), jnp.float32),
                   jnp.zeros((b, 3), jnp.float32),
                   jnp.ones((b,), bool),
-                  jnp.zeros((b,), bool))
+                  jnp.zeros((b,), jnp.float32
+                            if getattr(cfg, "mis", False) else bool))
             upid = pid_s.astype(jnp.uint32)
 
             done = 0

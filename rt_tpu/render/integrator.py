@@ -207,9 +207,53 @@ def _nee_direct(tables: SceneTables, cfg: RenderConfig, hit, albedo,
                    engine=("xla" if cfg.engine in ("mega", "queue")
                            else cfg.engine))
     cs = jnp.maximum(cos_s, 0.0)
-    w = (cs * cs * cs * cos_l / d2) * area * jnp.float32(2.0 * L / np.pi)
     ok = (cos_s > 0.0) & ~occ
+    if getattr(cfg, "mis", False):
+        # balance heuristic: contribution = albedo Le p_b/(p_n + p_b)
+        # (= the single-technique p_b/p_n times w_nee = p_n/(p_n+p_b));
+        # p_n -> inf as cos_l -> 0 (grazing light) so the term -> 0
+        p_b = jnp.float32(2.0 / np.pi) * cs * cs * cs
+        p_n = d2 / (jnp.maximum(area * jnp.float32(L), 1e-8)
+                    * jnp.maximum(cos_l, 1e-6))
+        w = p_b / (p_n + p_b + 1e-20)
+    else:
+        w = (cs * cs * cs * cos_l / d2) * area * jnp.float32(2.0 * L / np.pi)
     return jnp.where(ok[:, None], albedo * Le * w[:, None], 0.0)
+
+
+def _prim_area(tables: SceneTables, ptype, pid):
+    """Surface area of the hit primitive, per family (same formulas as
+    the NEE area sampler above — lateral-only cylinders, two-sided
+    everything): the BSDF-side MIS weight needs p_nee of the direction
+    that just hit an emitter."""
+    b = ptype.shape[0]
+    area = jnp.zeros((b,), jnp.float32)
+    n_sph, n_rect, n_cyl, n_tri = tables.counts
+    if n_sph:
+        ps = jnp.clip(pid, 0, tables.sph_center.shape[0] - 1)
+        r = jnp.abs(tables.sph_radius[ps])
+        area = jnp.where(ptype == 0, 4.0 * np.pi * r * r, area)
+    if n_rect:
+        pr = jnp.clip(pid, 0, tables.rect_axis.shape[0] - 1)
+        lo = tables.rect_lo[pr]
+        hi = tables.rect_hi[pr]
+        area = jnp.where(ptype == 1,
+                         (hi[:, 0] - lo[:, 0]) * (hi[:, 1] - lo[:, 1]),
+                         area)
+    if n_cyl:
+        pc = jnp.clip(pid, 0, tables.cyl_radius.shape[0] - 1)
+        r = jnp.abs(tables.cyl_radius[pc])
+        area = jnp.where(
+            ptype == 2,
+            2.0 * np.pi * r * (tables.cyl_zmax[pc] - tables.cyl_zmin[pc]),
+            area)
+    if n_tri:
+        pt_ = jnp.clip(pid, 0, tables.tri_v1.shape[0] - 1)
+        e1 = tables.tri_v2[pt_] - tables.tri_v1[pt_]
+        e2 = tables.tri_v3[pt_] - tables.tri_v1[pt_]
+        crl = geom.safe_length(jnp, geom.cross(jnp, e1, e2))
+        area = jnp.where(ptype == 3, 0.5 * crl, area)
+    return area
 
 
 def _bounce(tables: SceneTables, cfg: RenderConfig, state: RayState,
@@ -244,8 +288,26 @@ def _bounce(tables: SceneTables, cfg: RenderConfig, state: RayState,
     emitter = live & hit.hit & ~sc.ok
     missed = live & ~hit.hit
 
+    mis = nee and bool(getattr(cfg, "mis", False))
     em_eff = em
-    if nee:
+    if mis:
+        # balance-heuristic weight on the BSDF-sampled emission hit:
+        # prev_diff carries the PREVIOUS diffuse draw's solid-angle
+        # density (0 = previous bounce not diffuse -> weight 1, the
+        # plain estimator). p_nee is evaluated for the direction that
+        # hit this emitter; every emitter is in the light list
+        # (scene/types.py collects all MAT_DIFFUSE_LIGHT rows).
+        vec = hit.p - o
+        d2h = jnp.maximum(geom.length_squared(jnp, vec), 1e-8)
+        cos_lh = jnp.abs(geom.dot(jnp, hit.normal, vec)) / jnp.sqrt(d2h)
+        a_hit = _prim_area(tables, hit.ptype, hit.pid)
+        p_n = d2h / (jnp.maximum(a_hit * jnp.float32(tables.n_lights),
+                                 1e-8)
+                     * jnp.maximum(cos_lh, 1e-6))
+        w_b = jnp.where(prev_diff > 0.0,
+                        prev_diff / (prev_diff + p_n + 1e-20), 1.0)
+        em_eff = em * w_b[:, None]
+    elif nee:
         # emission reached THROUGH a diffuse bounce was already counted
         # by that bounce's light sample
         em_eff = jnp.where(prev_diff[:, None], jnp.zeros_like(em), em)
@@ -265,7 +327,17 @@ def _bounce(tables: SceneTables, cfg: RenderConfig, state: RayState,
         ld = _nee_direct(tables, cfg, hit, sc.attenuation, pixel,
                          sample_idx, seed, bounce_idx)
         rgb = rgb + jnp.where(lam[:, None], tp * ld, 0.0)
-        prev_diff = lam
+        if mis:
+            # density of the diffuse draw just taken, for the NEXT
+            # bounce's emission weight: p(w) = (2/pi) cos^3(theta)
+            # (the n + unit-ball rule's solid-angle density)
+            cs_n = (geom.dot(jnp, geom.unit(jnp, sc.direction),
+                             hit.normal))
+            csn = jnp.maximum(cs_n, 0.0)
+            prev_diff = jnp.where(
+                lam, jnp.float32(2.0 / np.pi) * csn * csn * csn, 0.0)
+        else:
+            prev_diff = lam
 
     rr_comp = jnp.float32(1.0 / cfg.p_rr) if cfg.p_rr > 0.0 else jnp.float32(1.0)
     tp = jnp.where(scattered[:, None], tp * sc.attenuation * rr_comp, tp)
@@ -287,6 +359,11 @@ def trace(tables: SceneTables, cfg: RenderConfig, ro, rd, pixel, sample_idx,
     (ops/pallas_mega.py); unsupported scenes fall back to the hybrid
     per-bounce loop with engine="pallas"."""
     nee = bool(cfg.nee) and tables.n_lights > 0
+    if nee and getattr(cfg, "mis", False) and cfg.engine in ("mega",
+                                                             "queue"):
+        # MIS is a per-bounce estimator change the whole-path kernels
+        # don't carry yet (round-5 scope): run the hybrid loop
+        cfg = cfg.replace(engine="pallas")
     if cfg.engine == "queue":
         from rt_tpu.ops.pallas_mega import mega_supported
         from rt_tpu.ops.pallas_queue import queue_trace
@@ -319,7 +396,10 @@ def trace(tables: SceneTables, cfg: RenderConfig, ro, rd, pixel, sample_idx,
         rgb=jnp.zeros((b, 3), jnp.float32),
         alive=jnp.ones((b,), bool),
     )
-    pd0 = jnp.zeros((b,), bool) if nee else None
+    pd0 = (None if not nee
+           else jnp.zeros((b,), jnp.float32)
+           if getattr(cfg, "mis", False)
+           else jnp.zeros((b,), bool))
 
     if cfg.loop == "scan":
         def body(carry, i):

@@ -1,0 +1,189 @@
+"""Multiple importance sampling (cfg.mis) — balance heuristic over the
+NEE area sample and the BSDF-sampled emission hit (round 5, VERDICT r4
+stretch). The estimator must (a) agree with plain AND single-technique
+NEE in expectation, (b) stay bounded on large/near lights where NEE
+alone is the losing technique, (c) keep NEE's win on small lights, and
+(d) leave light-free scenes bit-identical. Gradients ride the tape
+estimator (plain AD over the smooth weights); the replay identity
+refuses loudly.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rt_tpu.config import RenderConfig
+from rt_tpu.render.renderer import render
+from rt_tpu.scene.types import SceneDef, build_tables
+
+from tests.test_nee import _light_scene, _mse
+
+
+def _big_light_scene():
+    """A hemisphere-filling rect light close over a diffuse floor: the
+    regime where BSDF sampling wins and single-technique NEE's
+    d^2/(A cos) weights go high-variance."""
+    s = SceneDef(width=48, height=32, samples_per_pixel=4, max_depth=4,
+                 background=(0.0, 0.0, 0.0))
+    s.add_sphere((0, -100.5, -2), 100,
+                 s.add_lambertian_color((0.6, 0.55, 0.5)))
+    s.add_sphere((0, 0, -2), 0.5, s.add_lambertian_color((0.3, 0.5, 0.4)))
+    s.add_rect("xz_rect", -6.0, 6.0, -8.0, 4.0, 2.2,
+               s.add_diffuse_light_color((2.5, 2.4, 2.2)))
+    s.set_camera((0, 0.4, 1.2), (0, 0, -2), (0, 1, 0), 55, 0.0)
+    cfg = RenderConfig(width=48, height=32, samples_per_pixel=4,
+                       max_depth=4, background_mode="constant",
+                       engine="xla", loop="while")
+    return s, cfg
+
+
+def test_mis_matches_plain_in_expectation():
+    """All four light families: the MIS weights must sum to one over
+    the two techniques path-for-path, so the converged mean equals the
+    plain estimator's."""
+    sdef, cfg = _light_scene()
+    tables = build_tables(sdef)
+    spp = 2048
+    plain = np.asarray(render(
+        tables, cfg.replace(samples_per_pixel=spp))) / spp
+    mis = np.asarray(render(
+        tables, cfg.replace(samples_per_pixel=spp, nee=True,
+                            mis=True))) / spp
+    assert abs(plain.mean() - mis.mean()) < 0.01
+    assert _mse(plain, mis) < 3e-3
+
+
+def test_mis_bounded_on_large_light():
+    """The motivating case: a huge near light. Single-technique NEE is
+    the LOSER here (its d^2/A-weighted samples fight the suppressed
+    BSDF term); MIS must track the better technique within a small
+    factor instead of inheriting NEE's variance."""
+    sdef, cfg = _big_light_scene()
+    tables = build_tables(sdef)
+    spp_ref, spp = 4096, 64
+    ref = np.asarray(render(
+        tables, cfg.replace(samples_per_pixel=spp_ref))) / spp_ref
+    runs = {}
+    for name, kw in (("plain", {}), ("nee", dict(nee=True)),
+                     ("mis", dict(nee=True, mis=True))):
+        img = np.asarray(render(
+            tables, cfg.replace(samples_per_pixel=spp, **kw))) / spp
+        runs[name] = _mse(img, ref)
+    # measured (seed 0): plain 0.0012, nee 0.0485, mis 0.0024 — MIS is
+    # ~20x better than the losing technique and within the balance
+    # heuristic's small constant of the winning one
+    best = min(runs["plain"], runs["nee"])
+    assert runs["mis"] <= 3.0 * best, runs
+    assert runs["mis"] <= 0.2 * runs["nee"], runs
+    # and the converged mean agrees on this scene too
+    mis_hi = np.asarray(render(
+        tables, cfg.replace(samples_per_pixel=spp_ref, nee=True,
+                            mis=True))) / spp_ref
+    assert abs(mis_hi.mean() - ref.mean()) < 0.01
+
+
+def test_mis_small_light_still_wins():
+    """MIS keeps NEE's order-of-magnitude win on the small-light scene
+    (the BSDF weight ~1 only where BSDF sampling is actually likely)."""
+    sdef, cfg = _light_scene(light_r=0.08, all_families=False)
+    tables = build_tables(sdef)
+    spp_ref, spp = 4096, 32
+    ref = np.asarray(render(
+        tables, cfg.replace(samples_per_pixel=spp_ref, nee=True,
+                            mis=True))) / spp_ref
+    plain = np.asarray(render(
+        tables, cfg.replace(samples_per_pixel=spp))) / spp
+    mis = np.asarray(render(
+        tables, cfg.replace(samples_per_pixel=spp, nee=True,
+                            mis=True))) / spp
+    # mask out the emitter's own pixels (identical camera-edge
+    # aliasing in both estimators — test_nee's comparison convention)
+    mask = (ref.max(axis=-1) < 0.5)[..., None]
+    e_mis = _mse(mis * mask, ref * mask)
+    e_plain = _mse(plain * mask, ref * mask)
+    assert e_mis * 4.0 < e_plain, (e_mis, e_plain)
+
+
+def test_mis_without_lights_is_identical():
+    """No emitters: nee+mis must be bit-identical to the plain render
+    (the whole estimator is statically disabled)."""
+    s = SceneDef(width=32, height=24, samples_per_pixel=8, max_depth=4,
+                 background=(0.5, 0.6, 0.8))
+    s.add_sphere((0, 0, -1.5), 0.5, s.add_lambertian_color((0.6, 0.3, 0.2)))
+    s.add_sphere((0, -100.5, -1.5), 100,
+                 s.add_lambertian_color((0.5, 0.5, 0.5)))
+    s.set_camera((0, 0, 1), (0, 0, -1.5), (0, 1, 0), 50, 0.0)
+    cfg = RenderConfig(width=32, height=24, samples_per_pixel=8,
+                       max_depth=4, engine="xla", loop="while")
+    tables = build_tables(s)
+    a = np.asarray(render(tables, cfg))
+    b = np.asarray(render(tables, cfg.replace(nee=True, mis=True)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_mis_engine_fallback_matches_xla():
+    """engine='mega'/'queue' with cfg.mis falls back to the hybrid
+    per-bounce loop (the whole-path kernels don't carry the MIS
+    weights); radiance must match the XLA build."""
+    sdef, cfg = _light_scene(all_families=False)
+    tables = build_tables(sdef)
+    x = np.asarray(render(tables, cfg.replace(nee=True, mis=True)))
+    for eng in ("mega", "queue"):
+        e = np.asarray(render(tables, cfg.replace(nee=True, mis=True,
+                                                  engine=eng)))
+        # the hybrid Pallas intersector flips a handful of ulp-level
+        # winner ties vs XLA (grazing lanes) — identical estimator,
+        # not-identical closest-hit rounding; require near-total
+        # elementwise agreement
+        close = np.isclose(e, x, rtol=2e-5, atol=2e-5)
+        assert close.mean() > 0.999, (eng, close.mean())
+        np.testing.assert_allclose(e.mean(), x.mean(), rtol=1e-4)
+
+
+def test_mis_tape_gradient_matches_scan_ad():
+    """MIS gradients ride the winner tape: the taped replay mirrors the
+    integrator's MIS weights (smooth ratios; comparisons detached), so
+    plain jax.grad of the tape loss must match reverse-mode through
+    the scan integrator with cfg.mis."""
+    from rt_tpu.diff.inverse import make_loss_fn
+    from rt_tpu.diff.tape import make_tape_loss_fn
+
+    sdef, cfg = _light_scene(all_families=False)
+    cfg = cfg.replace(width=24, height=16, nee=True, mis=True,
+                      samples_per_pixel=1)
+    sdef.width, sdef.height = 24, 16
+    tables = build_tables(sdef)
+    n = cfg.width * cfg.height
+    pix = np.arange(n, dtype=np.int32)
+    px, py = pix % cfg.width, pix // cfg.width
+    rs = np.random.RandomState(0)
+    tgt = rs.rand(n, 3).astype(np.float32)
+    params = {"tex_color": jnp.asarray(tables.tex_color, jnp.float32),
+              "mat_albedo": jnp.asarray(tables.mat_albedo, jnp.float32)}
+
+    ref_loss = make_loss_fn(tables, cfg.replace(loop="scan"), spp=2)
+    g_ad = jax.grad(lambda p: ref_loss(p, jnp.asarray(px),
+                                       jnp.asarray(py),
+                                       jnp.asarray(tgt)))(params)
+    g_tp = jax.grad(make_tape_loss_fn(tables, cfg, 2, px, py, tgt))(params)
+    for k in params:
+        a, b = np.asarray(g_ad[k]), np.asarray(g_tp[k])
+        mag = max(np.abs(a).max(), 1e-10)
+        assert np.abs(a - b).max() <= 1e-5 + 2e-3 * mag, k
+
+
+def test_mis_replay_refuses():
+    """The path-replay suffix identity reproduces single-technique NEE
+    term-for-term; with cfg.mis it must refuse loudly instead of
+    returning silently wrong gradients."""
+    from rt_tpu.diff.replay import make_replay_render
+
+    sdef, cfg = _light_scene(all_families=False)
+    cfg = cfg.replace(width=24, height=16, nee=True, mis=True)
+    sdef.width, sdef.height = 24, 16
+    tables = build_tables(sdef)
+    pix = np.arange(cfg.width * cfg.height, dtype=np.int32)
+    with pytest.raises(ValueError, match="mis"):
+        make_replay_render(tables, cfg, 1, pix % cfg.width,
+                           pix // cfg.width)
