@@ -85,8 +85,8 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="balance-heuristic multiple importance sampling "
                         "over NEE + BSDF sampling (implies --nee): "
                         "variance stays bounded on large/near lights "
-                        "where single-technique NEE loses; runs the "
-                        "hybrid per-bounce engines")
+                        "where single-technique NEE loses; runs "
+                        "in-kernel on every engine")
     p.add_argument("--bvh", action="store_true",
                    help="build + traverse a BVH for every primitive "
                         "family (spheres/rects/cylinders/triangles)")

@@ -76,9 +76,12 @@ class RenderConfig:
     # n + unit-ball density; p_nee = d^2 / (A * n_lights * |cos_l|)).
     # Same expectation as either technique alone; variance no longer
     # blows up on large/near lights (where NEE's d^2/A weight is the
-    # loser) nor on small lights (where BSDF sampling is). Round-5
-    # scope: the XLA/hybrid per-bounce engines (mega/queue fall back
-    # to hybrid); forward estimator only (gradient estimators refuse).
+    # loser) nor on small lights (where BSDF sampling is). Runs
+    # IN-KERNEL on every engine (mega/queue carry p_prev in the alive
+    # channel and match emitter hits to light rows by tape code).
+    # Gradients: winner-tape + scan AD differentiate the smooth
+    # weights; the path-replay suffix identity refuses (single-
+    # technique NEE only).
     mis: bool = False
 
     # Execution knobs (not part of reference semantics).

@@ -464,13 +464,15 @@ def nee_light_table(tables: SceneTables) -> jnp.ndarray:
     NEE light-cotangent scatter), 25 image-texture id (-1 when the
     emission is solid/checker), 26-31 triangle uv1/uv2/uv3 (the
     light-point UV interpolants; other families derive UV from the
-    sample draw itself).
+    sample draw itself), 32 tape-code key (orig_pid*4 + fam — the same
+    encoding as the capture code tables) so the MIS emission weight can
+    match a BSDF emitter hit back to its light row in-kernel.
     Rows are per-light; same column ranges are reused across families."""
     L = tables.n_lights
     fam = jnp.asarray(tables.light_fam)[:L]
     pid = jnp.asarray(tables.light_pid)[:L]
     Lp = max(8, -(-L // 8) * 8)
-    out = jnp.zeros((Lp, 32), jnp.float32)
+    out = jnp.zeros((Lp, 33), jnp.float32)
 
     def fam_pick(sph, rect, cyl, tri):
         return jnp.where(fam == 0, sph,
@@ -561,6 +563,7 @@ def nee_light_table(tables: SceneTables) -> jnp.ndarray:
                                 * is_t.astype(jnp.float32))
     out = out.at[:L, 30:32].set(jnp.asarray(tables.tri_uv3)[pt]
                                 * is_t.astype(jnp.float32))
+    out = out.at[:L, 32].set((pid * 4 + fam).astype(jnp.float32))
     return out
 
 
@@ -798,7 +801,7 @@ def _make_do_bounce(seed, pix, background,
                     Lrgb=None, grgb=None, grad_bg: bool = False,
                     capture: bool = False, code_refs=None,
                     nee: bool = False, nee_ref=None, n_lights: int = 0,
-                    nee_img: bool = False,
+                    nee_img: bool = False, mis: bool = False,
                     qmc: bool = False):
     """Build the per-bounce closure shared by both kernel drivers.
 
@@ -1028,8 +1031,10 @@ def _make_do_bounce(seed, pix, background,
 
         n_uv = _U_COLS if has_img else 0
 
+        want_code = capture or mis
+
         def _cr(fam_i):
-            return code_refs[fam_i] if capture else None
+            return code_refs[fam_i] if want_code else None
 
         def with_uv(ext, uv_ref, sl, exact, blk=None, cref=None):
             """Append the winner's 17-col UV parameter block (extracted
@@ -1045,7 +1050,7 @@ def _make_do_bounce(seed, pix, background,
                 ext = jnp.concatenate(
                     [ext, _dotg(blk[:, _SLOT_COL:_SLOT_COL + 1], exact)],
                     axis=0)
-            if capture:
+            if want_code:
                 ext = jnp.concatenate(
                     [ext, _dotg(cref[sl, :], exact)], axis=0)
             return ext
@@ -1268,7 +1273,7 @@ def _make_do_bounce(seed, pix, background,
                                 lambda c: c, carry)
 
         n_attr = (_X_COLS + n_uv + (1 if adjoint else 0)
-                  + (1 if capture else 0))
+                  + (1 if (capture or mis) else 0))
         carry = (jnp.full((s, l), INF, jnp.float32),
                  jnp.zeros((n_attr, s, l), jnp.float32))
         if ns:
@@ -1482,7 +1487,33 @@ def _make_do_bounce(seed, pix, background,
         missed = live & ~hit
 
         em_scale = jnp.where(is_light & (scattered | emitter), 1.0, 0.0)
-        if nee:
+        if nee and mis:
+            # balance-heuristic weight on the BSDF-sampled emission hit
+            # (integrator._bounce twin): alive = 2.0 + p_prev encodes
+            # the previous diffuse draw's solid-angle density; the hit
+            # emitter's light row is matched by its tape code (light
+            # table col 32) to fetch the area p_nee needs
+            ci_m = attrs[n_attr - 1]
+            ltab = nee_ref[...]
+            oh_m = (ltab[:, 32][:, None, None]
+                    == ci_m[None, :, :]).astype(jnp.float32)
+            area_h = jnp.sum(ltab[:, 1][:, None, None] * oh_m, axis=0)
+            vx_ = px_ - ox
+            vy_ = py_ - oy
+            vz_ = pz_ - oz
+            d2h = jnp.maximum(vx_ * vx_ + vy_ * vy_ + vz_ * vz_,
+                              np.float32(1e-8))
+            cos_lh = jnp.abs(nx * vx_ + ny2 * vy_ + nz * vz_) \
+                / jnp.sqrt(d2h)
+            p_nh = d2h / (jnp.maximum(area_h * np.float32(n_lights),
+                                      np.float32(1e-8))
+                          * jnp.maximum(cos_lh, np.float32(1e-6)))
+            p_prev = jnp.maximum(alive - 2.0, 0.0)
+            w_bh = jnp.where(p_prev > 0.0,
+                             p_prev / (p_prev + p_nh + np.float32(1e-20)),
+                             1.0)
+            em_scale = em_scale * w_bh
+        elif nee:
             # emission reached THROUGH a diffuse bounce was already
             # counted by that bounce's light sample (the 0.5 alive
             # encoding set below; integrator.py _bounce twin semantics)
@@ -1628,8 +1659,17 @@ def _make_do_bounce(seed, pix, background,
                 leb = jnp.where(has_li, _ltex(atb_ref), leb)
 
             cs_ = jnp.maximum(cos_s, 0.0)
-            w_l = (cs_ * cs_ * cs_ * cos_lg / d2l) * area_l \
-                * np.float32(2.0 * n_lights / np.pi)
+            if mis:
+                # balance heuristic (integrator._nee_direct twin):
+                # contribution factor p_b / (p_n + p_b)
+                p_bl = np.float32(2.0 / np.pi) * cs_ * cs_ * cs_
+                p_nl = d2l / (jnp.maximum(
+                    area_l * np.float32(n_lights), np.float32(1e-8))
+                    * jnp.maximum(cos_lg, np.float32(1e-6)))
+                w_l = p_bl / (p_nl + p_bl + np.float32(1e-20))
+            else:
+                w_l = (cs_ * cs_ * cs_ * cos_lg / d2l) * area_l \
+                    * np.float32(2.0 * n_lights / np.pi)
             okl = jnp.where(need & ~occ, w_l, 0.0)
             cr = cr + tpr * alb_r * ler * okl
             cg = cg + tpg * alb_g * leg * okl
@@ -1773,7 +1813,21 @@ def _make_do_bounce(seed, pix, background,
         dx = jnp.where(scattered, new_dx, dx)
         dy = jnp.where(scattered, new_dy, dy)
         dz = jnp.where(scattered, new_dz, dz)
-        if nee:
+        if nee and mis:
+            # encode "scattered diffuse" as alive = 2.0 + p_prev (the
+            # (2/pi)cos^3 density of the draw just taken, for the next
+            # bounce's emission weight); liveness tests stay > 0
+            ndl = jnp.sqrt(new_dx * new_dx + new_dy * new_dy
+                           + new_dz * new_dz)
+            csd = jnp.maximum(
+                (nx * new_dx + ny2 * new_dy + nz * new_dz)
+                / jnp.maximum(ndl, np.float32(1e-12)), 0.0)
+            pb_next = np.float32(2.0 / np.pi) * csd * csd * csd
+            alive = jnp.where(scattered,
+                              jnp.where(is_lam, 2.0 + pb_next,
+                                        np.float32(1.0)),
+                              np.float32(0.0))
+        elif nee:
             # encode "scattered via a diffuse bounce" as alive = 0.5
             # (zero state-layout ripple: every liveness test is > 0)
             alive = jnp.where(scattered,
@@ -1807,6 +1861,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                  tri_ref, sbnd_ref, tbnd_ref, hbco_ref, ctco_ref,
                  suv_ref, ruv_ref, yuv_ref, tuv_ref, nee_ref,
                  atr_ref, atg_ref, atb_ref,
+                 scode_ref, rcode_ref, ycode_ref, tcode_ref,
                  rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                  tpr_ref, tpg_ref, tpb_ref, cr_ref, cg_ref, cb_ref,
                  alive_ref, pix_ref, samp_ref,
@@ -1821,7 +1876,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                  cull: bool = False, cull_t: bool = False,
                  mxu: bool = False,
                  nee: bool = False, n_lights: int = 0,
-                 nee_img: bool = False,
+                 nee_img: bool = False, mis: bool = False,
                  qmc: bool = False):
     seed = scal_i_ref[0, 0]
     start_bounce = scal_i_ref[0, 2]
@@ -1836,6 +1891,8 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
         sbnd_ref, tbnd_ref, hbco_ref, ctco_ref, suv_ref, ruv_ref,
         yuv_ref, tuv_ref, atr_ref, atg_ref, atb_ref,
         nee=nee, nee_ref=nee_ref, n_lights=n_lights, nee_img=nee_img,
+        mis=mis,
+        code_refs=(scode_ref, rcode_ref, ycode_ref, tcode_ref),
         ns=ns, nr=nr, ny_=ny_, nt=nt, s_chunk=s_chunk, r_chunk=r_chunk,
         y_chunk=y_chunk, t_chunk=t_chunk, t_min=t_min, p_rr=p_rr,
         has_img=has_img, img_th=img_th, img_tw=img_tw, cull=cull,
@@ -2359,7 +2416,7 @@ def _regen_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
     static_argnames=("counts", "max_depth", "t_min", "p_rr", "grad_bg",
                      "exhaust_bg", "has_img", "img_th", "img_tw",
                      "cull", "cull_t", "mxu", "qmc", "interpret", "nee",
-                     "n_lights", "nee_img"))
+                     "n_lights", "nee_img", "mis"))
 def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
                  uv_tabs, nee_tab,
                  atlas, counts,
@@ -2372,7 +2429,8 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
                  mxu: bool = False,
                  qmc: bool = False, interpret: bool = False,
                  nee: bool = False, n_lights: int = 0,
-                 nee_img: bool = False):
+                 nee_img: bool = False, mis: bool = False,
+                 code_tabs=None):
     """Advance B rays (B % RAY_TILE == 0) max_depth bounces.
 
     state: tuple of 13 [B] f32 arrays
@@ -2414,7 +2472,11 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
         exhaust_bg=bool(exhaust_bg), has_img=bool(has_img),
         img_th=int(img_th), img_tw=int(img_tw), cull=bool(cull),
         cull_t=bool(cull_t), mxu=bool(mxu), qmc=bool(qmc),
-        nee=bool(nee), n_lights=int(n_lights), nee_img=bool(nee_img))
+        nee=bool(nee), n_lights=int(n_lights), nee_img=bool(nee_img),
+        mis=bool(mis))
+    if code_tabs is None:
+        code_tabs = tuple(jnp.zeros((8, 1), jnp.float32)
+                          for _ in range(4))
 
     ray_spec = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -2440,6 +2502,10 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas R
             pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas G
             pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas B
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sph codes (mis)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rect codes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cyl codes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri codes
         ] + [ray_spec] * 15,
         out_specs=(ray_spec,) * 13,
         out_shape=tuple(jax.ShapeDtypeStruct((g, 8, LANES), jnp.float32)
@@ -2450,6 +2516,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
         sph_co[0], sph_co[1],
         uv_tabs[0], uv_tabs[1], uv_tabs[2], uv_tabs[3], nee_tab,
         atlas[0], atlas[1], atlas[2],
+        code_tabs[0], code_tabs[1], code_tabs[2], code_tabs[3],
         *[lanes(s) for s in state],
         lanes(pixel, jnp.int32),
         lanes(samp, jnp.int32),
@@ -2853,13 +2920,20 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
                  jnp.zeros((pad,), jnp.int32)])
     bp = b + pad
 
-    (tbl, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
-     uv_tabs, atlas, counts, kw) = _prep_scene(tables, cfg)
+    nee_on = bool(getattr(cfg, "nee", False)) and tables.n_lights > 0
+    mis_on = nee_on and bool(getattr(cfg, "mis", False))
+    if mis_on:
+        (tbl, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
+         uv_tabs, code_tabs, atlas, counts, kw) = _prep_scene(
+             tables, cfg, want_codes=True)
+    else:
+        (tbl, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
+         uv_tabs, atlas, counts, kw) = _prep_scene(tables, cfg)
+        code_tabs = None
     exhaust = cfg.exhaust_mode == "background"
 
-    nee_on = bool(getattr(cfg, "nee", False)) and tables.n_lights > 0
     nee_tab = (nee_light_table(tbl) if nee_on
-               else jnp.zeros((8, 32), jnp.float32))
+               else jnp.zeros((8, 33), jnp.float32))
     nee_img = nee_on and tables.nee_img
 
     ce = getattr(cfg, "compact_every", 0)
@@ -2912,7 +2986,8 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
                     tbl.background)
         seg_kw = dict(max_depth=seg, exhaust_bg=exhaust and last,
                       nee=nee_on, n_lights=tables.n_lights,
-                      nee_img=nee_img, **kw)
+                      nee_img=nee_img, mis=mis_on, code_tabs=code_tabs,
+                      **kw)
         if live_tiles is None or buckets is None:
             state = mega_segment(*seg_args, state, pixel,
                                  sample_idx, seed, jnp.int32(done),
@@ -2996,7 +3071,7 @@ def mega_trace_adjoint(tables: SceneTables, cfg, ro, rd, pixel,
     grad_bg = kw.get("grad_bg", False)
     nee_on = bool(getattr(cfg, "nee", False)) and tables.n_lights > 0
     nee_tab = (nee_light_table(tbl) if nee_on
-               else jnp.zeros((8, 32), jnp.float32))
+               else jnp.zeros((8, 33), jnp.float32))
 
     ce = getattr(cfg, "compact_every", 0)
     explicit = tuple(getattr(cfg, "compact_schedule", ()) or ())

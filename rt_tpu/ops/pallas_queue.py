@@ -124,6 +124,7 @@ def _queue_kernel(scal_i_ref,
                   sbnd_ref, tbnd_ref, hbco_ref, ctco_ref,
                   suv_ref, ruv_ref, yuv_ref, tuv_ref, nee_ref,
                   atr_ref, atg_ref, atb_ref,
+                  scode_ref, rcode_ref, ycode_ref, tcode_ref,
                   rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                   pixh_ref, pixl_ref, sampp_ref,
                   stage_in, cstage_in, cur_in, ring_in,
@@ -137,7 +138,7 @@ def _queue_kernel(scal_i_ref,
                   has_img: bool, img_th: int, img_tw: int,
                   cull: bool, cull_t: bool, mxu: bool,
                   nee: bool, n_lights: int, nee_img: bool,
-                  qmc: bool):
+                  mis: bool, qmc: bool):
     """One launch = n_steps queue steps (sequential TPU grid; SMEM/VMEM
     persists across steps). stage/cstage/ring/cursors alias in->out, so
     consecutive launches resume exactly (the driver's while loop)."""
@@ -227,6 +228,8 @@ def _queue_kernel(scal_i_ref,
             sbnd_ref, tbnd_ref, hbco_ref, ctco_ref, suv_ref, ruv_ref,
             yuv_ref, tuv_ref, atr_ref, atg_ref, atb_ref,
             nee=nee, nee_ref=nee_ref, n_lights=n_lights, nee_img=nee_img,
+            mis=mis,
+            code_refs=(scode_ref, rcode_ref, ycode_ref, tcode_ref),
             ns=ns, nr=nr, ny_=ny_, nt=nt, s_chunk=s_chunk,
             r_chunk=r_chunk, y_chunk=y_chunk, t_chunk=t_chunk,
             t_min=t_min, p_rr=p_rr, has_img=has_img, img_th=img_th,
@@ -302,7 +305,7 @@ def _queue_kernel(scal_i_ref,
     static_argnames=("counts", "n_steps", "max_depth", "t_min", "p_rr",
                      "grad_bg", "exhaust_bg", "has_img", "img_th",
                      "img_tw", "cull", "cull_t", "mxu", "qmc",
-                     "interpret", "nee", "n_lights", "nee_img"))
+                     "interpret", "nee", "n_lights", "nee_img", "mis"))
 def queue_launch(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
                  uv_tabs, nee_tab, atlas, counts, background,
                  prim_cols, stage, cstage, cur, ring, seed,
@@ -314,7 +317,8 @@ def queue_launch(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
                  mxu: bool = False, qmc: bool = False,
                  interpret: bool = False,
                  nee: bool = False, n_lights: int = 0,
-                 nee_img: bool = False):
+                 nee_img: bool = False, mis: bool = False,
+                 code_tabs=None):
     """Run n_steps queue steps; returns (stage, cstage, cur, ring)."""
     ns, nr, ny_, nt = counts
     n_blocks = prim_cols[0].shape[0] // ROWS
@@ -333,7 +337,10 @@ def queue_launch(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
         has_img=bool(has_img), img_th=int(img_th), img_tw=int(img_tw),
         cull=bool(cull), cull_t=bool(cull_t), mxu=bool(mxu),
         nee=bool(nee), n_lights=int(n_lights), nee_img=bool(nee_img),
-        qmc=bool(qmc))
+        mis=bool(mis), qmc=bool(qmc))
+    if code_tabs is None:
+        code_tabs = tuple(jnp.zeros((8, 1), jnp.float32)
+                          for _ in range(4))
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -349,6 +356,7 @@ def queue_launch(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
             vmem, vmem, vmem, vmem,   # UV param tables
             vmem,                 # NEE light table
             vmem, vmem, vmem,     # atlas R/G/B
+            vmem, vmem, vmem, vmem,  # per-family tape-code tables (mis)
             hbm, hbm, hbm, hbm, hbm, hbm,  # primary ro/rd columns
             hbm, hbm, hbm,        # primary pix hi/lo + samp (f32-exact)
             vmem,                 # stage in
@@ -376,14 +384,15 @@ def queue_launch(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
         ],
         # stage/cstage/cur/ring thread through launches in place
         # (indices count the scalar-prefetch operand: scal_i=0,
-        # scal_f=1, 16 table refs, 9 primary columns, then the carry)
-        input_output_aliases={27: 0, 28: 1, 29: 2, 30: 3},
+        # scal_f=1, 20 table refs, 9 primary columns, then the carry)
+        input_output_aliases={31: 0, 32: 1, 33: 2, 34: 3},
         interpret=interpret,
     )(
         scal_i, scal_f, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd,
         sph_co[0], sph_co[1],
         uv_tabs[0], uv_tabs[1], uv_tabs[2], uv_tabs[3], nee_tab,
         atlas[0], atlas[1], atlas[2],
+        code_tabs[0], code_tabs[1], code_tabs[2], code_tabs[3],
         *prim_cols,
         stage, cstage, cur, ring,
     )
@@ -416,11 +425,18 @@ def queue_trace(tables, cfg, ro, rd, pixel, sample_idx, seed):
     # 8K frame's 33M-lane tile is fine
     assert bp <= (1 << 31) - 2, bp  # keep int32-max free as sentinel
 
-    (tbl, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
-     uv_tabs, atlas, counts, kw) = _prep_scene(tables, cfg)
     nee_on = bool(getattr(cfg, "nee", False)) and tables.n_lights > 0
+    mis_on = nee_on and bool(getattr(cfg, "mis", False))
+    if mis_on:
+        (tbl, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
+         uv_tabs, code_tabs, atlas, counts, kw) = _prep_scene(
+             tables, cfg, want_codes=True)
+    else:
+        (tbl, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
+         uv_tabs, atlas, counts, kw) = _prep_scene(tables, cfg)
+        code_tabs = None
     nee_tab = (nee_light_table(tbl) if nee_on
-               else jnp.zeros((8, 32), jnp.float32))
+               else jnp.zeros((8, 33), jnp.float32))
 
     n_blocks = bp // RAY_TILE
     rows = n_blocks * ROWS
@@ -455,6 +471,7 @@ def queue_trace(tables, cfg, ro, rd, pixel, sample_idx, seed):
         exhaust_bg=cfg.exhaust_mode == "background",
         nee=nee_on, n_lights=tables.n_lights,
         nee_img=nee_on and tables.nee_img,
+        mis=mis_on, code_tabs=code_tabs,
         **kw)
 
     def cond(c):

@@ -123,9 +123,10 @@ def test_mis_without_lights_is_identical():
 
 
 def test_mis_engine_fallback_matches_xla():
-    """engine='mega'/'queue' with cfg.mis falls back to the hybrid
-    per-bounce loop (the whole-path kernels don't carry the MIS
-    weights); radiance must match the XLA build."""
+    """MIS runs IN-KERNEL on the whole-path engines: the balance
+    weights ride the alive channel (2.0 + p_prev encoding) and the
+    emitter hit matches its light row by tape code (light table col
+    32); per-lane radiance must match the XLA build."""
     sdef, cfg = _light_scene(all_families=False)
     tables = build_tables(sdef)
     x = np.asarray(render(tables, cfg.replace(nee=True, mis=True)))
