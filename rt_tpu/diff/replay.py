@@ -550,17 +550,22 @@ def make_replay_render(
                 L=None if Ls is None else Ls[s])
 
         def kernel_radiometric(grads):
-            """Radiometric backward on the adjoint megakernel — one
-            kernel pass per sample, sharing the forward's compaction
-            machinery."""
+            """Radiometric backward on the adjoint kernel — one pass
+            per sample. engine='queue' replays on the persistent-queue
+            adjoint (no completion ring/sort, queue packing —
+            queue_trace_adjoint); otherwise the segmented adjoint
+            megakernel with the forward's compaction machinery."""
             from rt_tpu.ops.pallas_mega import mega_trace_adjoint
+            from rt_tpu.ops.pallas_queue import queue_trace_adjoint
 
+            adjoint = (queue_trace_adjoint if cfg.engine == "queue"
+                       else mega_trace_adjoint)
             tbl = apply_params(base, params)
 
             def kbody(s, grads):
                 s_ = s0 + s.astype(jnp.uint32)
                 ro, rd, sample = _rays(tbl, s_)
-                gk = mega_trace_adjoint(
+                gk = adjoint(
                     tbl, cfg, ro, rd, pixel, s_, seed,
                     L=(Ls[s] if Ls is not None
                        else trace(tbl, lcfg, ro, rd, pixel, sample,

@@ -834,3 +834,53 @@ def test_fit_replay_queue_engine_smoke():
                     spp=1, steps=4, learning_rate=0.3, method="replay")
     assert np.isfinite(np.asarray(res["tex_color"])).all()
     assert hist[-1] < hist[0]
+
+
+def test_queue_adjoint_matches_xla_replay():
+    """The queue-ADJOINT backward (round 5, pallas_queue.
+    queue_trace_adjoint via engine='queue' + bwd_kernel=True): the
+    radiometric replay runs in the persistent-queue loop — no
+    completion ring, no assembly sort, gradient slabs/atlas planes
+    accumulated across steps — and must match the XLA per-bounce
+    replay on every REPLAY_FIELD (the mega adjoint's own parity
+    contract)."""
+    from rt_tpu.diff.replay import make_replay_loss_fn
+
+    s = SceneDef(width=32, height=24, samples_per_pixel=2, max_depth=6,
+                 background=(0.4, 0.5, 0.6))
+    s.add_sphere((0, 0, -1.5), 0.5,
+                 s.add_lambertian_color((0.7, 0.2, 0.2)))
+    s.add_sphere((-1.1, 0, -1.5), 0.5, s.add_metal((0.8, 0.7, 0.6), 0.2))
+    s.add_sphere((1.1, 0, -1.5), 0.5, s.add_dielectric(1.5))
+    ck = s.add_checker((0.9, 0.9, 0.9), (0.1, 0.2, 0.1))
+    s.add_sphere((0, -100.5, -1.5), 100, s.add_lambertian(ck))
+    s.add_rect("xy_rect", -0.5, 0.5, 0.8, 1.4, -2.5,
+               s.add_diffuse_light_color((4.0, 3.5, 3.0)))
+    s.set_camera((0, 0.3, 1.2), (0, 0, -1.5), (0, 1, 0), 55, 0.0)
+    cfg = RenderConfig(width=32, height=24, samples_per_pixel=2,
+                       max_depth=6, loop="while", engine="queue")
+    tables = build_tables(s)
+    px, py = _pixel_list(cfg)
+    tgt = jnp.full((px.shape[0], 3), 0.2, jnp.float32)
+    params = {"tex_color": jnp.asarray(tables.tex_color, jnp.float32),
+              "tex_color2": jnp.asarray(tables.tex_color2, jnp.float32),
+              "mat_albedo": jnp.asarray(tables.mat_albedo, jnp.float32),
+              "background": jnp.asarray(tables.background, jnp.float32)}
+
+    variants = [
+        ("plain", cfg, {}),
+        ("trunc3", cfg, {"bwd_depth": 3}),
+        ("exhaust", cfg.replace(exhaust_mode="background", max_depth=3),
+         {}),
+        ("nee", cfg.replace(nee=True), {}),
+    ]
+    for name, c, kwv in variants:
+        g_x = jax.grad(make_replay_loss_fn(
+            tables, c.replace(engine="xla"), 2, px, py, tgt,
+            bwd_kernel=False, **kwv))(params)
+        g_q = jax.grad(make_replay_loss_fn(
+            tables, c, 2, px, py, tgt, bwd_kernel=True, **kwv))(params)
+        for k in params:
+            a, b = np.asarray(g_x[k]), np.asarray(g_q[k])
+            mag = max(np.abs(a).max(), 1e-12)
+            assert np.abs(a - b).max() <= 1e-5 + 1e-3 * mag, (name, k)
