@@ -629,7 +629,9 @@ def _queue_adjoint_kernel(scal_i_ref,
         bvec = bvec_f.astype(jnp.int32)
         # L/g ride the pool unchanged; sanitize drain garbage through
         # where (NaN * 0 = NaN would poison the slab contractions)
-        dead_ok = jnp.where(drain, (lane_g < fill), True)
+        # logical ops, not where: Mosaic can't legalize an i1-on-i1
+        # vector select
+        dead_ok = jnp.logical_not(drain) | (lane_g < fill)
         Lr = jnp.where(dead_ok, t[_A_LR], 0.0)
         Lg = jnp.where(dead_ok, t[_A_LG], 0.0)
         Lb = jnp.where(dead_ok, t[_A_LB], 0.0)
