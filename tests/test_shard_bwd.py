@@ -230,3 +230,30 @@ def test_shardmap_queue_forward_grads_match():
     np.testing.assert_allclose(np.asarray(g_sh["tex_color"]),
                                np.asarray(g_ref["tex_color"]),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_queue_adjoint_matches_single():
+    """Round-5 queue-ADJOINT under GSPMD: replay grads with
+    engine='queue' + bwd_kernel=True and the pixel batch sharded over
+    the full mesh == the single-device grads (the queue forward AND
+    the queue-adjoint backward both ride the sharding)."""
+    from rt_tpu.diff.replay import make_replay_loss_fn
+
+    tables, cfg = _scene()
+    cfg = cfg.replace(engine="queue")
+    px, py, tgt = _batch(cfg)
+    params = {"tex_color": jnp.asarray(tables.tex_color, jnp.float32),
+              "mat_albedo": jnp.asarray(tables.mat_albedo, jnp.float32)}
+
+    g_ref = jax.grad(make_replay_loss_fn(
+        tables, cfg, 2, px, py, tgt, bwd_kernel=True))(params)
+    assert float(np.abs(np.asarray(g_ref["tex_color"])).max()) > 0
+
+    mesh = make_mesh((4, 2), jax.devices())
+    pxs, pys, tgts = _shard(mesh, px, py, tgt)
+    g_sh = jax.jit(jax.grad(make_replay_loss_fn(
+        tables, cfg, 2, pxs, pys, tgts, bwd_kernel=True)))(params)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g_sh[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=1e-5, atol=1e-7)
