@@ -87,6 +87,11 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                         "variance stays bounded on large/near lights "
                         "where single-technique NEE loses; runs "
                         "in-kernel on every engine")
+    p.add_argument("--nee-glossy", action="store_true",
+                   help="extend NEE/MIS to fuzzy-metal bounces (their "
+                        "own fuzz-ball density about the mirror "
+                        "direction; implies --nee, pairs best with "
+                        "--mis; hybrid engines)")
     p.add_argument("--bvh", action="store_true",
                    help="build + traverse a BVH for every primitive "
                         "family (spheres/rects/cylinders/triangles)")
@@ -194,6 +199,8 @@ def cmd_render(args) -> int:
         cfg = cfg.replace(nee=True)
     if getattr(args, "mis", False):
         cfg = cfg.replace(nee=True, mis=True)
+    if getattr(args, "nee_glossy", False):
+        cfg = cfg.replace(nee=True, nee_glossy=True)
     tables = build_tables(
         sdef, bvh_types=("sphere", "rect", "cylinder", "triangle")
         if args.bvh else ())

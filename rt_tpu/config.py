@@ -84,6 +84,19 @@ class RenderConfig:
     # technique NEE only).
     mis: bool = False
 
+    # Extend NEE/MIS to FUZZY-METAL bounces (opt-in, requires nee):
+    # glossy lanes light-sample with their own fuzz-ball density about
+    # the mirror direction, p(w) = s(3cos^2+s^2)/(2 pi fuzz^3) inside
+    # the cone sin < fuzz (the chord integral of the reference's
+    # reflect + fuzz*ball draw; the lambertian (2/pi)cos^3 is its
+    # fuzz=1-about-the-normal case), and their emission weights by the
+    # same carried density. Pair with mis=True on tight cones (a light
+    # outside a narrow cone contributes zero to the NEE sample while
+    # suppression still applies — unbiased but high-variance alone).
+    # Runs the hybrid per-bounce engines (mega/queue fall back);
+    # forward + tape/scan-AD gradients; the replay identity refuses.
+    nee_glossy: bool = False
+
     # Execution knobs (not part of reference semantics).
     engine: str = "xla"     # "xla" | "pallas" | "mega" | "queue"
     loop: str = "while"            # "while" | "scan" (scan is differentiable)

@@ -201,11 +201,13 @@ def make_replay_render(
     # shadow-visibility factor is a bool (detached), matching the scan
     # path's own AD semantics.
     nee = bool(cfg.nee) and base.n_lights > 0
-    if nee and getattr(cfg, "mis", False):
+    if nee and (getattr(cfg, "mis", False)
+                or getattr(cfg, "nee_glossy", False)):
         raise ValueError(
-            "cfg.mis: the path-replay suffix identity reproduces the "
-            "single-technique NEE term; MIS gradients ride the tape "
-            "estimator (fit --method tape) or plain scan AD instead")
+            "cfg.mis/nee_glossy: the path-replay suffix identity "
+            "reproduces the single-technique lambertian NEE term; "
+            "MIS/glossy gradients ride the tape estimator "
+            "(fit --method tape) or plain scan AD instead")
 
     def _rays(tbl, s):
         sample = jnp.full(px.shape, s, jnp.uint32)

@@ -286,17 +286,33 @@ def _tape_bounce(tables: SceneTables, cfg: RenderConfig, st, code, pixel,
         mt = tables.mat_type[jnp.clip(hit.mat, 0,
                                       tables.mat_type.shape[0] - 1)]
         lam = scattered & (mt == MAT_LAMBERTIAN)
+        glossy_on = bool(getattr(cfg, "nee_glossy", False))
+        sel = lam
+        if glossy_on:
+            from rt_tpu.scene.types import MAT_METAL
+
+            fz_l = tables.mat_fuzz[jnp.clip(
+                hit.mat, 0, tables.mat_type.shape[0] - 1)]
+            glo = scattered & (mt == MAT_METAL) & (fz_l > 0.0)
+            sel = lam | glo
         ld = _nee_direct(tables, cfg, hit, sc.attenuation, pixel,
-                         sample, seed, bounce)
-        rgb = rgb + jnp.where(lam[:, None], tp * ld, 0.0)
+                         sample, seed, bounce,
+                         rd=d if glossy_on else None)
+        rgb = rgb + jnp.where(sel[:, None], tp * ld, 0.0)
         if mis:
-            cs_n = geom.dot(jnp, geom.unit(jnp, sc.direction),
-                            hit.normal)
-            csn = jnp.maximum(cs_n, 0.0)
-            prev_diff = jnp.where(
-                lam, jnp.float32(2.0 / np.pi) * csn * csn * csn, 0.0)
+            from rt_tpu.render.integrator import _glossy_pdf
+
+            udir = geom.unit(jnp, sc.direction)
+            csn = jnp.maximum(geom.dot(jnp, udir, hit.normal), 0.0)
+            p_new = jnp.float32(2.0 / np.pi) * csn * csn * csn
+            if glossy_on:
+                Rn = geom.reflect(jnp, geom.unit(jnp, d), hit.normal)
+                p_new = jnp.where(
+                    glo, _glossy_pdf(geom.dot(jnp, udir, Rn), fz_l),
+                    p_new)
+            prev_diff = jnp.where(sel, p_new, 0.0)
         else:
-            prev_diff = lam
+            prev_diff = sel
     tp = jnp.where(scattered[:, None], tp * sc.attenuation * rr_comp, tp)
     o = jnp.where(scattered[:, None], hit.p, o)
     d = jnp.where(scattered[:, None], sc.direction, d)

@@ -55,8 +55,22 @@ def background_color(tables: SceneTables, cfg: RenderConfig, d):
     return jnp.broadcast_to(tables.background, d.shape)
 
 
+def _glossy_pdf(cosr, fz):
+    """Solid-angle density of the reference metal's reflect + fuzz*ball
+    draw (vec3.cuh fuzz semantics): the chord integral of the uniform
+    unit ball scaled to radius fz about the mirror direction,
+    p(w) = s (3 cos^2 + s^2) / (2 pi fz^3) with s = sqrt(fz^2 - sin^2)
+    inside the cone sin < fz, zero outside. The lambertian
+    (2/pi)cos^3 law is exactly the fz=1-about-the-normal case."""
+    s2 = fz * fz - (1.0 - cosr * cosr)
+    inside = (cosr > 0.0) & (s2 > 0.0) & (fz > 0.0)
+    s = jnp.sqrt(jnp.maximum(s2, 0.0))
+    denom = (2.0 * np.pi) * jnp.maximum(fz, 1e-8) ** 3
+    return jnp.where(inside, s * (3.0 * cosr * cosr + s2) / denom, 0.0)
+
+
 def _nee_direct(tables: SceneTables, cfg: RenderConfig, hit, albedo,
-                pixel, sample_idx, seed, bounce_idx):
+                pixel, sample_idx, seed, bounce_idx, rd=None):
     """Direct-light term for one lambertian bounce: sample one point on
     one emissive primitive (area sampling over spheres / rects /
     cylinders), cast a shadow ray, and return the single-sample
@@ -208,14 +222,31 @@ def _nee_direct(tables: SceneTables, cfg: RenderConfig, hit, albedo,
                            else cfg.engine))
     cs = jnp.maximum(cos_s, 0.0)
     ok = (cos_s > 0.0) & ~occ
-    if getattr(cfg, "mis", False):
-        # balance heuristic: contribution = albedo Le p_b/(p_n + p_b)
-        # (= the single-technique p_b/p_n times w_nee = p_n/(p_n+p_b));
-        # p_n -> inf as cos_l -> 0 (grazing light) so the term -> 0
+    mis = bool(getattr(cfg, "mis", False))
+    glossy = bool(getattr(cfg, "nee_glossy", False)) and rd is not None
+    if mis or glossy:
         p_b = jnp.float32(2.0 / np.pi) * cs * cs * cs
+        if glossy:
+            # fuzzy-metal lanes sample their own fuzz-ball density
+            # about the mirror direction (cfg.nee_glossy); the caller
+            # masks the term to lambertian|glossy lanes
+            from rt_tpu.scene.types import MAT_METAL
+
+            mc = jnp.clip(hit.mat, 0, tables.mat_type.shape[0] - 1)
+            fz = tables.mat_fuzz[mc]
+            R = geom.reflect(jnp, geom.unit(jnp, rd), hit.normal)
+            cosr = geom.dot(jnp, R, wi) / dist
+            p_b = jnp.where(tables.mat_type[mc] == MAT_METAL,
+                            _glossy_pdf(cosr, fz), p_b)
         p_n = d2 / (jnp.maximum(area * jnp.float32(L), 1e-8)
                     * jnp.maximum(cos_l, 1e-6))
-        w = p_b / (p_n + p_b + 1e-20)
+        if mis:
+            # balance heuristic: albedo Le p_b/(p_n + p_b) (= the
+            # single-technique p_b/p_n times w = p_n/(p_n+p_b));
+            # p_n -> inf as cos_l -> 0 (grazing light) so the term -> 0
+            w = p_b / (p_n + p_b + 1e-20)
+        else:
+            w = p_b / jnp.maximum(p_n, 1e-20)
     else:
         w = (cs * cs * cs * cos_l / d2) * area * jnp.float32(2.0 * L / np.pi)
     return jnp.where(ok[:, None], albedo * Le * w[:, None], 0.0)
@@ -324,20 +355,34 @@ def _bounce(tables: SceneTables, cfg: RenderConfig, state: RayState,
 
         is_diffuse = mt == MAT_LAMBERTIAN
         lam = scattered & is_diffuse
+        glossy_on = bool(getattr(cfg, "nee_glossy", False))
+        sel = lam
+        if glossy_on:
+            from rt_tpu.scene.types import MAT_METAL
+
+            fz_l = tables.mat_fuzz[jnp.clip(
+                hit.mat, 0, tables.mat_type.shape[0] - 1)]
+            glo = scattered & (mt == MAT_METAL) & (fz_l > 0.0)
+            sel = lam | glo
         ld = _nee_direct(tables, cfg, hit, sc.attenuation, pixel,
-                         sample_idx, seed, bounce_idx)
-        rgb = rgb + jnp.where(lam[:, None], tp * ld, 0.0)
+                         sample_idx, seed, bounce_idx,
+                         rd=d if glossy_on else None)
+        rgb = rgb + jnp.where(sel[:, None], tp * ld, 0.0)
         if mis:
-            # density of the diffuse draw just taken, for the NEXT
-            # bounce's emission weight: p(w) = (2/pi) cos^3(theta)
-            # (the n + unit-ball rule's solid-angle density)
-            cs_n = (geom.dot(jnp, geom.unit(jnp, sc.direction),
-                             hit.normal))
-            csn = jnp.maximum(cs_n, 0.0)
-            prev_diff = jnp.where(
-                lam, jnp.float32(2.0 / np.pi) * csn * csn * csn, 0.0)
+            # density of the draw just taken, for the NEXT bounce's
+            # emission weight: (2/pi)cos^3 for the n + unit-ball rule,
+            # the fuzz-ball chord density for glossy metal
+            udir = geom.unit(jnp, sc.direction)
+            csn = jnp.maximum(geom.dot(jnp, udir, hit.normal), 0.0)
+            p_new = jnp.float32(2.0 / np.pi) * csn * csn * csn
+            if glossy_on:
+                Rn = geom.reflect(jnp, geom.unit(jnp, d), hit.normal)
+                p_new = jnp.where(
+                    glo, _glossy_pdf(geom.dot(jnp, udir, Rn), fz_l),
+                    p_new)
+            prev_diff = jnp.where(sel, p_new, 0.0)
         else:
-            prev_diff = lam
+            prev_diff = sel
 
     rr_comp = jnp.float32(1.0 / cfg.p_rr) if cfg.p_rr > 0.0 else jnp.float32(1.0)
     tp = jnp.where(scattered[:, None], tp * sc.attenuation * rr_comp, tp)
@@ -359,6 +404,11 @@ def trace(tables: SceneTables, cfg: RenderConfig, ro, rd, pixel, sample_idx,
     (ops/pallas_mega.py); unsupported scenes fall back to the hybrid
     per-bounce loop with engine="pallas"."""
     nee = bool(cfg.nee) and tables.n_lights > 0
+    if nee and getattr(cfg, "nee_glossy", False) and cfg.engine in (
+            "mega", "queue"):
+        # glossy NEE/MIS is an estimator change the whole-path kernels
+        # don't carry (round-5 scope): run the hybrid per-bounce loop
+        cfg = cfg.replace(engine="pallas")
     if cfg.engine == "queue":
         from rt_tpu.ops.pallas_mega import mega_supported
         from rt_tpu.ops.pallas_queue import queue_trace
