@@ -91,7 +91,7 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="extend NEE/MIS to fuzzy-metal bounces (their "
                         "own fuzz-ball density about the mirror "
                         "direction; implies --nee, pairs best with "
-                        "--mis; hybrid engines)")
+                        "--mis; in-kernel on every engine)")
     p.add_argument("--bvh", action="store_true",
                    help="build + traverse a BVH for every primitive "
                         "family (spheres/rects/cylinders/triangles)")

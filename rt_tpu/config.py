@@ -93,8 +93,8 @@ class RenderConfig:
     # same carried density. Pair with mis=True on tight cones (a light
     # outside a narrow cone contributes zero to the NEE sample while
     # suppression still applies — unbiased but high-variance alone).
-    # Runs the hybrid per-bounce engines (mega/queue fall back);
-    # forward + tape/scan-AD gradients; the replay identity refuses.
+    # Runs IN-KERNEL on every engine (mega/queue included); forward +
+    # tape/scan-AD gradients; the replay identity refuses.
     nee_glossy: bool = False
 
     # Execution knobs (not part of reference semantics).

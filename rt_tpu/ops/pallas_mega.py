@@ -802,6 +802,7 @@ def _make_do_bounce(seed, pix, background,
                     capture: bool = False, code_refs=None,
                     nee: bool = False, nee_ref=None, n_lights: int = 0,
                     nee_img: bool = False, mis: bool = False,
+                    nee_glossy: bool = False,
                     qmc: bool = False):
     """Build the per-bounce closure shared by both kernel drivers.
 
@@ -1529,6 +1530,10 @@ def _make_do_bounce(seed, pix, background,
             # light, shadow-test it against every family's chunks, add
             # the direct term for lambertian winners ----
             lam_lane = scattered & is_lam
+            if nee_glossy:
+                # fuzzy metal joins the light sampler (cfg.nee_glossy)
+                lam_lane = lam_lane | (scattered & is_met
+                                       & (fuzz > 0.0))
             u_pick = _uniform(seed, pix, sample, bounce,
                               rng_mod.NEE_PICK, qmc)
             u1 = _uniform(seed, pix, sample, bounce, rng_mod.NEE_U1, qmc)
@@ -1659,14 +1664,31 @@ def _make_do_bounce(seed, pix, background,
                 leb = jnp.where(has_li, _ltex(atb_ref), leb)
 
             cs_ = jnp.maximum(cos_s, 0.0)
-            if mis:
+            if mis or nee_glossy:
                 # balance heuristic (integrator._nee_direct twin):
-                # contribution factor p_b / (p_n + p_b)
+                # contribution factor p_b / (p_n + p_b); glossy lanes
+                # use the fuzz-ball chord density about the mirror
+                # direction (integrator._glossy_pdf twin)
                 p_bl = np.float32(2.0 / np.pi) * cs_ * cs_ * cs_
+                if nee_glossy:
+                    cosr_l = (ref_x * wix + ref_y * wiy
+                              + ref_z * wiz) / distl
+                    gs2 = fuzz * fuzz - (1.0 - cosr_l * cosr_l)
+                    g_in = (cosr_l > 0.0) & (gs2 > 0.0) & (fuzz > 0.0)
+                    gsq = jnp.sqrt(jnp.maximum(gs2, 0.0))
+                    gden = (np.float32(2.0 * np.pi)
+                            * jnp.maximum(fuzz, np.float32(1e-8)) ** 3)
+                    p_glo = jnp.where(
+                        g_in,
+                        gsq * (3.0 * cosr_l * cosr_l + gs2) / gden, 0.0)
+                    p_bl = jnp.where(is_met, p_glo, p_bl)
                 p_nl = d2l / (jnp.maximum(
                     area_l * np.float32(n_lights), np.float32(1e-8))
                     * jnp.maximum(cos_lg, np.float32(1e-6)))
-                w_l = p_bl / (p_nl + p_bl + np.float32(1e-20))
+                if mis:
+                    w_l = p_bl / (p_nl + p_bl + np.float32(1e-20))
+                else:
+                    w_l = p_bl / jnp.maximum(p_nl, np.float32(1e-20))
             else:
                 w_l = (cs_ * cs_ * cs_ * cos_lg / d2l) * area_l \
                     * np.float32(2.0 * n_lights / np.pi)
@@ -1819,19 +1841,36 @@ def _make_do_bounce(seed, pix, background,
             # bounce's emission weight); liveness tests stay > 0
             ndl = jnp.sqrt(new_dx * new_dx + new_dy * new_dy
                            + new_dz * new_dz)
+            inl = 1.0 / jnp.maximum(ndl, np.float32(1e-12))
             csd = jnp.maximum(
-                (nx * new_dx + ny2 * new_dy + nz * new_dz)
-                / jnp.maximum(ndl, np.float32(1e-12)), 0.0)
+                (nx * new_dx + ny2 * new_dy + nz * new_dz) * inl, 0.0)
             pb_next = np.float32(2.0 / np.pi) * csd * csd * csd
+            sampled = is_lam
+            if nee_glossy:
+                cr_n = (ref_x * new_dx + ref_y * new_dy
+                        + ref_z * new_dz) * inl
+                ns2 = fuzz * fuzz - (1.0 - cr_n * cr_n)
+                n_in = (cr_n > 0.0) & (ns2 > 0.0) & (fuzz > 0.0)
+                nsq = jnp.sqrt(jnp.maximum(ns2, 0.0))
+                nden = (np.float32(2.0 * np.pi)
+                        * jnp.maximum(fuzz, np.float32(1e-8)) ** 3)
+                p_gn = jnp.where(
+                    n_in, nsq * (3.0 * cr_n * cr_n + ns2) / nden, 0.0)
+                glo_s = is_met & (fuzz > 0.0)
+                pb_next = jnp.where(glo_s, p_gn, pb_next)
+                sampled = sampled | glo_s
             alive = jnp.where(scattered,
-                              jnp.where(is_lam, 2.0 + pb_next,
+                              jnp.where(sampled, 2.0 + pb_next,
                                         np.float32(1.0)),
                               np.float32(0.0))
         elif nee:
             # encode "scattered via a diffuse bounce" as alive = 0.5
             # (zero state-layout ripple: every liveness test is > 0)
+            sampled = is_lam
+            if nee_glossy:
+                sampled = sampled | (is_met & (fuzz > 0.0))
             alive = jnp.where(scattered,
-                              jnp.where(is_lam, np.float32(0.5),
+                              jnp.where(sampled, np.float32(0.5),
                                         np.float32(1.0)),
                               np.float32(0.0))
         else:
@@ -1877,6 +1916,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
                  mxu: bool = False,
                  nee: bool = False, n_lights: int = 0,
                  nee_img: bool = False, mis: bool = False,
+                 nee_glossy: bool = False,
                  qmc: bool = False):
     seed = scal_i_ref[0, 0]
     start_bounce = scal_i_ref[0, 2]
@@ -1891,7 +1931,7 @@ def _mega_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
         sbnd_ref, tbnd_ref, hbco_ref, ctco_ref, suv_ref, ruv_ref,
         yuv_ref, tuv_ref, atr_ref, atg_ref, atb_ref,
         nee=nee, nee_ref=nee_ref, n_lights=n_lights, nee_img=nee_img,
-        mis=mis,
+        mis=mis, nee_glossy=nee_glossy,
         code_refs=(scode_ref, rcode_ref, ycode_ref, tcode_ref),
         ns=ns, nr=nr, ny_=ny_, nt=nt, s_chunk=s_chunk, r_chunk=r_chunk,
         y_chunk=y_chunk, t_chunk=t_chunk, t_min=t_min, p_rr=p_rr,
@@ -2416,7 +2456,7 @@ def _regen_kernel(scal_i_ref, scal_f_ref, sph_ref, rect_ref, cyl_ref,
     static_argnames=("counts", "max_depth", "t_min", "p_rr", "grad_bg",
                      "exhaust_bg", "has_img", "img_th", "img_tw",
                      "cull", "cull_t", "mxu", "qmc", "interpret", "nee",
-                     "n_lights", "nee_img", "mis"))
+                     "n_lights", "nee_img", "mis", "nee_glossy"))
 def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
                  uv_tabs, nee_tab,
                  atlas, counts,
@@ -2430,6 +2470,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
                  qmc: bool = False, interpret: bool = False,
                  nee: bool = False, n_lights: int = 0,
                  nee_img: bool = False, mis: bool = False,
+                 nee_glossy: bool = False,
                  code_tabs=None):
     """Advance B rays (B % RAY_TILE == 0) max_depth bounces.
 
@@ -2473,7 +2514,7 @@ def mega_segment(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
         img_th=int(img_th), img_tw=int(img_tw), cull=bool(cull),
         cull_t=bool(cull_t), mxu=bool(mxu), qmc=bool(qmc),
         nee=bool(nee), n_lights=int(n_lights), nee_img=bool(nee_img),
-        mis=bool(mis))
+        mis=bool(mis), nee_glossy=bool(nee_glossy))
     if code_tabs is None:
         code_tabs = tuple(jnp.zeros((8, 1), jnp.float32)
                           for _ in range(4))
@@ -2922,6 +2963,7 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
 
     nee_on = bool(getattr(cfg, "nee", False)) and tables.n_lights > 0
     mis_on = nee_on and bool(getattr(cfg, "mis", False))
+    glossy_on = nee_on and bool(getattr(cfg, "nee_glossy", False))
     if mis_on:
         (tbl, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
          uv_tabs, code_tabs, atlas, counts, kw) = _prep_scene(
@@ -2986,7 +3028,8 @@ def mega_trace(tables: SceneTables, cfg, ro, rd, pixel, sample_idx, seed):
                     tbl.background)
         seg_kw = dict(max_depth=seg, exhaust_bg=exhaust and last,
                       nee=nee_on, n_lights=tables.n_lights,
-                      nee_img=nee_img, mis=mis_on, code_tabs=code_tabs,
+                      nee_img=nee_img, mis=mis_on, nee_glossy=glossy_on,
+                      code_tabs=code_tabs,
                       **kw)
         if live_tiles is None or buckets is None:
             state = mega_segment(*seg_args, state, pixel,

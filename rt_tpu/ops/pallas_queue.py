@@ -138,7 +138,7 @@ def _queue_kernel(scal_i_ref,
                   has_img: bool, img_th: int, img_tw: int,
                   cull: bool, cull_t: bool, mxu: bool,
                   nee: bool, n_lights: int, nee_img: bool,
-                  mis: bool, qmc: bool):
+                  mis: bool, nee_glossy: bool, qmc: bool):
     """One launch = n_steps queue steps (sequential TPU grid; SMEM/VMEM
     persists across steps). stage/cstage/ring/cursors alias in->out, so
     consecutive launches resume exactly (the driver's while loop)."""
@@ -228,7 +228,7 @@ def _queue_kernel(scal_i_ref,
             sbnd_ref, tbnd_ref, hbco_ref, ctco_ref, suv_ref, ruv_ref,
             yuv_ref, tuv_ref, atr_ref, atg_ref, atb_ref,
             nee=nee, nee_ref=nee_ref, n_lights=n_lights, nee_img=nee_img,
-            mis=mis,
+            mis=mis, nee_glossy=nee_glossy,
             code_refs=(scode_ref, rcode_ref, ycode_ref, tcode_ref),
             ns=ns, nr=nr, ny_=ny_, nt=nt, s_chunk=s_chunk,
             r_chunk=r_chunk, y_chunk=y_chunk, t_chunk=t_chunk,
@@ -305,7 +305,8 @@ def _queue_kernel(scal_i_ref,
     static_argnames=("counts", "n_steps", "max_depth", "t_min", "p_rr",
                      "grad_bg", "exhaust_bg", "has_img", "img_th",
                      "img_tw", "cull", "cull_t", "mxu", "qmc",
-                     "interpret", "nee", "n_lights", "nee_img", "mis"))
+                     "interpret", "nee", "n_lights", "nee_img", "mis",
+                     "nee_glossy"))
 def queue_launch(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
                  uv_tabs, nee_tab, atlas, counts, background,
                  prim_cols, stage, cstage, cur, ring, seed,
@@ -318,6 +319,7 @@ def queue_launch(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
                  interpret: bool = False,
                  nee: bool = False, n_lights: int = 0,
                  nee_img: bool = False, mis: bool = False,
+                 nee_glossy: bool = False,
                  code_tabs=None):
     """Run n_steps queue steps; returns (stage, cstage, cur, ring)."""
     ns, nr, ny_, nt = counts
@@ -337,7 +339,7 @@ def queue_launch(sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
         has_img=bool(has_img), img_th=int(img_th), img_tw=int(img_tw),
         cull=bool(cull), cull_t=bool(cull_t), mxu=bool(mxu),
         nee=bool(nee), n_lights=int(n_lights), nee_img=bool(nee_img),
-        mis=bool(mis), qmc=bool(qmc))
+        mis=bool(mis), nee_glossy=bool(nee_glossy), qmc=bool(qmc))
     if code_tabs is None:
         code_tabs = tuple(jnp.zeros((8, 1), jnp.float32)
                           for _ in range(4))
@@ -427,7 +429,8 @@ def queue_trace(tables, cfg, ro, rd, pixel, sample_idx, seed):
 
     nee_on = bool(getattr(cfg, "nee", False)) and tables.n_lights > 0
     mis_on = nee_on and bool(getattr(cfg, "mis", False))
-    if mis_on:
+    glossy_on = nee_on and bool(getattr(cfg, "nee_glossy", False))
+    if mis_on or glossy_on:
         (tbl, sph_tab, rect_tab, cyl_tab, tri_tab, sbnd, tbnd, sph_co,
          uv_tabs, code_tabs, atlas, counts, kw) = _prep_scene(
              tables, cfg, want_codes=True)
@@ -471,7 +474,7 @@ def queue_trace(tables, cfg, ro, rd, pixel, sample_idx, seed):
         exhaust_bg=cfg.exhaust_mode == "background",
         nee=nee_on, n_lights=tables.n_lights,
         nee_img=nee_on and tables.nee_img,
-        mis=mis_on, code_tabs=code_tabs,
+        mis=mis_on, nee_glossy=glossy_on, code_tabs=code_tabs,
         **kw)
 
     def cond(c):

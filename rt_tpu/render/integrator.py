@@ -404,11 +404,6 @@ def trace(tables: SceneTables, cfg: RenderConfig, ro, rd, pixel, sample_idx,
     (ops/pallas_mega.py); unsupported scenes fall back to the hybrid
     per-bounce loop with engine="pallas"."""
     nee = bool(cfg.nee) and tables.n_lights > 0
-    if nee and getattr(cfg, "nee_glossy", False) and cfg.engine in (
-            "mega", "queue"):
-        # glossy NEE/MIS is an estimator change the whole-path kernels
-        # don't carry (round-5 scope): run the hybrid per-bounce loop
-        cfg = cfg.replace(engine="pallas")
     if cfg.engine == "queue":
         from rt_tpu.ops.pallas_mega import mega_supported
         from rt_tpu.ops.pallas_queue import queue_trace

@@ -127,8 +127,10 @@ def test_glossy_flag_no_fuzzy_metals_identical():
 
 
 def test_glossy_engine_fallback_matches_xla():
-    """mega/queue with nee_glossy fall back to the hybrid loop;
-    radiance matches the XLA build (winner-tie ulps aside)."""
+    """Glossy NEE/MIS runs IN-KERNEL on mega and queue (the fuzz-ball
+    density + mirror-direction test ride the NEE block; the carried
+    density generalizes the alive encoding); per-lane radiance matches
+    the XLA build (winner-tie ulps aside)."""
     sdef, cfg = _glossy_scene()
     tables = build_tables(sdef)
     kw = dict(nee=True, nee_glossy=True, mis=True)
